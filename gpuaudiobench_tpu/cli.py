@@ -1,0 +1,253 @@
+"""Command-line interface.
+
+Reproduces the CUDA CLI surface (cuda/main.cu:177-304: --help --list
+--benchmark --fs --bufferSize --nTracks --nRuns --outputfile --json,
+default benchmark RndMemRead) plus the Metal extensions
+(metal-swift/.../main.swift:48-163: --benchmarkFilter with substring or
+/regex/ patterns and multi-benchmark runs, --verification
+none|spot|full, --dawsim, --dawsim-mode spin|sleep, --dawsim-jitter-us,
+--warmup, --capture) and TPU-build additions (--impl, --irLength,
+--convEdgeMode, --poolMiB, --seed, --no-device-timing).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from gpuaudiobench_tpu.config import BenchConfig, matches_filter
+from gpuaudiobench_tpu.registry import (
+    BENCHMARK_DESCRIPTIONS,
+    BENCHMARK_NAMES,
+    create_benchmark,
+)
+
+DEFAULT_BENCHMARK = "RndMemRead"  # cuda/main.cu:239
+
+
+def print_help() -> None:
+    print("TPU Audio Benchmark Suite (tpuaudiobench)")
+    print("=========================================")
+    print("Real-time TPU audio processing benchmarks\n")
+    print("Usage: gpubench [options]\n")
+    print("Options:")
+    print("  --help                   Print this help message")
+    print("  --list                   List all available benchmarks")
+    print("  --benchmark [name]       Run specific benchmark (see list below)")
+    print("  --benchmarkFilter [pat]  Run all benchmarks matching substring or /regex/")
+    print("                           (repeatable / comma separated)")
+    print("  --fs [rate]              Set sampling rate (default: 48000)")
+    print("  --bufferSize [size]      Set buffer size (default: 512)")
+    print("  --nTracks [count]        Set number of tracks (default: 128)")
+    print("  --nRuns [count]          Set number of iterations (default: 100)")
+    print("  --warmup [count]         Set warmup iterations (default: 3)")
+    print("  --outputfile [file]      Save results to CSV file")
+    print("  --json                   Output results in JSON format")
+    print("  --verification [mode]    none | spot | full (default: full)")
+    print("  --dawsim                 Pace iterations at the audio buffer rate")
+    print("  --dawsim-mode [mode]     spin | sleep (default: spin)")
+    print("  --dawsim-jitter-us [us]  Schedule jitter in microseconds")
+    print("  --capture                Write a jax profiler trace")
+    print("  --impl [which]           auto | xla | pallas (default: auto)")
+    print("  --irLength [n]           Conv1D/Conv1D_accel IR length")
+    print("  --convEdgeMode [m]       clamp | bleed (Conv1D edge handling)")
+    print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
+    print("  --seed [n]               Test-data seed (default: 42)")
+    print("  --no-device-timing       Skip the device-only timing pass")
+    print()
+    print("Available Benchmarks:")
+    print("=====================")
+    for name in BENCHMARK_NAMES:
+        print(f"  {name:<16} - {BENCHMARK_DESCRIPTIONS[name]}")
+    print()
+    print("Examples:")
+    print("  gpubench --benchmark gain")
+    print("  gpubench --benchmark IIRFilter --bufferSize 1024 --nTracks 128")
+    print("  gpubench --benchmarkFilter /conv/ --json")
+
+
+def print_list() -> None:
+    print("Available benchmarks:")
+    for name in BENCHMARK_NAMES:
+        print(name)
+
+
+def parse_args(argv: List[str]):
+    """Returns (cfg, benchmark_names, error_message)."""
+    cfg = BenchConfig()
+    benchmark: Optional[str] = None
+    filters: List[str] = []
+    i = 0
+    updates = {}
+
+    def need_value(flag: str) -> Optional[str]:
+        nonlocal i
+        if i + 1 >= len(argv):
+            return None
+        i += 1
+        return argv[i]
+
+    value_flags = {
+        "--benchmark": ("benchmark", str),
+        "--fs": ("fs", int),
+        "--bufferSize": ("buffer_size", int),
+        "--nTracks": ("n_tracks", int),
+        "--nRuns": ("n_runs", int),
+        "--warmup": ("warmup", int),
+        "--outputfile": ("output_file", str),
+        "--verification": ("verification", str),
+        "--dawsim-mode": ("dawsim_mode", str),
+        "--dawsim-jitter-us": ("dawsim_jitter_us", float),
+        "--impl": ("impl", str),
+        "--irLength": ("ir_length", int),
+        "--convEdgeMode": ("conv_edge_mode", str),
+        "--poolMiB": ("rndmem_pool_mb", int),
+        "--seed": ("seed", int),
+        "--latenciesFile": ("latencies_file", str),
+    }
+
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "--help":
+            return None, ["--help"], None
+        if arg == "--list":
+            return None, ["--list"], None
+        if arg == "--json":
+            updates["json_output"] = True
+        elif arg == "--dawsim":
+            updates["dawsim"] = True
+        elif arg == "--capture":
+            updates["capture"] = True
+        elif arg == "--no-device-timing":
+            updates["device_timing"] = False
+        elif arg == "--benchmarkFilter":
+            v = need_value(arg)
+            if v is None:
+                return None, [], f"Error: {arg} requires an argument"
+            filters.extend(p for p in v.split(",") if p)
+        elif arg in value_flags:
+            v = need_value(arg)
+            if v is None:
+                return None, [], f"Error: {arg} requires an argument"
+            key, typ = value_flags[arg]
+            try:
+                val = typ(v)
+            except ValueError:
+                return None, [], f"Error: invalid value for {arg}: {v}"
+            if key == "benchmark":
+                benchmark = val
+            else:
+                updates[key] = val
+        else:
+            print(f"Warning: Unparsed argument: {arg}")
+        i += 1
+
+    cfg = cfg.replace(**updates)
+    try:
+        cfg.validate()
+    except ValueError as e:
+        return None, [], f"Error: {e}"
+
+    if filters:
+        names = [n for n in BENCHMARK_NAMES if matches_filter(n, filters)]
+        if benchmark and benchmark not in names:
+            names.append(benchmark)
+        if not names:
+            return None, [], "Error: no benchmarks match the given filter"
+    elif benchmark is not None:
+        names = [benchmark]
+    else:
+        names = [DEFAULT_BENCHMARK]
+    return cfg, names, None
+
+
+def run(cfg: BenchConfig, names: List[str]) -> int:
+    # Imported lazily: pulls in jax.
+    from gpuaudiobench_tpu.harness.output import (
+        print_results,
+        write_csv_results,
+        write_json_results,
+        write_latencies_file,
+    )
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+    from gpuaudiobench_tpu.utils import device as dev
+
+    print("TPU Audio Benchmark")
+    print(f"Found {len(__import__('jax').devices())} device(s): "
+          f"{dev.default_device().device_kind} [{dev.platform()}]")
+
+    exit_code = 0
+    json_results = []
+    for name in names:
+        try:
+            bench = create_benchmark(name, cfg)
+        except KeyError:
+            print(f"Error: Unknown benchmark '{name}'")
+            print("Use --list to see available benchmarks.")
+            return 1
+        # One failing benchmark doesn't kill the suite (main.swift:261-341).
+        try:
+            print(f"Setting up {name} benchmark...")
+            bench.setup()
+            print(
+                f"Running {name} benchmark ({cfg.n_runs} iterations "
+                f"with {cfg.warmup} warmup)..."
+            )
+            result = run_benchmark(bench, cfg)
+            if result.validation is not None and not result.validation.passed:
+                exit_code = 1
+            if cfg.json_output:
+                from gpuaudiobench_tpu.harness.output import generate_json_results
+
+                json_results.append(generate_json_results(result, cfg))
+            else:
+                print_results(result, cfg)
+                if cfg.write_latencies:
+                    write_latencies_file(result, cfg.latencies_file)
+                if cfg.output_file:
+                    write_csv_results(result, cfg, cfg.output_file)
+            if result.deadline_miss_rate is not None and result.deadline_miss_rate > 0:
+                print(
+                    f"WARNING: {name} missed {result.deadline_miss_rate:.1f}% "
+                    f"of buffer deadlines under DAW pacing"
+                )
+            bench.cleanup()
+        except Exception as e:  # noqa: BLE001 - suite resilience
+            print(f"Benchmark {name} failed: {e}")
+            exit_code = 1
+
+    if cfg.json_output:
+        import json as _json
+
+        payload = (
+            _json.dumps(json_results[0], indent=2)
+            if len(json_results) == 1
+            else _json.dumps(json_results, indent=2)
+        )
+        if cfg.output_file:
+            with open(cfg.output_file, "w") as f:
+                f.write(payload)
+            print(f"JSON results saved to: {cfg.output_file}")
+        else:
+            print(payload)
+    print("Done")
+    return exit_code
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    cfg, names, err = parse_args(argv)
+    if err:
+        print(err)
+        return 1
+    if names == ["--help"]:
+        print_help()
+        return 0
+    if names == ["--list"]:
+        print_list()
+        return 0
+    return run(cfg, names)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""Global benchmark configuration.
+
+Mirrors the reference's cross-benchmark globals (cuda/globals.cu:4-9:
+FS=48000, NTRACKS=128, BUFSIZE=512, NRUNS=100) plus the Metal harness's
+extended flags (metal-swift/.../main.swift:48-163: --benchmarkFilter,
+--verification, --dawsim*, warmup) as one immutable dataclass threaded
+through the harness instead of mutable globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class BenchConfig:
+    # Core parameters (cuda/globals.cu defaults).
+    fs: int = 48000
+    buffer_size: int = 512
+    n_tracks: int = 128
+    n_runs: int = 100
+    warmup: int = 3  # cuda/main.cu:130 hardcodes 3 warmup iterations
+
+    # Output control.
+    output_file: str = ""  # CSV path ("" = no CSV), cuda/globals.cu:8
+    json_output: bool = False  # cuda/globals.cu:9
+    latencies_file: str = ""  # raw latency dump; default /tmp/<name>_latencies.txt
+    write_latencies: bool = True
+
+    # Validation (Metal --verification none|spot|full,
+    # metal-swift/.../GPUABenchmark.swift:527-568).
+    verification: str = "full"
+    spot_sample_limit: int = 1024
+
+    # DAW-load simulation (metal-swift/.../BenchmarkUtilities.swift:140-178).
+    dawsim: bool = False
+    dawsim_mode: str = "spin"  # "spin" | "sleep"
+    dawsim_jitter_us: float = 0.0
+
+    # Profiler trace (Metal --capture -> MTLCaptureManager analog:
+    # jax.profiler trace directory).
+    capture: bool = False
+    capture_dir: str = "/tmp/tpuaudiobench_trace"
+
+    # Benchmark-specific knobs.
+    ir_length: Optional[int] = None  # Conv1D default 1024, Conv1D_accel 512
+    conv_edge_mode: str = "clamp"  # "clamp" (Metal/accel) | "bleed" (CUDA quirk)
+    seed: int = 42
+    # RndMemRead pool (bench_rndmem.cuh: 512 MiB, loop wrap 1000-48000).
+    rndmem_pool_mb: int = 512
+    rndmem_min_loop: int = 1000
+    rndmem_max_loop: int = 48000
+    # ModalFilterBank: None = min(1024*nTracks, 1M) (ModalFilterBankBenchmark.swift:20).
+    modal_num_modes: Optional[int] = None
+
+    # Implementation selection for the device compute path.
+    # "auto" = pallas on TPU where available, xla otherwise.
+    impl: str = "auto"
+
+    # Separate device-only timing pass (the cudaEvent / gpuStartTime analog:
+    # times the jitted computation on device-resident buffers, excluding
+    # host<->HBM transfers).
+    device_timing: bool = True
+
+    # Multi-chip: shard the track axis over this many devices (1 = single chip).
+    data_parallel: int = 1
+
+    def deadline_ms(self) -> float:
+        """Real-time deadline: 1000*BUFSIZE/FS ms (cuda/globals.cu:55,89)."""
+        return 1000.0 * self.buffer_size / self.fs
+
+    def replace(self, **kw) -> "BenchConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        if self.buffer_size <= 0 or self.n_tracks <= 0:
+            raise ValueError("buffer_size and n_tracks must be positive")
+        if self.fs <= 0:
+            raise ValueError("fs must be positive")
+        if self.n_runs <= 0:
+            raise ValueError("n_runs must be positive")
+        if self.verification not in ("none", "spot", "full"):
+            raise ValueError(f"invalid verification mode: {self.verification}")
+        if self.dawsim_mode not in ("spin", "sleep"):
+            raise ValueError(f"invalid dawsim mode: {self.dawsim_mode}")
+        if self.conv_edge_mode not in ("clamp", "bleed"):
+            raise ValueError(f"invalid conv edge mode: {self.conv_edge_mode}")
+        if self.impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"invalid impl: {self.impl}")
+
+
+def matches_filter(name: str, patterns: Sequence[str]) -> bool:
+    """Metal-style benchmark filter matching (main.swift:213-250).
+
+    Each pattern is either a /regex/ (case-insensitive, delimited by
+    slashes) or a case-insensitive substring. A name matches if any
+    pattern matches.
+    """
+    import re
+
+    if not patterns:
+        return True
+    for pat in patterns:
+        if len(pat) >= 2 and pat.startswith("/") and pat.endswith("/"):
+            if re.search(pat[1:-1], name, flags=re.IGNORECASE):
+                return True
+        elif pat.lower() in name.lower():
+            return True
+    return False

@@ -1,0 +1,92 @@
+"""Benchmark base class: the TPU analog of the reference's plugin API.
+
+The reference's four override points (cuda/bench_base.cuh:94-97:
+setupBenchmark / runKernel / performBenchmarkIteration / validate) map to:
+
+* ``setup()``      -- allocate host buffers, generate seeded test data,
+                      jit-compile the device program (the cuFFT-plan /
+                      Metal-pipeline analog), compute the NumPy golden.
+* ``iterate()``    -- ONE measured iteration: host->HBM transfer, jitted
+                      device compute, HBM->host readback, fully
+                      synchronized (jax.block_until_ready). This is the
+                      hot path timed by the runner.
+* ``device_iterate()`` -- optional device-only timing body run in a
+                      separate pass on HBM-resident inputs (the
+                      cudaEvent / MTLCommandBuffer-gpuTime analog).
+* ``validate()``   -- compare last iteration's host output against the
+                      golden with the benchmark's tolerance/metric.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.statistics import LatencyStats
+from gpuaudiobench_tpu.harness.validation import ValidationData
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    benchmark_name: str = ""
+    buffer_size: int = 0
+    track_count: int = 0
+    iterations: int = 0
+    latencies: List[float] = dataclasses.field(default_factory=list)
+    statistics: LatencyStats = dataclasses.field(default_factory=LatencyStats)
+    # Device-only latencies (separate timing pass on HBM-resident data).
+    device_latencies: List[float] = dataclasses.field(default_factory=list)
+    device_statistics: Optional[LatencyStats] = None
+    # Derived performance metrics (cuda/bench_base.cu:110-115).
+    bytes_processed: int = 0
+    mean_latency_ms: float = 0.0
+    throughput_gbps: float = 0.0
+    samples_per_sec: float = 0.0
+    # Validation outcome + per-benchmark metadata (Metal-style).
+    validation: Optional[ValidationData] = None
+    metadata: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # DAW-sim deadline tracking (Statistics.swift:172-192).
+    deadline_miss_rate: Optional[float] = None
+
+
+class Benchmark:
+    """Base class for all benchmark workloads."""
+
+    name: str = "Benchmark"
+
+    def __init__(self, cfg: BenchConfig):
+        self.cfg = cfg
+        self.buffer_size = cfg.buffer_size
+        self.track_count = cfg.n_tracks
+
+    # -- lifecycle ---------------------------------------------------------
+    def setup(self) -> None:
+        raise NotImplementedError
+
+    def iterate(self) -> None:
+        raise NotImplementedError
+
+    def device_iterate(self) -> None:
+        """Device-only compute on resident buffers; None = unsupported."""
+        raise NotImplementedError
+
+    def supports_device_timing(self) -> bool:
+        return True
+
+    def validate(self) -> ValidationData:
+        raise NotImplementedError
+
+    def metadata(self) -> Dict[str, Any]:
+        return {}
+
+    def cleanup(self) -> None:
+        pass
+
+    # -- metrics helpers ---------------------------------------------------
+    def total_elements(self) -> int:
+        return self.buffer_size * self.track_count
+
+    def bytes_processed(self) -> int:
+        """Bytes counted for throughput (bench_base.cu:110-111)."""
+        return self.total_elements() * 4

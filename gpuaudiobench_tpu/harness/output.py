@@ -1,0 +1,204 @@
+"""Result printing and CSV/JSON/latency-file writers.
+
+CSV schema and truncated-index percentiles reproduce cuda/globals.cu:
+69-122 exactly (header `benchmark,fs,bufferSize,nTracks,nRuns,min_ms,
+max_ms,avg_ms,p50_ms,p95_ms,p99_ms,threshold_ms,meets_deadline`,
+append-with-header-detection, meets_deadline = p99 <= 1000*BUFSIZE/FS).
+JSON matches globals.cu:137-182's structure with additional metadata
+sections (device/validation) in the spirit of the Metal JSON writer
+(main.swift:323-359). The latencies file ports
+bench_utils.cu:416-442.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import BenchmarkResult
+from gpuaudiobench_tpu.harness.statistics import csv_percentile
+from gpuaudiobench_tpu.harness.validation import ValidationStatus
+
+CSV_HEADER = (
+    "benchmark,fs,bufferSize,nTracks,nRuns,min_ms,max_ms,avg_ms,"
+    "p50_ms,p95_ms,p99_ms,threshold_ms,meets_deadline"
+)
+
+
+def _csv_stats(latencies, cfg: BenchConfig):
+    svec = sorted(latencies)
+    n = len(svec)
+    mn = svec[0] if n else 0.0
+    mx = svec[-1] if n else 0.0
+    avg = sum(latencies) / n if n else 0.0
+    p50 = csv_percentile(svec, 0.50)
+    p95 = csv_percentile(svec, 0.95)
+    p99 = csv_percentile(svec, 0.99)
+    threshold = cfg.deadline_ms()
+    return mn, mx, avg, p50, p95, p99, threshold
+
+
+def write_csv_results(result: BenchmarkResult, cfg: BenchConfig, filename: str) -> None:
+    if not filename:
+        return
+    mn, mx, avg, p50, p95, p99, threshold = _csv_stats(result.latencies, cfg)
+    meets = p99 <= threshold
+    write_header = not os.path.exists(filename)
+    with open(filename, "a") as f:
+        if write_header:
+            f.write(CSV_HEADER + "\n")
+        f.write(
+            f"{result.benchmark_name},{cfg.fs},{cfg.buffer_size},{cfg.n_tracks},"
+            f"{len(result.latencies)},{mn:g},{mx:g},{avg:g},{p50:g},{p95:g},"
+            f"{p99:g},{threshold:g},{'true' if meets else 'false'}\n"
+        )
+    print(f"Results saved to: {filename}")
+
+
+def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
+    mn, mx, avg, p50, p95, p99, threshold = _csv_stats(result.latencies, cfg)
+    out = {
+        "benchmark": result.benchmark_name,
+        "configuration": {
+            "fs": cfg.fs,
+            "bufferSize": cfg.buffer_size,
+            "nTracks": cfg.n_tracks,
+            "nRuns": len(result.latencies),
+        },
+        "statistics": {
+            "min_ms": mn,
+            "max_ms": mx,
+            "avg_ms": avg,
+            "p50_ms": p50,
+            "p95_ms": p95,
+            "p99_ms": p99,
+        },
+        "deadline": {
+            "threshold_ms": threshold,
+            "meets_deadline": bool(p99 <= threshold),
+        },
+    }
+    # Extended sections beyond the CUDA schema (Metal-style metadata).
+    s = result.statistics
+    out["statistics"].update(
+        {"median_ms": s.median, "stddev_ms": s.std_dev}
+    )
+    if result.device_statistics is not None:
+        d = result.device_statistics
+        out["device_statistics"] = {
+            "median_ms": d.median,
+            "p95_ms": d.p95,
+            "p99_ms": d.p99,
+            "mean_ms": d.mean,
+            "min_ms": d.min_val,
+            "max_ms": d.max_val,
+        }
+    out["performance"] = {
+        "throughput_gbps": result.throughput_gbps,
+        "samples_per_sec": result.samples_per_sec,
+        "bytes_processed": result.bytes_processed,
+    }
+    if result.validation is not None:
+        out["validation"] = {
+            "status": result.validation.status.value,
+            "max_error": result.validation.max_error,
+            "mean_error": result.validation.mean_error,
+            "error_count": result.validation.error_count,
+            "samples_checked": result.validation.samples_checked,
+        }
+    if result.deadline_miss_rate is not None:
+        out["deadline"]["miss_rate_percent"] = result.deadline_miss_rate
+    if result.metadata:
+        out["metadata"] = result.metadata
+    return out
+
+
+def write_json_results(
+    result: BenchmarkResult, cfg: BenchConfig, filename: str = ""
+) -> None:
+    payload = json.dumps(generate_json_results(result, cfg), indent=2)
+    if not filename:
+        print(payload)
+        return
+    with open(filename, "w") as f:
+        f.write(payload)
+    print(f"JSON results saved to: {filename}")
+
+
+def write_latencies_file(result: BenchmarkResult, filename: str = "") -> None:
+    """Raw latency dump with stats header (bench_utils.cu:416-442);
+    default path /tmp/<name>_latencies.txt (bench_base.cu:120-127)."""
+    if not filename:
+        filename = f"/tmp/{result.benchmark_name}_latencies.txt"
+    s = result.statistics
+    with open(filename, "w") as f:
+        f.write("# Latency Statistics (ms)\n")
+        f.write(f"# Count: {s.count}\n")
+        f.write(f"# Mean: {s.mean:.3f}\n")
+        f.write(f"# Median: {s.median:.3f}\n")
+        f.write(f"# Std Dev: {s.std_dev:.3f}\n")
+        f.write(f"# Min: {s.min_val:.3f}\n")
+        f.write(f"# Max: {s.max_val:.3f}\n")
+        f.write(f"# P95: {s.p95:.3f}\n")
+        f.write(f"# P99: {s.p99:.3f}\n")
+        f.write("#\n# Raw latencies:\n")
+        for v in result.latencies:
+            f.write(f"{v:.6f}\n")
+
+
+def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
+    """Human-readable summary (globals.cu:26-67 + bench_base.cu:129-150)."""
+    s = result.statistics
+    print(f"\n=== {result.benchmark_name} ===")
+    print(f"Min: {s.min_val:.3f} Max: {s.max_val:.3f} Avg: {s.mean:.3f}")
+    svec = sorted(result.latencies)
+    print(
+        f"p50: {csv_percentile(svec, 0.50):.3f} "
+        f"p95: {csv_percentile(svec, 0.95):.3f} "
+        f"p99: {csv_percentile(svec, 0.99):.3f}"
+    )
+    threshold = cfg.deadline_ms()
+    print(f"Latency threshold ({cfg.fs}Hz): {threshold:.3f} ms")
+    p50, p95, p99 = (
+        csv_percentile(svec, 0.50),
+        csv_percentile(svec, 0.95),
+        csv_percentile(svec, 0.99),
+    )
+    if p50 > threshold:
+        print("WARNING: p50 exceeds threshold")
+    elif p95 > threshold:
+        print("WARNING: p95 exceeds threshold")
+    elif p99 > threshold:
+        print("WARNING: p99 exceeds threshold")
+    else:
+        print("OK: Measured latencies within threshold. Please consider a margin of safety.")
+
+    if result.device_statistics is not None:
+        d = result.device_statistics
+        print(f"Device Median:  {d.median:.3f} ms")
+        print(f"Device P95:     {d.p95:.3f} ms")
+        print(f"Device Mean:    {d.mean:.3f} ms")
+
+    print("\nPerformance Metrics:")
+    print(f"Throughput:        {result.throughput_gbps:.3f} GB/s")
+    print(f"Samples/sec:       {result.samples_per_sec:.0f}")
+    print(f"Bytes processed:   {result.bytes_processed}")
+
+    if result.deadline_miss_rate is not None:
+        print(f"Deadline miss rate: {result.deadline_miss_rate:.1f}%")
+
+    v = result.validation
+    if v is not None:
+        if v.status == ValidationStatus.SKIPPED:
+            print("Validation skipped")
+        elif v.passed:
+            print(
+                f"Validation passed (max_error={v.max_error:.3g}, "
+                f"mean_error={v.mean_error:.3g}, checked={v.samples_checked})"
+            )
+        else:
+            print(f"Validation FAILED for {result.benchmark_name}:")
+            for msg in v.messages[:12]:
+                print(f"  {msg}")

@@ -1,0 +1,118 @@
+"""Iteration driver: warmup -> timed loop -> statistics -> validation.
+
+Port of GPUABenchmark::runWithIteration (cuda/bench_base.cu:59-118) with
+Metal's extensions (DAW-sim pacing between iterations, verification
+modes). Timing is wall-clock around one fully synchronized
+host->HBM->kernel->host round trip, the same measurement boundary as the
+reference's BenchmarkTimer::measureKernel around
+transferToDevice/launch/sync/transferToHost.
+
+On TPU, warmup additionally absorbs XLA jit compilation -- the analog of
+cuFFT plan creation / Metal pipeline compilation, which the reference
+also performs before the timed loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark, BenchmarkResult
+from gpuaudiobench_tpu.harness.dawsim import DAWSimulator, deadline_miss_rate
+from gpuaudiobench_tpu.harness.statistics import calculate_statistics
+
+
+def run_benchmark(
+    benchmark: Benchmark,
+    cfg: Optional[BenchConfig] = None,
+    verbose: bool = True,
+) -> BenchmarkResult:
+    cfg = cfg or benchmark.cfg
+    result = BenchmarkResult(
+        benchmark_name=benchmark.name,
+        buffer_size=benchmark.buffer_size,
+        track_count=benchmark.track_count,
+        iterations=cfg.n_runs,
+    )
+
+    daw = None
+    if cfg.dawsim:
+        daw = DAWSimulator(
+            cfg.buffer_size, cfg.fs, cfg.dawsim_mode, cfg.dawsim_jitter_us, cfg.seed
+        )
+
+    profiler_ctx = None
+    if cfg.capture:
+        import jax
+
+        jax.profiler.start_trace(cfg.capture_dir)
+        profiler_ctx = True
+
+    try:
+        # Warmup (bench_base.cu:70-81); iteration 1 also pays jit compile.
+        if cfg.warmup > 0:
+            if verbose:
+                print(f"Running {cfg.warmup} warmup iterations...")
+            for i in range(cfg.warmup):
+                try:
+                    benchmark.iterate()
+                except Exception as e:  # noqa: BLE001 - mirror reference tolerance
+                    if verbose:
+                        print(f"  Warmup iteration {i + 1} failed: {e}")
+            if verbose:
+                print("Warmup complete, starting timed iterations...")
+
+        # Timed iterations (bench_base.cu:89-94).
+        latencies = []
+        if daw is not None:
+            daw.reset()
+        for _ in range(cfg.n_runs):
+            if daw is not None:
+                daw.wait()
+            t0 = time.perf_counter()
+            benchmark.iterate()
+            t1 = time.perf_counter()
+            latencies.append((t1 - t0) * 1000.0)
+
+        result.latencies = latencies
+        result.statistics = calculate_statistics(latencies)
+
+        # Device-only timing pass (the cudaEvent analog): time the jitted
+        # computation on HBM-resident inputs, excluding host transfers.
+        if cfg.device_timing and benchmark.supports_device_timing():
+            try:
+                benchmark.device_iterate()  # warm the resident-input path
+                dev_latencies = []
+                for _ in range(cfg.n_runs):
+                    t0 = time.perf_counter()
+                    benchmark.device_iterate()
+                    t1 = time.perf_counter()
+                    dev_latencies.append((t1 - t0) * 1000.0)
+                result.device_latencies = dev_latencies
+                result.device_statistics = calculate_statistics(dev_latencies)
+            except NotImplementedError:
+                pass
+
+        # Derived metrics (bench_base.cu:110-115).
+        result.bytes_processed = benchmark.bytes_processed()
+        result.mean_latency_ms = result.statistics.mean
+        if result.mean_latency_ms > 0:
+            mean_sec = result.mean_latency_ms / 1000.0
+            result.throughput_gbps = (result.bytes_processed / (1024.0**3)) / mean_sec
+            result.samples_per_sec = benchmark.total_elements() / mean_sec
+
+        if cfg.dawsim:
+            result.deadline_miss_rate = deadline_miss_rate(
+                latencies, cfg.buffer_size, cfg.fs
+            )
+
+        result.validation = benchmark.validate()
+        result.metadata = benchmark.metadata()
+    finally:
+        if profiler_ctx:
+            import jax
+
+            jax.profiler.stop_trace()
+
+    return result

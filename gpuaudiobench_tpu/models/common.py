@@ -1,0 +1,46 @@
+"""Shared benchmark scaffolding: standard (tracks x bufferSize) buffer
+lifecycle (the BufferSet analog, cuda/bench_base.cuh:50-74)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_abs
+from gpuaudiobench_tpu.utils.data import generate_random_audio
+from gpuaudiobench_tpu.utils import device as dev
+
+
+class StandardBufferBenchmark(Benchmark):
+    """Benchmark over the standard track-major (tracks, bufferSize) float32
+    in/out pair with seeded +-1 uniform test data (bench_base.cu:9-49)."""
+
+    tolerance: float = 1e-5
+
+    def __init__(self, cfg: BenchConfig):
+        super().__init__(cfg)
+        self.host_input: Optional[np.ndarray] = None
+        self.host_output: Optional[np.ndarray] = None
+        self.golden: Optional[np.ndarray] = None
+        self._resident_input = None
+
+    def make_input(self) -> np.ndarray:
+        data = generate_random_audio(self.total_elements(), self.cfg.seed)
+        return data.reshape(self.track_count, self.buffer_size)
+
+    def setup_standard_buffers(self) -> None:
+        self.host_input = self.make_input()
+        self._resident_input = dev.to_device(self.host_input)
+
+    def validate(self) -> ValidationData:
+        return compare_abs(
+            self.host_output,
+            self.golden,
+            self.tolerance,
+            mode=self.cfg.verification,
+            limit=self.cfg.spot_sample_limit,
+            label=self.name,
+        )

@@ -1,0 +1,85 @@
+"""datacopy*: host<->HBM transfer benchmarks at five input/output ratios
+(cuda/bench_datatransfer.cu). Base pool = 10 MiB of floats
+(bench_datatransfer.cuh:703: BASE_BUFFER_SIZE); per config the input is
+ratio_in of the pool uploaded each iteration and the output is ratio_out
+downloaded, with the device program copying the input portion and
+synthesizing 0.5 + 0.5*sin(idx*0.001) beyond it (bench_datatransfer.cu:
+15-25). On TPU the measured path is PJRT host->HBM / HBM->host DMA, the
+platform's "interconnect" (SURVEY.md s2.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_abs
+from gpuaudiobench_tpu.ops.elementwise import data_transfer_op
+from gpuaudiobench_tpu.utils import device as dev
+from gpuaudiobench_tpu.utils.data import generate_uniform01
+
+BASE_BUFFER_SIZE = 10 * 1024 * 1024 // 4  # floats
+
+DATACOPY_CONFIGS = {
+    "datacopy0199": (0.01, 0.99),
+    "datacopy2080": (0.20, 0.80),
+    "datacopy5050": (0.50, 0.50),
+    "datacopy8020": (0.80, 0.20),
+    "datacopy9901": (0.99, 0.01),
+}
+
+
+class DataTransferBenchmark(Benchmark):
+    tolerance = 1e-5  # bench_datatransfer.cu:115
+
+    def __init__(self, cfg: BenchConfig, name: str):
+        super().__init__(cfg)
+        self.name = name
+        rin, rout = DATACOPY_CONFIGS[name]
+        self.input_size = int(BASE_BUFFER_SIZE * rin)
+        self.output_size = int(BASE_BUFFER_SIZE * rout)
+        self.host_input = None
+        self.host_output = None
+        self.golden = None
+        self._resident_input = None
+
+    def setup(self) -> None:
+        self.host_input = generate_uniform01(self.input_size, self.cfg.seed)
+        self._resident_input = dev.to_device(self.host_input)
+        idx = np.arange(self.output_size, dtype=np.float32)
+        synth = (0.5 + 0.5 * np.sin(idx * np.float32(0.001))).astype(np.float32)
+        n = min(self.input_size, self.output_size)
+        golden = synth
+        golden[:n] = self.host_input[:n]
+        self.golden = golden
+        self.iterate()
+
+    def iterate(self) -> None:
+        x = dev.to_device(self.host_input)
+        y = data_transfer_op(x, self.output_size)
+        self.host_output = dev.from_device(y)
+
+    def device_iterate(self) -> None:
+        dev.block(data_transfer_op(self._resident_input, self.output_size))
+
+    def validate(self) -> ValidationData:
+        return compare_abs(
+            self.host_output, self.golden, self.tolerance,
+            mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+            label=self.name,
+        )
+
+    def bytes_processed(self) -> int:
+        return (self.input_size + self.output_size) * 4
+
+    def total_elements(self) -> int:
+        return self.input_size + self.output_size
+
+    def metadata(self):
+        return {
+            "inputFloats": self.input_size,
+            "outputFloats": self.output_size,
+            "inputMiB": self.input_size * 4 / 2**20,
+            "outputMiB": self.output_size * 4 / 2**20,
+        }

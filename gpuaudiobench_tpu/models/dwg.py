@@ -1,0 +1,158 @@
+"""DWG1DNaive / DWG1DAccel: digital-waveguide strings
+(cuda/bench_dwg.cu). nTracks waveguides, delay-line rails of max length
+2000 with random lengths 100-2000, taps at L/4 and 3L/4, gain
+0.1 + 0.9u, reflection 0.99 +- 0.005, damping 0.9999 +- 5e-5, seed 42
+(bench_dwg.cu:325-348); mono bufferSize output summed over all
+waveguides; abs tolerance 1e-2 (bench_dwg.cu:270).
+
+The "accel" variant rounds delay lengths down to powers of two (the
+CUDA accel kernel's bit-mask fast path, bench_dwg.cu:91-111; Metal's
+aligned length distribution, DWG1DAccelBenchmark.swift:15-86) -- on TPU
+both variants compile to the same fused scan, with the power-of-2
+lengths exercising the strength-reduced modulo.
+
+Divergence (documented): the reference re-uploads the *evolved* rails
+each iteration and still validates the last iteration's output against a
+single-pass-from-zero golden (bench_dwg.cu:203-247 vs :350) -- with
+reflection 0.99 the string rings across iterations, so that check is
+time-dependent. Here the rails are re-uploaded as zeros each iteration
+(same bytes moved, same measured transfer) making every iteration
+identical to the golden pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_abs
+from gpuaudiobench_tpu.ops.dwg import dwg_block
+from gpuaudiobench_tpu.utils import device as dev
+
+MIN_LENGTH = 100  # bench_dwg.cuh DEFAULT_MIN_LENGTH
+MAX_LENGTH = 2000  # bench_dwg.cuh DEFAULT_MAX_LENGTH
+REFLECTION = 0.99
+DAMPING = 0.9999
+MIX_FACTOR = 0.5  # benchmark_constants.cuh WAVEGUIDE_MIX_FACTOR
+
+
+def dwg_reference(x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp):
+    """Float32 single-pass golden, vectorized over waveguides
+    (bench_dwg.cu:356-399)."""
+    fwd = fwd.copy()
+    bwd = bwd.copy()
+    g = fwd.shape[0]
+    rows = np.arange(g)
+    half = lengths // 2
+    out = np.zeros(x.shape[0], np.float32)
+    for n in range(x.shape[0]):
+        cur = n % lengths
+        bpos = (cur + half) % lengths
+        f = fwd[rows, cur] * damp
+        b = bwd[rows, bpos] * damp
+        inj = np.where(cur == in_taps, np.float32(x[n]) * gains, np.float32(0))
+        f = f + inj
+        b = b + inj
+        fwd[rows, cur] = b * refl
+        bwd[rows, bpos] = f * refl
+        out[n] = np.sum(
+            np.where(cur == out_taps, (f + b) * np.float32(MIX_FACTOR), np.float32(0))
+        )
+    return out, fwd, bwd
+
+
+class DWGBenchmark(Benchmark):
+    name = "DWG1DNaive"
+    tolerance = 1e-2  # bench_dwg.cu:270
+
+    def __init__(self, cfg: BenchConfig, accelerated: bool = False):
+        super().__init__(cfg)
+        self.accelerated = accelerated
+        if accelerated:
+            self.name = "DWG1DAccel"
+
+    def setup(self) -> None:
+        g = np.random.Generator(np.random.MT19937(self.cfg.seed))
+        n_wg = self.track_count
+        lengths = MIN_LENGTH + g.integers(0, MAX_LENGTH - MIN_LENGTH, n_wg)
+        if self.accelerated:
+            # Round down to powers of two (>= 128 given MIN_LENGTH=100).
+            lengths = (2 ** np.floor(np.log2(lengths))).astype(np.int64)
+        self.lengths = lengths.astype(np.int32)
+        self.in_taps = (self.lengths // 4).astype(np.int32)
+        self.out_taps = (3 * self.lengths // 4).astype(np.int32)
+        self.gains = (0.1 + 0.9 * g.random(n_wg, dtype=np.float32)).astype(np.float32)
+        self.refl = (
+            REFLECTION + 0.01 * (g.random(n_wg, dtype=np.float32) - 0.5)
+        ).astype(np.float32)
+        self.damp = (
+            DAMPING + 0.0001 * (g.random(n_wg, dtype=np.float32) - 0.5)
+        ).astype(np.float32)
+        self.host_input = (
+            g.random(self.buffer_size, dtype=np.float32) * 2 - 1
+        ).astype(np.float32)
+
+        self._zero_rails = np.zeros((n_wg, MAX_LENGTH), np.float32)
+        self._consts = {
+            "lengths": dev.to_device(self.lengths),
+            "in_taps": dev.to_device(self.in_taps),
+            "out_taps": dev.to_device(self.out_taps),
+            "gains": dev.to_device(self.gains),
+            "refl": dev.to_device(self.refl),
+            "damp": dev.to_device(self.damp),
+        }
+        self._resident_input = dev.to_device(self.host_input)
+        self._resident_rails = (
+            dev.to_device(self._zero_rails),
+            dev.to_device(self._zero_rails),
+        )
+
+        self.golden, self.golden_fwd, self.golden_bwd = dwg_reference(
+            self.host_input, self._zero_rails, self._zero_rails,
+            self.lengths, self.in_taps, self.out_taps,
+            self.gains, self.refl, self.damp,
+        )
+        self.host_output = None
+        self.iterate()
+
+    def _run(self, x, fwd, bwd):
+        c = self._consts
+        return dwg_block(
+            x, fwd, bwd, c["lengths"], c["in_taps"], c["out_taps"],
+            c["gains"], c["refl"], c["damp"],
+        )
+
+    def iterate(self) -> None:
+        # Upload input + both rails (the reference moves rails both ways
+        # every iteration, bench_dwg.cu:203-247).
+        x = dev.to_device(self.host_input)
+        fwd = dev.to_device(self._zero_rails)
+        bwd = dev.to_device(self._zero_rails)
+        out, fwd_o, bwd_o = self._run(x, fwd, bwd)
+        self.host_output = dev.from_device(out)
+        self.host_fwd = dev.from_device(fwd_o)
+        self.host_bwd = dev.from_device(bwd_o)
+
+    def device_iterate(self) -> None:
+        out, _, _ = self._run(self._resident_input, *self._resident_rails)
+        dev.block(out)
+
+    def validate(self) -> ValidationData:
+        return compare_abs(
+            self.host_output, self.golden, self.tolerance,
+            mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+            label=self.name,
+        )
+
+    def bytes_processed(self) -> int:
+        # input + mono output + both rails in each direction
+        rails = 2 * self.track_count * MAX_LENGTH * 4
+        return self.buffer_size * 4 * 2 + 2 * rails
+
+    def metadata(self):
+        return {
+            "numWaveguides": self.track_count,
+            "maxLength": MAX_LENGTH,
+            "variant": "accel" if self.accelerated else "naive",
+        }

@@ -1,0 +1,108 @@
+"""FDTD3D: 3-D room acoustics, pressure-velocity staggered grid
+(cuda/bench_fdtd3d.cu). 52^3 grid (50^3 room + boundary), c=343,
+dx=0.01, rho=1.225, absorption 0.2, dt = 0.5*dx/(c*sqrt(3)), 3 FDTD
+steps per audio sample (bench_fdtd3d.cuh:145-174). Per iteration the
+full bufferSize x 3 step loop runs as ONE jitted program (vs CUDA's
+512 x 3 kernel launches with per-sample device syncs).
+
+Golden: a full NumPy CPU FDTD simulation (the Metal strategy,
+FDTD3DBenchmark.swift:225-351 -- the strongest oracle in the reference;
+the CUDA CPU ref is a documented amplitude-scaling fake,
+bench_fdtd3d.cu:445-459). Tolerance 5e-3 (Metal's, vs CUDA's 1e-1
+fake-ref tolerance).
+
+Divergence (documented): field state is re-zeroed each iteration so
+every iteration equals the golden pass; the reference lets fields evolve
+across iterations while validating against a single-pass reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_abs
+from gpuaudiobench_tpu.ops import fdtd3d as op
+from gpuaudiobench_tpu.utils import device as dev
+from gpuaudiobench_tpu.utils.data import generate_random_audio
+
+
+def fdtd3d_reference(x: np.ndarray, steps_per_sample: int = op.STEPS_PER_SAMPLE):
+    """Full float32 NumPy FDTD simulation (mirrors ops/fdtd3d.py update
+    equations; the independent oracle for the fused TPU program)."""
+    n = op.GRID_N
+    k1 = np.float32(op.DT_OVER_RHO_DX)
+    k2 = np.float32(op.RHO_C2_DT_OVER_DX)
+    absorb = np.float32(1.0 - op.ABSORPTION)
+    p = np.zeros((n, n, n), np.float32)
+    vx = np.zeros((n + 1, n, n), np.float32)
+    vy = np.zeros((n, n + 1, n), np.float32)
+    vz = np.zeros((n, n, n + 1), np.float32)
+
+    idx = np.arange(n)
+    edge = (idx == 0) | (idx == n - 1)
+    boundary = edge[:, None, None] | edge[None, :, None] | edge[None, None, :]
+    sx, sy, sz = op.SOURCE
+    rx, ry, rz = op.RECEIVER
+
+    tracks, s = x.shape
+    src = x.sum(axis=0, dtype=np.float32) * np.float32(op.SOURCE_SCALE)
+    rcv = np.zeros(s, np.float32)
+    for smp in range(s):
+        p[sx, sy, sz] += src[smp]
+        for _ in range(steps_per_sample):
+            vx[1:n, :, :] -= k1 * (p[1:, :, :] - p[:-1, :, :])
+            vy[:, 1:n, :] -= k1 * (p[:, 1:, :] - p[:, :-1, :])
+            vz[:, :, 1:n] -= k1 * (p[:, :, 1:] - p[:, :, :-1])
+            div = (
+                (vx[1:, :, :] - vx[:-1, :, :])
+                + (vy[:, 1:, :] - vy[:, :-1, :])
+                + (vz[:, :, 1:] - vz[:, :, :-1])
+            )
+            p = np.where(boundary, p * absorb, p - k2 * div)
+        rcv[smp] = p[rx, ry, rz] * np.float32(op.OUTPUT_SCALE)
+    return np.broadcast_to(rcv[None, :], (tracks, s)).copy()
+
+
+class FDTD3DBenchmark(Benchmark):
+    name = "FDTD3D"
+    tolerance = 5e-3  # Metal full-sim tolerance (FDTD3DBenchmark.swift)
+
+    def __init__(self, cfg: BenchConfig):
+        super().__init__(cfg)
+
+    def setup(self) -> None:
+        t, s = self.track_count, self.buffer_size
+        self.host_input = generate_random_audio(t * s, self.cfg.seed).reshape(t, s)
+        self._resident_input = dev.to_device(self.host_input)
+        self._zero_fields = tuple(dev.to_device(np.asarray(f)) for f in op.zero_fields())
+        self.golden = fdtd3d_reference(self.host_input)
+        self.host_output = None
+        self.iterate()
+
+    def iterate(self) -> None:
+        x = dev.to_device(self.host_input)
+        out, *_ = op.fdtd3d_block(x, *self._zero_fields)
+        self.host_output = dev.from_device(out)
+
+    def device_iterate(self) -> None:
+        out, *_ = op.fdtd3d_block(self._resident_input, *self._zero_fields)
+        dev.block(out)
+
+    def validate(self) -> ValidationData:
+        return compare_abs(
+            self.host_output, self.golden, self.tolerance,
+            mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+            label=self.name,
+        )
+
+    def metadata(self):
+        return {
+            "grid": [op.GRID_N] * 3,
+            "stepsPerSample": op.STEPS_PER_SAMPLE,
+            "soundSpeed": op.SOUND_SPEED,
+            "spatialStep": op.SPATIAL_STEP,
+            "timeStep": op.TIME_STEP,
+            "absorption": op.ABSORPTION,
+        }

@@ -1,0 +1,97 @@
+"""IIRFilter: per-track 2nd-order Butterworth lowpass biquad at fs/4,
+Q = 0.707, Direct Form II (cuda/bench_iir.cu).
+
+Divergence (documented): the reference's d_state persists across
+iterations (bench_iir.cu:19-43) while its golden is a single pass from
+zero state -- after iteration 2 the early block samples reflect the
+carried entry state and the comparison is time-dependent (the entry
+state perturbs y[0..~10] by O(0.1), far above the 1e-4 tolerance).
+Here the zero state is re-uploaded at the start of every measured
+iteration (same bytes moved as the reference's per-iteration state
+D2H), making every iteration identical to the golden pass. The *final*
+state is still validated against the golden's final state
+(bench_iir.cu:108-117).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_abs
+from gpuaudiobench_tpu.models.common import StandardBufferBenchmark
+from gpuaudiobench_tpu.ops.iir import iir_biquad
+from gpuaudiobench_tpu.utils import device as dev
+from gpuaudiobench_tpu.utils.data import biquad_lowpass_coefficients
+
+
+def iir_reference(
+    x: np.ndarray, coeffs, state: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Float32 DF-II reference, op-order identical to bench_iir.cu:170-197
+    but vectorized over tracks."""
+    b0, b1, b2, a1, a2 = (np.float32(c) for c in coeffs)
+    z1 = state[:, 0].copy()
+    z2 = state[:, 1].copy()
+    y = np.empty_like(x)
+    for n in range(x.shape[1]):
+        xn = x[:, n]
+        w = xn - a1 * z1 - a2 * z2
+        y[:, n] = b0 * w + b1 * z1 + b2 * z2
+        z2 = z1
+        z1 = w
+    return y, np.stack([z1, z2], axis=1)
+
+
+class IIRBenchmark(StandardBufferBenchmark):
+    name = "IIRFilter"
+    tolerance = 1e-4  # output, bench_iir.cu:106
+    state_tolerance = 1e-3  # final state, bench_iir.cu:114
+
+    def setup(self) -> None:
+        self.setup_standard_buffers()
+        self.coeffs = biquad_lowpass_coefficients(0.25)  # fs/4 (bench_iir.cu:151)
+        self._coeffs_dev = dev.to_device(np.array(self.coeffs, dtype=np.float32))
+        self._zero_state = np.zeros((self.track_count, 2), np.float32)
+        self._state_dev = dev.to_device(self._zero_state)
+        self.golden, self.golden_state = iir_reference(
+            self.host_input, self.coeffs, self._zero_state
+        )
+        self.host_state = None
+        self._impl = dev.resolve_impl(self.cfg.impl)
+        self.iterate()
+
+    def iterate(self) -> None:
+        x = dev.to_device(self.host_input)
+        state = dev.to_device(self._zero_state)
+        y, state_out = iir_biquad(x, self._coeffs_dev, state, impl=self._impl)
+        self.host_output = dev.from_device(y)
+        self.host_state = dev.from_device(state_out)
+
+    def device_iterate(self) -> None:
+        y, _ = iir_biquad(
+            self._resident_input, self._coeffs_dev, self._state_dev, impl=self._impl
+        )
+        dev.block(y)
+
+    def validate(self) -> ValidationData:
+        v = compare_abs(
+            self.host_output, self.golden, self.tolerance,
+            mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+            label=f"{self.name} output",
+        )
+        v.merge_failure(
+            compare_abs(
+                self.host_state, self.golden_state, self.state_tolerance,
+                mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+                label=f"{self.name} state",
+            )
+        )
+        return v
+
+    def metadata(self):
+        b0, b1, b2, a1, a2 = (float(c) for c in self.coeffs)
+        return {
+            "filter": "butterworth_lowpass_fs4",
+            "coefficients": {"b0": b0, "b1": b1, "b2": b2, "a1": a1, "a2": a2},
+            "impl": self._impl,
+        }

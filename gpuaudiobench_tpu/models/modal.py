@@ -1,0 +1,146 @@
+"""ModalFilterBank: phasor-rotation sinusoid bank.
+
+Implements the REAL modal bank -- the Metal semantics
+(kernels_benchmark_staging.metal:121-162, ModalFilterBankBenchmark.swift)
+-- because the CUDA ModalSynthesisKernel is a documented stub that fills
+constant output for the first 32 modes (bench_modal.cu:15-36,
+SURVEY.md s7 divergence list).
+
+Modes = min(1024 * nTracks, 1M) with 8 float params each (amp, freq,
+phase, stateRe, stateIm, 3 reserved); per sample the complex state
+rotates by e^{i*2*pi*freq} and amp*Re(state) accumulates into output
+track (mode % outputTracks), outputTracks = min(nTracks, 32). Relative
+tolerance 1e-4 (ModalFilterBankBenchmark.swift:167).
+
+The rotation coefficients cos/sin(2*pi*f) are precomputed on host in
+float32 and shipped once at setup, so device and golden rotate by
+bit-identical factors (the Metal kernel also hoists them,
+kernels_benchmark_staging.metal:143-145).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_rel
+from gpuaudiobench_tpu.ops.modal import modal_bank
+from gpuaudiobench_tpu.utils import device as dev
+
+NUM_MODE_PARAMS = 8
+
+
+def modal_reference(
+    amp: np.ndarray,
+    cos_w: np.ndarray,
+    sin_w: np.ndarray,
+    state_re: np.ndarray,
+    state_im: np.ndarray,
+    buffer_size: int,
+    output_tracks: int,
+) -> np.ndarray:
+    """Float64-accumulated iterative golden
+    (ModalFilterBankBenchmark.swift:73-101)."""
+    m = amp.shape[0]
+    re = state_re.astype(np.float32).copy()
+    im = state_im.astype(np.float32).copy()
+    out = np.zeros((output_tracks, buffer_size), np.float64)
+    groups = m // output_tracks
+    amp64 = amp.astype(np.float64)
+    for n in range(buffer_size):
+        new_re = re * cos_w - im * sin_w
+        new_im = re * sin_w + im * cos_w
+        re, im = new_re, new_im
+        contrib = (amp64 * re).reshape(groups, output_tracks).sum(axis=0)
+        out[:, n] = contrib
+    return out.astype(np.float32)
+
+
+class ModalFilterBankBenchmark(Benchmark):
+    name = "ModalFilterBank"
+    tolerance = 1e-4  # relative (ModalFilterBankBenchmark.swift:167)
+
+    def __init__(self, cfg: BenchConfig):
+        super().__init__(cfg)
+        self.num_modes = cfg.modal_num_modes or min(1024 * cfg.n_tracks, 1024 * 1024)
+        self.output_tracks = min(cfg.n_tracks, 32)
+        # Pad with zero-amplitude modes so modes fold evenly onto tracks.
+        self.padded_modes = -(-self.num_modes // self.output_tracks) * self.output_tracks
+
+    def setup(self) -> None:
+        g = np.random.Generator(np.random.MT19937(self.cfg.seed))
+        m, mp = self.num_modes, self.padded_modes
+        amp = np.zeros(mp, np.float32)
+        freq = np.zeros(mp, np.float32)
+        self.phase = np.zeros(mp, np.float32)  # generated but unused (Metal parity)
+        sre = np.zeros(mp, np.float32)
+        sim = np.zeros(mp, np.float32)
+        amp[:m] = g.random(m, dtype=np.float32)  # amp in [0,1)
+        freq[:m] = g.random(m, dtype=np.float32) * 0.45  # freq in [0,0.45)
+        self.phase[:m] = g.random(m, dtype=np.float32) * np.float32(2 * np.pi)
+        sre[:m] = g.random(m, dtype=np.float32) * 2 - 1
+        sim[:m] = g.random(m, dtype=np.float32) * 2 - 1
+
+        w = (np.float32(2 * np.pi) * freq).astype(np.float32)
+        cos_w = np.cos(w).astype(np.float32)
+        sin_w = np.sin(w).astype(np.float32)
+
+        self.params = {
+            "amp": amp, "cos_w": cos_w, "sin_w": sin_w,
+            "state_re": sre, "state_im": sim,
+        }
+        self._dev = {k: dev.to_device(v) for k, v in self.params.items()}
+        self.golden = modal_reference(
+            amp, cos_w, sin_w, sre, sim, self.buffer_size, self.output_tracks
+        )
+        self.host_output = None
+        self._impl = dev.resolve_impl(self.cfg.impl)
+        self.iterate()
+
+    def _run(self):
+        return modal_bank(
+            self._dev["amp"], self._dev["cos_w"], self._dev["sin_w"],
+            self._dev["state_re"], self._dev["state_im"],
+            self.buffer_size, self.output_tracks, impl=self._impl,
+        )
+
+    def iterate(self) -> None:
+        # Mode params are HBM-resident across iterations (Metal unified-
+        # memory parity); the measured round trip is dispatch + output
+        # readback, like the Metal iteration (memset + dispatch + read).
+        out, _, _ = self._run()
+        self.host_output = dev.from_device(out)
+
+    def device_iterate(self) -> None:
+        out, _, _ = self._run()
+        dev.block(out)
+
+    def validate(self) -> ValidationData:
+        # Relative-to-peak metric (error <= tol * max|golden|): summing
+        # thousands of f32 mode contributions carries ~1e-5-relative-to-
+        # peak rounding regardless of implementation; at samples where
+        # the bank destructively cancels, a per-sample relative check is
+        # unbounded for ANY f32 accumulator (the Metal reference's
+        # atomic-add path has the same floor and does not gate on it).
+        floor = float(np.abs(self.golden).max())
+        return compare_rel(
+            self.host_output, self.golden, self.tolerance,
+            mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+            label=self.name, floor=floor,
+        )
+
+    def total_elements(self) -> int:
+        return self.buffer_size * self.output_tracks
+
+    def bytes_processed(self) -> int:
+        # mode params in + output out (Metal buffer sizes)
+        return self.num_modes * NUM_MODE_PARAMS * 4 + self.total_elements() * 4
+
+    def metadata(self):
+        return {
+            "numModes": self.num_modes,
+            "outputTracks": self.output_tracks,
+            "numModeParams": NUM_MODE_PARAMS,
+            "impl": self._impl,
+        }

@@ -1,0 +1,89 @@
+"""RndMemRead: granular-synthesis random-memory stress
+(cuda/bench_rndmem.cu). A 512 MiB uniform[0,1) sample pool stays
+HBM-resident from setup (the d_sample_memory analog); per iteration,
+each track copies bufferSize contiguous samples from its playhead into
+an *interleaved* output (out[tracks*i + track]). Playheads advance
+host-side by bufferSize with per-track loop wrap between start and
+start + loopLen (loop lengths 1000-48000, bench_rndmem.cu:151-186).
+
+Validation compares the last iteration's output against a golden
+gathered with the playheads that iteration actually used (the reference
+computes its golden from the *initial* playheads while playheads move
+every iteration, bench_rndmem.cu:188-205 -- a time-dependent check;
+documented divergence). Exact tolerance 1e-6 (bench_rndmem.cu:106).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_abs
+from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
+from gpuaudiobench_tpu.utils import device as dev
+from gpuaudiobench_tpu.utils.data import generate_uniform01
+
+
+class RndMemBenchmark(Benchmark):
+    name = "RndMemRead"
+    tolerance = 1e-6  # bench_rndmem.cu:106
+
+    def __init__(self, cfg: BenchConfig):
+        super().__init__(cfg)
+        self.pool_elems = cfg.rndmem_pool_mb * 1024 * 1024 // 4
+        self.sample_buffer_end = self.pool_elems - cfg.buffer_size
+
+    def setup(self) -> None:
+        t = self.track_count
+        self.host_pool = generate_uniform01(self.pool_elems, self.cfg.seed)
+        self._pool_dev = dev.to_device(self.host_pool)  # one-time 512 MiB upload
+        g = np.random.Generator(np.random.MT19937(self.cfg.seed))
+        starts = g.integers(0, self.sample_buffer_end, t)
+        loop_lens = self.cfg.rndmem_min_loop + g.integers(
+            0, self.cfg.rndmem_max_loop - self.cfg.rndmem_min_loop, t
+        )
+        ends = np.minimum(starts + loop_lens, self.sample_buffer_end - 1)
+        self.playheads_start = starts.astype(np.int64)
+        self.playheads_end = ends.astype(np.int64)
+        self.playheads = starts.astype(np.int32)
+        self.last_playheads = self.playheads.copy()
+        self._out_template = dev.to_device(
+            np.zeros((t, self.buffer_size), np.float32)
+        )
+        self.host_output = None
+        self.iterate()
+
+    def iterate(self) -> None:
+        ph = dev.to_device(self.playheads)
+        out = rndmem_gather(self._pool_dev, ph, self._out_template)
+        self.host_output = dev.from_device(out).ravel()  # (S,T) flat interleaved
+        self.last_playheads = self.playheads.copy()
+        self._update_playheads()
+
+    def _update_playheads(self) -> None:
+        """Host-side playhead advance with loop wrap (bench_rndmem.cu:176-186)."""
+        ph = self.playheads.astype(np.int64) + self.buffer_size
+        wrapped = np.where(ph >= self.playheads_end, self.playheads_start, ph)
+        self.playheads = wrapped.astype(np.int32)
+
+    def device_iterate(self) -> None:
+        ph = dev.to_device(self.playheads)
+        dev.block(rndmem_gather(self._pool_dev, ph, self._out_template))
+
+    def validate(self) -> ValidationData:
+        t, s = self.track_count, self.buffer_size
+        idx = self.last_playheads[:, None].astype(np.int64) + np.arange(s)[None, :]
+        golden = self.host_pool[idx].T.ravel()  # (S,T) interleaved
+        return compare_abs(
+            self.host_output, golden, self.tolerance,
+            mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+            label=self.name,
+        )
+
+    def metadata(self):
+        return {
+            "poolMiB": self.cfg.rndmem_pool_mb,
+            "minLoopLen": self.cfg.rndmem_min_loop,
+            "maxLoopLen": self.cfg.rndmem_max_loop,
+        }

@@ -1,0 +1,117 @@
+"""Biquad IIR filter: per-track Direct Form II recurrence.
+
+TPU-native equivalent of IIRFilterKernel (cuda/bench_iir.cu:10-44): the
+reference runs one CUDA thread per track, each sequentially looping over
+the buffer. On TPU the recurrence order is preserved but vectorized the
+other way: the *time* axis is the sequential scan and all tracks advance
+in lockstep as full vector lanes.
+
+  w[n] = x[n] - a1*w[n-1] - a2*w[n-2]
+  y[n] = b0*w[n] + b1*w[n-1] + b2*w[n-2]
+
+State (z1, z2) = (w[n-1], w[n-2]) per track round-trips across calls
+exactly like the reference's persistent d_state (bench_iir.cu:19-43).
+
+Two implementations:
+* xla: lax.scan over the sample axis on a (S, T) transposed block.
+* pallas: a single TPU kernel with tracks on the lane axis, time as an
+  in-kernel fori_loop, state carried in VMEM -- one kernel launch per
+  block instead of S dependent HLO loop iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(jax.jit, static_argnames=())
+def iir_biquad_xla(x: jax.Array, coeffs: jax.Array, state: jax.Array):
+    """x: (tracks, S) track-major; coeffs: (5,) = b0,b1,b2,a1,a2;
+    state: (tracks, 2) = z1,z2. Returns (y, new_state)."""
+    b0, b1, b2, a1, a2 = (coeffs[i] for i in range(5))
+    xt = x.T  # (S, T): each scan step consumes one full lane-vector of tracks
+
+    def step(carry, xn):
+        z1, z2 = carry
+        w = xn - a1 * z1 - a2 * z2
+        y = b0 * w + b1 * z1 + b2 * z2
+        return (w, z1), y
+
+    (z1, z2), yt = jax.lax.scan(step, (state[:, 0], state[:, 1]), xt)
+    return yt.T, jnp.stack([z1, z2], axis=1)
+
+
+def _iir_kernel(x_ref, c_ref, z_ref, y_ref, zout_ref):
+    """Pallas kernel: x (S, Tb) sample-major block, tracks on lanes.
+
+    c_ref: (1, 8) SMEM-hosted coefficient row (b0,b1,b2,a1,a2,pad...).
+    z_ref/zout_ref: (2, Tb) state rows.
+    """
+    b0 = c_ref[0, 0]
+    b1 = c_ref[0, 1]
+    b2 = c_ref[0, 2]
+    a1 = c_ref[0, 3]
+    a2 = c_ref[0, 4]
+    s = x_ref.shape[0]
+
+    def body(n, carry):
+        z1, z2 = carry
+        xn = x_ref[n, :]
+        w = xn - a1 * z1 - a2 * z2
+        y_ref[n, :] = b0 * w + b1 * z1 + b2 * z2
+        return (w, z1)
+
+    z1, z2 = jax.lax.fori_loop(0, s, body, (z_ref[0, :], z_ref[1, :]))
+    zout_ref[0, :] = z1
+    zout_ref[1, :] = z2
+
+
+@functools.partial(jax.jit, static_argnames=("track_block",))
+def iir_biquad_pallas(
+    x: jax.Array, coeffs: jax.Array, state: jax.Array, track_block: int = 512
+):
+    """Pallas TPU path. x: (tracks, S); state: (tracks, 2)."""
+    tracks, s = x.shape
+    tb = min(track_block, tracks)
+    if tracks % tb != 0:
+        # Fall back: pad tracks to a lane-friendly multiple.
+        pad = (-tracks) % tb
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        sp = jnp.pad(state, ((0, pad), (0, 0)))
+        y, z = iir_biquad_pallas(xp, coeffs, sp, track_block=tb)
+        return y[:tracks], z[:tracks]
+
+    xt = x.T  # (S, T)
+    zt = state.T  # (2, T)
+    c = jnp.pad(coeffs, (0, 3)).reshape(1, 8)
+
+    grid = (tracks // tb,)
+    y, zout = pl.pallas_call(
+        _iir_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, tracks), x.dtype),
+            jax.ShapeDtypeStruct((2, tracks), x.dtype),
+        ],
+    )(xt, c, zt)
+    return y.T, zout.T
+
+
+def iir_biquad(x, coeffs, state, impl: str = "xla"):
+    if impl == "pallas":
+        return iir_biquad_pallas(x, coeffs, state)
+    return iir_biquad_xla(x, coeffs, state)

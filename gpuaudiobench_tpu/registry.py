@@ -1,0 +1,99 @@
+"""Benchmark registry: the 17 reference names -> factories
+(cuda/main.cu:82-103 getBenchmarkRegistry; registration order preserved).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.harness.base import Benchmark
+
+
+def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
+    # Imports deferred so host-only tooling (stats, CSV) never imports jax.
+    from gpuaudiobench_tpu.models.conv1d import Conv1DBenchmark
+    from gpuaudiobench_tpu.models.conv1d_accel import Conv1DAccelBenchmark
+    from gpuaudiobench_tpu.models.datatransfer import DataTransferBenchmark
+    from gpuaudiobench_tpu.models.dwg import DWGBenchmark
+    from gpuaudiobench_tpu.models.fdtd3d import FDTD3DBenchmark
+    from gpuaudiobench_tpu.models.fft import FFTBenchmark
+    from gpuaudiobench_tpu.models.gain import GainBenchmark
+    from gpuaudiobench_tpu.models.gainstats import GainStatsBenchmark
+    from gpuaudiobench_tpu.models.iir import IIRBenchmark
+    from gpuaudiobench_tpu.models.modal import ModalFilterBankBenchmark
+    from gpuaudiobench_tpu.models.noop import NoOpBenchmark
+    from gpuaudiobench_tpu.models.rndmem import RndMemBenchmark
+
+    return {
+        "NoOp": NoOpBenchmark,
+        "gain": GainBenchmark,
+        "GainStats": GainStatsBenchmark,
+        "datacopy0199": lambda cfg: DataTransferBenchmark(cfg, "datacopy0199"),
+        "datacopy2080": lambda cfg: DataTransferBenchmark(cfg, "datacopy2080"),
+        "datacopy5050": lambda cfg: DataTransferBenchmark(cfg, "datacopy5050"),
+        "datacopy8020": lambda cfg: DataTransferBenchmark(cfg, "datacopy8020"),
+        "datacopy9901": lambda cfg: DataTransferBenchmark(cfg, "datacopy9901"),
+        "FFT1D": FFTBenchmark,
+        "IIRFilter": IIRBenchmark,
+        "Conv1D": Conv1DBenchmark,
+        "Conv1D_accel": Conv1DAccelBenchmark,
+        "ModalFilterBank": ModalFilterBankBenchmark,
+        "DWG1DNaive": lambda cfg: DWGBenchmark(cfg, accelerated=False),
+        "DWG1DAccel": lambda cfg: DWGBenchmark(cfg, accelerated=True),
+        "FDTD3D": FDTD3DBenchmark,
+        "RndMemRead": RndMemBenchmark,
+    }
+
+
+# Registry order from cuda/main.cu:84-100.
+BENCHMARK_NAMES: List[str] = [
+    "NoOp",
+    "gain",
+    "GainStats",
+    "datacopy0199",
+    "datacopy2080",
+    "datacopy5050",
+    "datacopy8020",
+    "datacopy9901",
+    "FFT1D",
+    "IIRFilter",
+    "Conv1D",
+    "Conv1D_accel",
+    "ModalFilterBank",
+    "DWG1DNaive",
+    "DWG1DAccel",
+    "FDTD3D",
+    "RndMemRead",
+]
+
+BENCHMARK_DESCRIPTIONS = {
+    "NoOp": "No-operation baseline (dispatch overhead)",
+    "gain": "Simple gain/volume control",
+    "GainStats": "Gain with statistical analysis",
+    "datacopy0199": "1% input, 99% output transfer",
+    "datacopy2080": "20% input, 80% output transfer",
+    "datacopy5050": "50% input, 50% output transfer",
+    "datacopy8020": "80% input, 20% output transfer",
+    "datacopy9901": "99% input, 1% output transfer",
+    "FFT1D": "1D Fast Fourier Transform",
+    "IIRFilter": "Infinite Impulse Response filter",
+    "Conv1D": "1D convolution",
+    "Conv1D_accel": "Accelerated 1D convolution",
+    "ModalFilterBank": "Modal synthesis filter bank",
+    "DWG1DNaive": "1D Digital Waveguide (naive)",
+    "DWG1DAccel": "1D Digital Waveguide (accelerated)",
+    "FDTD3D": "3D Finite Difference Time Domain",
+    "RndMemRead": "Random memory access pattern",
+}
+
+
+def create_benchmark(name: str, cfg: BenchConfig) -> Benchmark:
+    factories = _factories()
+    if name not in factories:
+        raise KeyError(f"Unknown benchmark: {name}")
+    return factories[name](cfg)
+
+
+def list_benchmarks() -> List[str]:
+    return list(BENCHMARK_NAMES)

@@ -1,0 +1,70 @@
+"""Device selection and host<->HBM transfer helpers.
+
+The reference's pinned-host-buffer + cudaMemcpy transfer path
+(cuda/bench_utils.cu:101-155) maps on TPU to PJRT transfers:
+``jax.device_put`` (host->HBM) and ``np.asarray`` on a device array
+(HBM->host, synchronizing). Where the runtime supports the
+``pinned_host`` memory kind we stage through it so the DMA source is
+page-locked, the direct analog of cudaMallocHost.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def default_device():
+    return jax.devices()[0]
+
+
+@functools.lru_cache(maxsize=None)
+def platform() -> str:
+    return default_device().platform
+
+
+def is_tpu() -> bool:
+    # The axon tunnel reports TPU devices under an experimental platform
+    # name; treat anything that isn't cpu/gpu as the TPU path.
+    return platform() not in ("cpu", "gpu")
+
+
+def resolve_impl(impl: str) -> str:
+    """Map cfg.impl ('auto'|'xla'|'pallas') to a concrete choice."""
+    if impl == "auto":
+        return "pallas" if is_tpu() else "xla"
+    return impl
+
+
+@functools.lru_cache(maxsize=None)
+def pinned_host_sharding() -> Optional[Any]:
+    """SingleDeviceSharding with memory_kind='pinned_host' if supported."""
+    try:
+        s = jax.sharding.SingleDeviceSharding(
+            default_device(), memory_kind="pinned_host"
+        )
+        # Probe support with a tiny transfer.
+        probe = jax.device_put(np.zeros(8, np.float32), s)
+        jax.block_until_ready(probe)
+        return s
+    except Exception:  # noqa: BLE001 - capability probe
+        return None
+
+
+def to_device(host_array: np.ndarray, device=None):
+    """Host -> HBM transfer (cudaMemcpy H2D analog)."""
+    return jax.device_put(host_array, device or default_device())
+
+
+def from_device(device_array) -> np.ndarray:
+    """HBM -> host transfer; blocks until the value is ready
+    (cudaMemcpy D2H after cudaDeviceSynchronize analog)."""
+    return np.asarray(jax.block_until_ready(device_array))
+
+
+def block(tree) -> None:
+    jax.block_until_ready(tree)

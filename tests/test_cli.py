@@ -1,0 +1,121 @@
+"""CLI surface + output writer tests."""
+
+import json
+
+from gpuaudiobench_tpu.cli import parse_args
+from gpuaudiobench_tpu.config import BenchConfig, matches_filter
+from gpuaudiobench_tpu.harness.base import BenchmarkResult
+from gpuaudiobench_tpu.harness.output import (
+    CSV_HEADER,
+    generate_json_results,
+    write_csv_results,
+)
+from gpuaudiobench_tpu.harness.statistics import calculate_statistics
+
+
+def test_defaults():
+    cfg, names, err = parse_args([])
+    assert err is None
+    assert names == ["RndMemRead"]  # cuda/main.cu:239 default
+    assert cfg.fs == 48000
+    assert cfg.buffer_size == 512
+    assert cfg.n_tracks == 128
+    assert cfg.n_runs == 100
+
+
+def test_flag_parsing():
+    cfg, names, err = parse_args(
+        [
+            "--benchmark", "gain", "--fs", "44100", "--bufferSize", "1024",
+            "--nTracks", "256", "--nRuns", "50", "--json",
+            "--outputfile", "/tmp/x.csv", "--verification", "spot",
+            "--dawsim", "--dawsim-mode", "sleep", "--dawsim-jitter-us", "100",
+            "--warmup", "5", "--impl", "xla", "--irLength", "256",
+        ]
+    )
+    assert err is None
+    assert names == ["gain"]
+    assert cfg.fs == 44100
+    assert cfg.buffer_size == 1024
+    assert cfg.n_tracks == 256
+    assert cfg.n_runs == 50
+    assert cfg.json_output
+    assert cfg.output_file == "/tmp/x.csv"
+    assert cfg.verification == "spot"
+    assert cfg.dawsim and cfg.dawsim_mode == "sleep"
+    assert cfg.dawsim_jitter_us == 100.0
+    assert cfg.warmup == 5
+    assert cfg.impl == "xla"
+    assert cfg.ir_length == 256
+
+
+def test_missing_value_is_error():
+    _, _, err = parse_args(["--benchmark"])
+    assert err is not None
+
+
+def test_invalid_mode_is_error():
+    _, _, err = parse_args(["--verification", "bogus"])
+    assert err is not None
+
+
+def test_filter_matching():
+    assert matches_filter("Conv1D_accel", ["conv"])
+    assert matches_filter("Conv1D_accel", ["/conv1d_a.*/"])
+    assert not matches_filter("gain", ["conv"])
+    assert matches_filter("anything", [])
+
+
+def test_benchmark_filter_selects_multiple():
+    _, names, err = parse_args(["--benchmarkFilter", "datacopy"])
+    assert err is None
+    assert len(names) == 5
+    _, names, _ = parse_args(["--benchmarkFilter", "/^DWG/"])
+    assert names == ["DWG1DNaive", "DWG1DAccel"]
+
+
+def _result(latencies):
+    r = BenchmarkResult(
+        benchmark_name="gain",
+        buffer_size=512,
+        track_count=128,
+        iterations=len(latencies),
+        latencies=list(latencies),
+    )
+    r.statistics = calculate_statistics(r.latencies)
+    return r
+
+
+def test_csv_schema(tmp_path):
+    cfg = BenchConfig()
+    path = str(tmp_path / "out.csv")
+    write_csv_results(_result([1.0, 2.0, 3.0]), cfg, path)
+    write_csv_results(_result([4.0, 5.0, 6.0]), cfg, path)  # append, one header
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == CSV_HEADER
+    assert len(lines) == 3
+    fields = lines[1].split(",")
+    assert fields[0] == "gain"
+    assert fields[1] == "48000"
+    assert fields[12] in ("true", "false")
+
+
+def test_csv_deadline_logic(tmp_path):
+    cfg = BenchConfig()  # deadline = 10.667 ms
+    path = str(tmp_path / "d.csv")
+    write_csv_results(_result([1.0] * 100), cfg, path)
+    write_csv_results(_result([100.0] * 100), cfg, path)
+    lines = open(path).read().strip().split("\n")
+    assert lines[1].endswith("true")
+    assert lines[2].endswith("false")
+
+
+def test_json_schema():
+    cfg = BenchConfig()
+    out = generate_json_results(_result([1.0, 2.0, 3.0]), cfg)
+    s = json.dumps(out)
+    assert out["benchmark"] == "gain"
+    assert out["configuration"]["bufferSize"] == 512
+    assert "p99_ms" in out["statistics"]
+    assert out["deadline"]["threshold_ms"] == cfg.deadline_ms()
+    assert isinstance(json.loads(s), dict)

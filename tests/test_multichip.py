@@ -1,0 +1,75 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuaudiobench_tpu.parallel import (
+    make_mesh,
+    make_suite_step,
+    suite_step_example_args,
+)
+from gpuaudiobench_tpu.parallel.multichip import _biquad_block, _local_conv
+
+
+def _sequential_reference(args, tp: int):
+    """Single-device reference of the full pipeline (same math, no mesh)."""
+    x, amp, cos_w, sin_w, s_re, s_im, ir, coeffs = (np.asarray(a) for a in args)
+    t, s = x.shape
+    y = np.asarray(_biquad_block(jnp.asarray(2.0 * x), jnp.asarray(coeffs[0])))
+    l = ir.shape[0]
+    pad = np.concatenate([np.zeros((t, l - 1), np.float32), y], axis=1)
+    conv = np.asarray(_local_conv(jnp.asarray(pad), jnp.asarray(ir)))
+    # modal mix
+    re, im = s_re.copy(), s_im.copy()
+    mix = np.zeros((32, s), np.float32)
+    for n in range(s):
+        re, im = re * cos_w - im * sin_w, re * sin_w + im * cos_w
+        mix[:, n] = (amp * re).reshape(-1, 32).sum(axis=0)
+    mixed = conv + mix[np.arange(t) % 32, :]
+    out = mixed
+    for k in range(tp):
+        out = np.asarray(_biquad_block(jnp.asarray(out), jnp.asarray(coeffs[k])))
+    return out
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_mesh_axes(mesh8):
+    assert set(mesh8.shape.keys()) == {"dp", "tp", "sp"}
+    assert np.prod(list(mesh8.shape.values())) == 8
+
+
+def test_suite_step_runs_and_matches_reference(mesh8):
+    fn = make_suite_step(mesh8)
+    args = suite_step_example_args(mesh8)
+    out = np.asarray(jax.block_until_ready(fn(*args)))
+    assert np.isfinite(out).all()
+    ref = _sequential_reference(args, tp=mesh8.shape["tp"])
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_suite_step_output_sharded(mesh8):
+    fn = make_suite_step(mesh8)
+    args = suite_step_example_args(mesh8)
+    out = fn(*args)
+    spec = out.sharding.spec
+    assert tuple(spec) == ("dp", "sp")
+
+
+def test_dryrun_entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    fn, ex = ge.entry()
+    y, state = jax.jit(fn)(*ex)
+    assert np.isfinite(np.asarray(y)).all()

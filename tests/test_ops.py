@@ -1,0 +1,202 @@
+"""Device-op correctness tests against independent NumPy references."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gpuaudiobench_tpu.ops.conv import (
+    conv1d_direct,
+    conv1d_fft,
+    precompute_ir_spectra,
+)
+from gpuaudiobench_tpu.ops.dwg import dwg_block
+from gpuaudiobench_tpu.ops.elementwise import (
+    copy_op,
+    data_transfer_op,
+    gain_op,
+    gain_stats_op,
+)
+from gpuaudiobench_tpu.ops.fft import rfft_batched
+from gpuaudiobench_tpu.ops.iir import iir_biquad_pallas, iir_biquad_xla
+from gpuaudiobench_tpu.ops.modal import modal_bank_xla
+from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
+from gpuaudiobench_tpu.utils.data import biquad_lowpass_coefficients
+
+
+def test_copy_gain(rng):
+    x = rng.standard_normal((4, 32), dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(copy_op(x)), x)
+    np.testing.assert_allclose(np.asarray(gain_op(x, 2.0)), 2.0 * x, rtol=1e-7)
+
+
+def test_gain_stats(rng):
+    x = rng.standard_normal((4, 32), dtype=np.float32)
+    out, stats = gain_stats_op(x, 0.5)
+    np.testing.assert_allclose(np.asarray(out), 0.5 * x, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(stats)[:, 0], x.mean(axis=1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats)[:, 1], x.max(axis=1), rtol=0)
+
+
+def test_data_transfer(rng):
+    x = rng.random(100, dtype=np.float32)
+    out = np.asarray(data_transfer_op(x, 250))
+    np.testing.assert_array_equal(out[:100], x)
+    idx = np.arange(100, 250, dtype=np.float32)
+    np.testing.assert_allclose(
+        out[100:], 0.5 + 0.5 * np.sin(idx * np.float32(0.001)), atol=1e-6
+    )
+    # shrink case
+    out2 = np.asarray(data_transfer_op(x, 40))
+    np.testing.assert_array_equal(out2, x[:40])
+
+
+def _iir_ref(x, coeffs, state):
+    b0, b1, b2, a1, a2 = (np.float64(c) for c in coeffs)
+    z1 = state[:, 0].astype(np.float64)
+    z2 = state[:, 1].astype(np.float64)
+    y = np.empty(x.shape, np.float64)
+    for n in range(x.shape[1]):
+        w = x[:, n] - a1 * z1 - a2 * z2
+        y[:, n] = b0 * w + b1 * z1 + b2 * z2
+        z2 = z1
+        z1 = w
+    return y, np.stack([z1, z2], axis=1)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_iir(rng, impl):
+    x = rng.standard_normal((8, 64), dtype=np.float32)
+    coeffs = np.array(biquad_lowpass_coefficients(0.25), np.float32)
+    state = rng.standard_normal((8, 2), dtype=np.float32) * 0.1
+    if impl == "xla":
+        y, z = iir_biquad_xla(x, coeffs, state)
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            y, z = iir_biquad_pallas(x, coeffs, state, track_block=8)
+    y_ref, z_ref = _iir_ref(x, coeffs, state)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), z_ref, atol=1e-4)
+
+
+def test_conv1d_direct_clamp(rng):
+    x = rng.standard_normal((4, 32), dtype=np.float32)
+    ir = rng.standard_normal((4, 8), dtype=np.float32) * 0.1
+    y = np.asarray(conv1d_direct(x, ir, "clamp"))
+    for t in range(4):
+        ref = np.convolve(x[t].astype(np.float64), ir[t].astype(np.float64))[:32]
+        np.testing.assert_allclose(y[t], ref, atol=1e-5)
+
+
+def test_conv1d_direct_bleed(rng):
+    x = rng.standard_normal((4, 32), dtype=np.float32)
+    ir = rng.standard_normal((4, 8), dtype=np.float32) * 0.1
+    y = np.asarray(conv1d_direct(x, ir, "bleed"))
+    flat = x.astype(np.float64).ravel()
+    for t in range(4):
+        base = t * 32
+        ref = np.array(
+            [
+                sum(
+                    ir[t, j] * flat[base + i - j]
+                    for j in range(8)
+                    if base + i - j >= 0
+                )
+                for i in range(32)
+            ]
+        )
+        np.testing.assert_allclose(y[t], ref, atol=1e-5)
+
+
+def test_conv1d_fft_matches_direct(rng):
+    x = rng.standard_normal((4, 32), dtype=np.float32)
+    ir = rng.standard_normal((4, 8), dtype=np.float32) * 0.1
+    spec = precompute_ir_spectra(jnp.asarray(ir), 64)
+    y = np.asarray(conv1d_fft(x, spec, 64, 32))
+    for t in range(4):
+        ref = np.convolve(x[t].astype(np.float64), ir[t].astype(np.float64))[:32]
+        np.testing.assert_allclose(y[t], ref, atol=1e-5)
+
+
+def test_rfft(rng):
+    x = rng.standard_normal((4, 1024), dtype=np.float32)
+    re, im = rfft_batched(x, 1024)
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=1e-3)
+
+
+def test_modal(rng):
+    m, t_out, s = 64, 8, 16
+    amp = rng.random(m, dtype=np.float32)
+    freq = rng.random(m, dtype=np.float32) * 0.45
+    w = 2 * np.pi * freq
+    cos_w = np.cos(w).astype(np.float32)
+    sin_w = np.sin(w).astype(np.float32)
+    sre = (rng.random(m, dtype=np.float32) * 2 - 1).astype(np.float32)
+    sim = (rng.random(m, dtype=np.float32) * 2 - 1).astype(np.float32)
+    out, re_f, im_f = modal_bank_xla(amp, cos_w, sin_w, sre, sim, s, t_out)
+    out = np.asarray(out)
+
+    # scalar reference, mode-by-mode (Metal golden semantics)
+    ref = np.zeros((t_out, s), np.float64)
+    for mi in range(m):
+        r, i2 = np.float64(sre[mi]), np.float64(sim[mi])
+        for n in range(s):
+            r, i2 = (
+                r * cos_w[mi] - i2 * sin_w[mi],
+                r * sin_w[mi] + i2 * cos_w[mi],
+            )
+            ref[mi % t_out, n] += amp[mi] * r
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_dwg(rng):
+    g_count, s, max_len = 4, 32, 16
+    lengths = np.array([5, 8, 12, 16], np.int32)
+    in_taps = (lengths // 4).astype(np.int32)
+    out_taps = (3 * lengths // 4).astype(np.int32)
+    gains = rng.random(g_count, dtype=np.float32)
+    refl = np.full(g_count, 0.99, np.float32)
+    damp = np.full(g_count, 0.9999, np.float32)
+    x = (rng.random(s, dtype=np.float32) * 2 - 1).astype(np.float32)
+    fwd = np.zeros((g_count, max_len), np.float32)
+    bwd = np.zeros((g_count, max_len), np.float32)
+
+    out, fwd_o, bwd_o = dwg_block(
+        x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp
+    )
+    out = np.asarray(out)
+
+    # scalar reference (bench_dwg.cu:356-399 semantics)
+    ref = np.zeros(s, np.float64)
+    f64 = fwd.astype(np.float64).copy()
+    b64 = bwd.astype(np.float64).copy()
+    for gid in range(g_count):
+        L = int(lengths[gid])
+        for n in range(s):
+            cur = n % L
+            bpos = (cur + L // 2) % L
+            fsamp = f64[gid, cur] * damp[gid]
+            bsamp = b64[gid, bpos] * damp[gid]
+            if cur == in_taps[gid]:
+                inj = x[n] * gains[gid]
+                fsamp += inj
+                bsamp += inj
+            f64[gid, cur] = bsamp * refl[gid]
+            b64[gid, bpos] = fsamp * refl[gid]
+            if cur == out_taps[gid]:
+                ref[n] += (fsamp + bsamp) * 0.5
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_rndmem(rng):
+    pool = rng.random(1000, dtype=np.float32)
+    ph = np.array([0, 100, 500, 900], np.int32)
+    template = np.zeros((4, 16), np.float32)
+    out = np.asarray(rndmem_gather(pool, ph, template))
+    assert out.shape == (16, 4)
+    for t in range(4):
+        np.testing.assert_array_equal(out[:, t], pool[ph[t] : ph[t] + 16])
