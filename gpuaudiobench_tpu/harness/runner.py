@@ -19,7 +19,7 @@ from typing import Optional
 
 from gpuaudiobench_tpu.config import BenchConfig
 from gpuaudiobench_tpu.harness.base import Benchmark, BenchmarkResult
-from gpuaudiobench_tpu.harness.dawsim import DAWSimulator, deadline_miss_rate
+from gpuaudiobench_tpu.harness.dawsim import deadline_miss_rate
 from gpuaudiobench_tpu.harness.statistics import calculate_statistics
 
 
@@ -38,7 +38,9 @@ def run_benchmark(
 
     daw = None
     if cfg.dawsim:
-        daw = DAWSimulator(
+        from gpuaudiobench_tpu.utils.native import make_dawsim
+
+        daw = make_dawsim(
             cfg.buffer_size, cfg.fs, cfg.dawsim_mode, cfg.dawsim_jitter_us, cfg.seed
         )
 

@@ -56,10 +56,24 @@ def csv_percentile(sorted_vals: Sequence[float], p: float) -> float:
 
 
 def calculate_statistics(latencies: Sequence[float]) -> LatencyStats:
-    """Port of BenchmarkUtils::calculateStatistics (bench_utils.cu:358-414)."""
+    """Port of BenchmarkUtils::calculateStatistics (bench_utils.cu:358-414).
+
+    Uses the native C++ implementation (native/gpuab_native.cc) when the
+    shared library is built; the Python path below is the fallback and
+    the reference for the native one (tests assert bit-equality).
+    """
     n = len(latencies)
     if n == 0:
         return LatencyStats()
+    try:
+        from gpuaudiobench_tpu.utils import native as _native
+
+        if _native.available():
+            result = _native.calculate_statistics_native(latencies)
+            if result is not None:
+                return result
+    except ImportError:
+        pass
 
     sorted_vals = sorted(latencies)
     mean = sum(latencies) / n

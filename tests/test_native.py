@@ -1,0 +1,99 @@
+"""Native harness core tests: C++ statistics/DAW-sim vs the Python
+reference implementations, and the native gpubench driver."""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE_DIR = os.path.join(REPO, "native")
+LIB = os.path.join(NATIVE_DIR, "build", "libgpuab_native.so")
+GPUBENCH = os.path.join(NATIVE_DIR, "build", "gpubench")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not os.path.exists(LIB) or not os.path.exists(GPUBENCH):
+        r = subprocess.run(
+            ["make", "-C", NATIVE_DIR], capture_output=True, text=True
+        )
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-500:]}")
+
+
+def test_native_stats_matches_python():
+    from gpuaudiobench_tpu.harness.statistics import LatencyStats
+    from gpuaudiobench_tpu.utils import native
+
+    assert native.available()
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 100, 101):
+        vals = rng.random(n).tolist()
+        nat = native.calculate_statistics_native(vals)
+        # Recompute with the pure-Python path (bypass the native hook).
+        import math
+
+        sorted_vals = sorted(vals)
+        mean = sum(vals) / n
+        mid = n // 2
+        median = (
+            (sorted_vals[mid - 1] + sorted_vals[mid]) / 2.0
+            if n % 2 == 0
+            else sorted_vals[mid]
+        )
+        var = sum((v - mean) ** 2 for v in vals) / (n - 1) if n > 1 else 0.0
+        assert nat.count == n
+        assert nat.mean == pytest.approx(mean, abs=1e-12)
+        assert nat.median == pytest.approx(median, abs=1e-12)
+        assert nat.std_dev == pytest.approx(math.sqrt(var), abs=1e-12)
+        assert nat.p95 == pytest.approx(
+            float(np.percentile(vals, 95, method="linear")), abs=1e-9
+        )
+
+
+def test_native_dawsim_paces():
+    from gpuaudiobench_tpu.utils.native import NativeDAWSimulator
+
+    sim = NativeDAWSimulator(480, 48000, "sleep")  # 10 ms buffers
+    sim.wait()  # arms the schedule
+    t0 = time.perf_counter()
+    for _ in range(3):
+        sim.wait()
+    elapsed = time.perf_counter() - t0
+    assert elapsed >= 0.025  # ~3 x 10 ms, allowing scheduler slack
+
+
+def test_native_dawsim_spin_precision():
+    from gpuaudiobench_tpu.utils.native import NativeDAWSimulator
+
+    sim = NativeDAWSimulator(48, 48000, "spin")  # 1 ms buffers
+    sim.wait()
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sim.wait()
+        ts.append(time.perf_counter() - t0)
+    # spin waits should land within ~200us of the 1 ms boundary
+    assert abs(sum(ts) / len(ts) - 0.001) < 0.0005
+
+
+def test_gpubench_list():
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [GPUBENCH, "--list"], capture_output=True, text=True, env=env,
+        timeout=120,
+    )
+    assert r.returncode == 0
+    for name in ("gain", "FDTD3D", "RndMemRead"):
+        assert name in r.stdout
+
+
+def test_gpubench_missing_value_fast_fail():
+    r = subprocess.run(
+        [GPUBENCH, "--benchmark"], capture_output=True, text=True, timeout=60
+    )
+    assert r.returncode == 1
+    assert "requires an argument" in r.stdout
