@@ -77,17 +77,24 @@ class FDTD3DBenchmark(Benchmark):
         self.host_input = generate_random_audio(t * s, self.cfg.seed).reshape(t, s)
         self._resident_input = dev.to_device(self.host_input)
         self._zero_fields = tuple(dev.to_device(np.asarray(f)) for f in op.zero_fields())
+        self._impl = dev.resolve_impl(self.cfg.impl)
+        if self._impl == "pallas":
+            from gpuaudiobench_tpu.ops.fdtd3d_pallas import fdtd3d_block_pallas
+
+            self._block = fdtd3d_block_pallas
+        else:
+            self._block = op.fdtd3d_block
         self.golden = fdtd3d_reference(self.host_input)
         self.host_output = None
         self.iterate()
 
     def iterate(self) -> None:
         x = dev.to_device(self.host_input)
-        out, *_ = op.fdtd3d_block(x, *self._zero_fields)
+        out, *_ = self._block(x, *self._zero_fields)
         self.host_output = dev.from_device(out)
 
     def device_iterate(self) -> None:
-        out, *_ = op.fdtd3d_block(self._resident_input, *self._zero_fields)
+        out, *_ = self._block(self._resident_input, *self._zero_fields)
         dev.block(out)
 
     def validate(self) -> ValidationData:
@@ -99,6 +106,7 @@ class FDTD3DBenchmark(Benchmark):
 
     def metadata(self):
         return {
+            "impl": self._impl,
             "grid": [op.GRID_N] * 3,
             "stepsPerSample": op.STEPS_PER_SAMPLE,
             "soundSpeed": op.SOUND_SPEED,

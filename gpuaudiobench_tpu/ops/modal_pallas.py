@@ -1,0 +1,299 @@
+"""Pallas TPU kernel for the modal phasor bank.
+
+The XLA scan version (ops/modal.py) issues one fused loop step per
+sample with the whole (M,) mode state streamed between loop iterations.
+This kernel tiles the mode axis across the grid, holds each tile's
+phasor state in VMEM/registers for the entire buffer loop, and reduces
+each sample's (tile -> 32 tracks) contribution in-register -- one
+kernel launch, state never round-trips to HBM between samples.
+
+Layout: a tile of 2048 consecutive modes is shaped (16, 128)
+(sublane x lane) so the rotation is a full-width VPU op. The
+mode -> track fold (mode % 32, the Metal kernel's round-robin atomic
+accumulation, kernels_benchmark_staging.metal:140-160) becomes a
+row-major reshape to (64, 32) summed over axis 0 -- no atomics, and
+because Pallas TPU executes grid steps sequentially on a core, the
+shared output block accumulates race-free.
+
+The accumulator block is (S, 32) sample-major so each sample's update
+writes one contiguous 32-lane row instead of a strided column; the
+caller transposes once at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MODE_TILE = 32768  # modes per grid step: (256 sublanes, 128 lanes).
+# Swept on v5e (1M modes x 512 samples): 2048 -> 27 ms, 8192 -> 8.9 ms,
+# 32768 -> ~3 ms kernel time; larger tiles with the 8x sample unroll
+# exceed the 16 MB scoped-VMEM budget (double-buffered tiles + unroll
+# temporaries), so 32768 is the sweet spot.
+
+
+def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
+                  out_ref, re_out_ref, im_out_ref,
+                  *, buffer_size: int, output_tracks: int):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    cos_w = cos_ref[:, :]
+    sin_w = sin_ref[:, :]
+    folds = 128 // output_tracks  # 128 % output_tracks == 0 (caller checks)
+    unroll = 8 if buffer_size % 8 == 0 else 1
+
+    def fold(new_re):
+        # mode -> track fold: flat index f = r*128 + lane, and since
+        # 128 % T_out == 0, f % T_out == lane % T_out -- so summing
+        # lane-aligned slices implements the % T_out round-robin without
+        # a lane-width reshape (unsupported shape cast in Mosaic).
+        acc = new_re[:, 0:output_tracks]
+        for k in range(1, folds):
+            acc = acc + new_re[:, k * output_tracks:(k + 1) * output_tracks]
+        return acc.sum(axis=0, keepdims=True)  # (1, T_out)
+
+    def body(ng, carry):
+        # amp is pre-folded into the state (rotation is linear), so the
+        # per-sample contribution is just Re(state). Unrolling chains
+        # `unroll` rotations through registers per VMEM state round
+        # trip -- the kernel is VMEM-traffic-bound, not flop-bound.
+        re, im = carry
+        contribs = []
+        for _ in range(unroll):
+            re, im = re * cos_w - im * sin_w, re * sin_w + im * cos_w
+            contribs.append(fold(re))
+        block = contribs[0] if unroll == 1 else jnp.concatenate(contribs, axis=0)
+        out_ref[pl.ds(ng * unroll, unroll), :] += block
+        return (re, im)
+
+    re_f, im_f = jax.lax.fori_loop(
+        0, buffer_size // unroll, body, (re_ref[:, :], im_ref[:, :])
+    )
+    re_out_ref[:, :] = re_f
+    im_out_ref[:, :] = im_f
+
+
+@functools.partial(
+    jax.jit, static_argnames=("buffer_size", "output_tracks", "mode_tile")
+)
+def modal_bank_pallas(
+    amp: jax.Array,
+    cos_w: jax.Array,
+    sin_w: jax.Array,
+    state_re: jax.Array,
+    state_im: jax.Array,
+    buffer_size: int,
+    output_tracks: int,
+    mode_tile: int = MODE_TILE,
+):
+    """Same contract as modal_bank_xla: (out (T_out, S), re', im').
+
+    The benchmark's iteration semantics never persist phasor state
+    (Metal parity: the kernel reads but does not write the state
+    buffer), so the returned states are the unchanged inputs.
+    """
+    if 128 % output_tracks != 0:
+        # Lane fold requires output_tracks to divide the 128-lane width;
+        # other counts use the XLA scan path.
+        from gpuaudiobench_tpu.ops.modal import modal_bank_xla
+
+        return modal_bank_xla(
+            amp, cos_w, sin_w, state_re, state_im, buffer_size, output_tracks
+        )
+    m = amp.shape[0]
+    tile = min(mode_tile, m)
+    # Tile must flatten row-major onto consecutive modes and fold evenly
+    # onto output tracks: keep it a multiple of lcm(128, output_tracks).
+    align = math.lcm(128, output_tracks)
+    if tile % align != 0:
+        tile = align * max(1, tile // align)
+    if m % tile != 0:
+        pad = (-m) % tile
+        z = jnp.zeros(pad, amp.dtype)
+        out, _, _ = modal_bank_pallas(
+            jnp.concatenate([amp, z]),
+            jnp.concatenate([cos_w, jnp.ones(pad, cos_w.dtype)]),
+            jnp.concatenate([sin_w, z]),
+            jnp.concatenate([state_re, z]),
+            jnp.concatenate([state_im, z]),
+            buffer_size,
+            output_tracks,
+            mode_tile=tile,
+        )
+        return out, state_re, state_im
+
+    out_sn, _, _ = _modal_folded(
+        cos_w, sin_w, amp * state_re, amp * state_im,
+        buffer_size, output_tracks, tile,
+    )
+    return out_sn.T, state_re, state_im
+
+
+def _modal_cheb_kernel(c2_ref, prev_ref, cur_ref,
+                       out_ref, prev_out_ref, cur_out_ref,
+                       *, buffer_size: int, output_tracks: int):
+    """Chebyshev form: only Re(state) reaches the output, and
+    re satisfies the 2-term recurrence re[n+1] = 2cos(w)*re[n] - re[n-1]
+    (exactly the rotation's real part) -- 2 flops/mode/sample instead
+    of 6. Carry is (re[n-1], re[n])."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    c2 = c2_ref[:, :]
+    folds = 128 // output_tracks
+
+    def body(n, carry):
+        prev, cur = carry
+        new = c2 * cur - prev
+        acc = new[:, 0:output_tracks]
+        for k in range(1, folds):
+            acc = acc + new[:, k * output_tracks:(k + 1) * output_tracks]
+        out_ref[pl.ds(n, 1), :] += acc.sum(axis=0, keepdims=True)
+        return (cur, new)
+
+    prev_f, cur_f = jax.lax.fori_loop(
+        0, buffer_size, body, (prev_ref[:, :], cur_ref[:, :])
+    )
+    prev_out_ref[:, :] = prev_f
+    cur_out_ref[:, :] = cur_f
+
+
+@functools.partial(
+    jax.jit, static_argnames=("buffer_size", "output_tracks", "tile")
+)
+def _modal_cheb(c2, prev, cur, buffer_size, output_tracks, tile):
+    """Pallas call for the Chebyshev kernel on prepared carries.
+    Returns (out (S, T_out) sample-major, prev', cur')."""
+    m = c2.shape[0]
+    rows = tile // 128
+    grid = (m // tile,)
+
+    def tile_spec():
+        return pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def reshape2d(a):
+        return a.reshape(m // 128, 128)
+
+    kernel = functools.partial(
+        _modal_cheb_kernel, buffer_size=buffer_size,
+        output_tracks=output_tracks,
+    )
+    out_sn, prev_o, cur_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec() for _ in range(3)],
+        out_specs=[
+            pl.BlockSpec(
+                (buffer_size, output_tracks), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tile_spec(),
+            tile_spec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((buffer_size, output_tracks), c2.dtype),
+            jax.ShapeDtypeStruct((m // 128, 128), c2.dtype),
+            jax.ShapeDtypeStruct((m // 128, 128), c2.dtype),
+        ],
+    )(reshape2d(c2), reshape2d(prev), reshape2d(cur))
+    return out_sn, prev_o.reshape(m), cur_o.reshape(m)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("buffer_size", "output_tracks", "tile")
+)
+def _modal_folded(cos_w, sin_w, re_f, im_f, buffer_size, output_tracks, tile):
+    """Core pallas call on amp-prefolded states. Returns
+    (out (S, T_out) sample-major, re', im') with the TRUE rotated
+    (still amp-scaled) final states, enabling block chaining."""
+    m = cos_w.shape[0]
+    rows = tile // 128
+    grid = (m // tile,)
+
+    def tile_spec():
+        return pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def reshape2d(a):
+        return a.reshape(m // 128, 128)
+
+    kernel = functools.partial(
+        _modal_kernel, buffer_size=buffer_size, output_tracks=output_tracks
+    )
+    out_sn, re_o, im_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec() for _ in range(4)],
+        out_specs=[
+            pl.BlockSpec(
+                (buffer_size, output_tracks), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tile_spec(),
+            tile_spec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((buffer_size, output_tracks), cos_w.dtype),
+            jax.ShapeDtypeStruct((m // 128, 128), cos_w.dtype),
+            jax.ShapeDtypeStruct((m // 128, 128), cos_w.dtype),
+        ],
+    )(
+        reshape2d(cos_w), reshape2d(sin_w), reshape2d(re_f), reshape2d(im_f)
+    )
+    return out_sn, re_o.reshape(m), im_o.reshape(m)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("buffer_size", "output_tracks", "n_blocks", "mode_tile"),
+)
+def modal_bank_stream(
+    amp: jax.Array,
+    cos_w: jax.Array,
+    sin_w: jax.Array,
+    state_re: jax.Array,
+    state_im: jax.Array,
+    buffer_size: int,
+    output_tracks: int,
+    n_blocks: int,
+    mode_tile: int = MODE_TILE,
+):
+    """Streaming synthesis: n_blocks consecutive buffers in ONE
+    executable, phasor state carried across blocks (the continuous
+    real-time-audio workload the per-block benchmark approximates).
+    Returns (outs (n_blocks, T_out, S), re', im') with amp-folded final
+    states."""
+    if 128 % output_tracks != 0:
+        raise ValueError("output_tracks must divide 128 for the pallas path")
+    m = amp.shape[0]
+    tile = min(mode_tile, m)
+    align = math.lcm(128, output_tracks)
+    if tile % align != 0:
+        tile = align * max(1, tile // align)
+    if m % tile != 0:
+        raise ValueError("mode count must be a multiple of the tile size")
+
+    def body(carry, _):
+        re, im = carry
+        out_sn, re2, im2 = _modal_folded(
+            cos_w, sin_w, re, im, buffer_size, output_tracks, tile
+        )
+        return (re2, im2), out_sn.T
+
+    (re_f, im_f), outs = jax.lax.scan(
+        body, (amp * state_re, amp * state_im), None, length=n_blocks
+    )
+    return outs, re_f, im_f

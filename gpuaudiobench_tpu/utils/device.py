@@ -61,9 +61,10 @@ def to_device(host_array: np.ndarray, device=None):
 
 
 def from_device(device_array) -> np.ndarray:
-    """HBM -> host transfer; blocks until the value is ready
-    (cudaMemcpy D2H after cudaDeviceSynchronize analog)."""
-    return np.asarray(jax.block_until_ready(device_array))
+    """HBM -> host transfer (cudaMemcpy D2H analog). np.asarray performs
+    its own completion wait; an explicit block_until_ready first would
+    cost a second synchronization round trip on relay-backed runtimes."""
+    return np.asarray(device_array)
 
 
 def block(tree) -> None:
