@@ -56,10 +56,14 @@ def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
         # 128 % T_out == 0, f % T_out == lane % T_out -- so summing
         # lane-aligned slices implements the % T_out round-robin without
         # a lane-width reshape (unsupported shape cast in Mosaic).
-        acc = new_re[:, 0:output_tracks]
+        # Sublane-reduce FIRST at full 128-lane width, then fold lanes:
+        # partial-width (rows, T_out) ops would burn whole vregs at
+        # T_out/128 lane utilization.
+        row = new_re.sum(axis=0, keepdims=True)  # (1, 128), full width
+        acc = row[:, 0:output_tracks]
         for k in range(1, folds):
-            acc = acc + new_re[:, k * output_tracks:(k + 1) * output_tracks]
-        return acc.sum(axis=0, keepdims=True)  # (1, T_out)
+            acc = acc + row[:, k * output_tracks:(k + 1) * output_tracks]
+        return acc  # (1, T_out)
 
     def body(ng, carry):
         # amp is pre-folded into the state (rotation is linear), so the
