@@ -114,6 +114,16 @@ class DWGBenchmark(Benchmark):
             self.gains, self.refl, self.damp,
         )
         self.host_output = None
+
+        # Single-transfer readback: pack mono output + both rails.
+        import jax
+        import jax.numpy as jnp
+
+        def _step(x, fwd, bwd):
+            out, fwd_o, bwd_o = self._run(x, fwd, bwd)
+            return jnp.concatenate([out, fwd_o.ravel(), bwd_o.ravel()])
+
+        self._step = jax.jit(_step)
         self.iterate()
 
     def _run(self, x, fwd, bwd):
@@ -129,10 +139,12 @@ class DWGBenchmark(Benchmark):
         x = dev.to_device(self.host_input)
         fwd = dev.to_device(self._zero_rails)
         bwd = dev.to_device(self._zero_rails)
-        out, fwd_o, bwd_o = self._run(x, fwd, bwd)
-        self.host_output = dev.from_device(out)
-        self.host_fwd = dev.from_device(fwd_o)
-        self.host_bwd = dev.from_device(bwd_o)
+        buf = dev.from_device(self._step(x, fwd, bwd))
+        s = self.buffer_size
+        rails = self.track_count * MAX_LENGTH
+        self.host_output = buf[:s]
+        self.host_fwd = buf[s:s + rails].reshape(self.track_count, MAX_LENGTH)
+        self.host_bwd = buf[s + rails:].reshape(self.track_count, MAX_LENGTH)
 
     def device_iterate(self) -> None:
         out, _, _ = self._run(self._resident_input, *self._resident_rails)

@@ -84,7 +84,16 @@ class FDTD3DBenchmark(Benchmark):
             self._block = fdtd3d_block_pallas
         else:
             self._block = op.fdtd3d_block
-        self.golden = fdtd3d_reference(self.host_input)
+        from gpuaudiobench_tpu.utils.golden_cache import cached_golden
+
+        self.golden = cached_golden(
+            "fdtd3d",
+            {
+                "seed": self.cfg.seed, "tracks": t, "samples": s,
+                "grid": op.GRID_N, "steps": op.STEPS_PER_SAMPLE,
+            },
+            lambda: fdtd3d_reference(self.host_input),
+        )
         self.host_output = None
         self.iterate()
 

@@ -40,13 +40,24 @@ class FFTBenchmark(Benchmark):
         self.golden_im = spec.imag.astype(np.float32)
         self.host_re = None
         self.host_im = None
+
+        # Single-transfer readback: interleave [re, im] on device -- this
+        # is also the cufftComplex output layout (bench_fft.cu h_output_fft).
+        import jax
+        import jax.numpy as jnp
+
+        def _step(x):
+            re, im = rfft_batched(x, self.fft_size)
+            return jnp.stack([re, im], axis=-1)  # (T, bins, 2)
+
+        self._step = jax.jit(_step)
         self.iterate()
 
     def iterate(self) -> None:
         x = dev.to_device(self.host_input)
-        re, im = rfft_batched(x, self.fft_size)
-        self.host_re = dev.from_device(re)
-        self.host_im = dev.from_device(im)
+        buf = dev.from_device(self._step(x))
+        self.host_re = buf[..., 0]
+        self.host_im = buf[..., 1]
 
     def device_iterate(self) -> None:
         re, im = rfft_batched(self._resident_input, self.fft_size)

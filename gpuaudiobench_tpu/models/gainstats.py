@@ -30,13 +30,24 @@ class GainStatsBenchmark(StandardBufferBenchmark):
             [x64.mean(axis=1), x64.max(axis=1)], axis=1
         ).astype(np.float32)
         self.host_stats = None
+
+        # Single-transfer readback: fuse output + stats into one flat array.
+        import jax
+        import jax.numpy as jnp
+
+        def _step(x):
+            y, stats = gain_stats_op(x, GAINSTATS_GAIN)
+            return jnp.concatenate([y.ravel(), stats.ravel()])
+
+        self._step = jax.jit(_step)
         self.iterate()
 
     def iterate(self) -> None:
         x = dev.to_device(self.host_input)
-        y, stats = gain_stats_op(x, GAINSTATS_GAIN)
-        self.host_output = dev.from_device(y)
-        self.host_stats = dev.from_device(stats)
+        buf = dev.from_device(self._step(x))
+        n = self.total_elements()
+        self.host_output = buf[:n].reshape(self.track_count, self.buffer_size)
+        self.host_stats = buf[n:].reshape(self.track_count, NSTATS)
 
     def device_iterate(self) -> None:
         dev.block(gain_stats_op(self._resident_input, GAINSTATS_GAIN))

@@ -58,14 +58,28 @@ class IIRBenchmark(StandardBufferBenchmark):
         )
         self.host_state = None
         self._impl = dev.resolve_impl(self.cfg.impl)
+
+        # Fuse output+state into one flat device array so the readback is
+        # a single transfer (one RPC on relay-backed runtimes).
+        import jax
+        import jax.numpy as jnp
+
+        impl = self._impl
+
+        def _step(x, c, z):
+            y, z2 = iir_biquad(x, c, z, impl=impl)
+            return jnp.concatenate([y.ravel(), z2.ravel()])
+
+        self._step = jax.jit(_step)
         self.iterate()
 
     def iterate(self) -> None:
         x = dev.to_device(self.host_input)
         state = dev.to_device(self._zero_state)
-        y, state_out = iir_biquad(x, self._coeffs_dev, state, impl=self._impl)
-        self.host_output = dev.from_device(y)
-        self.host_state = dev.from_device(state_out)
+        buf = dev.from_device(self._step(x, self._coeffs_dev, state))
+        n = self.total_elements()
+        self.host_output = buf[:n].reshape(self.track_count, self.buffer_size)
+        self.host_state = buf[n:].reshape(self.track_count, 2)
 
     def device_iterate(self) -> None:
         y, _ = iir_biquad(

@@ -1,16 +1,24 @@
 """Pallas TPU kernel for the 3-D FDTD room simulation.
 
-The whole staggered grid (52^3 pressure + 3 velocity fields, ~6 MB in
-VMEM tiling) fits on-chip, so the entire bufferSize x stepsPerSample
-time loop runs inside ONE kernel with the fields never leaving VMEM --
-the logical endpoint of the dispatch-granularity spectrum the reference
-spans (CUDA: 512 x 3 x 2+ launches with per-sample syncs,
-bench_fdtd3d.cu:384-438; Metal: one command buffer,
-FDTD3DBenchmark.swift:408-480; here: one fused on-chip loop).
+The whole staggered grid (52^3 pressure + 3 velocity fields) fits
+on-chip, so the entire bufferSize x stepsPerSample time loop runs inside
+ONE kernel with the fields never leaving VMEM -- the logical endpoint of
+the dispatch-granularity spectrum the reference spans (CUDA: 512 x 3 x
+2+ launches with per-sample syncs, bench_fdtd3d.cu:384-438; Metal: one
+command buffer, FDTD3DBenchmark.swift:408-480; here: one fused on-chip
+loop).
 
-Stencils are expressed as shifted-slice arithmetic on VMEM-resident
-values (lane axis = z). Source injection and receiver taps are scalar
-dynamic updates/reads once per sample.
+Layout: every field is stored 2-D as (X, Y*Z) = (53, 53*53) with the
+flattened (y, z) plane on the 128-wide lane axis. A native 3-D layout
+keeps only 52 of 128 lanes busy (z pads to the lane width); the packed
+plane uses 2809/2816 lanes. Stencil shifts become:
+  x: sublane row shifts (concat with a zero row),
+  y: lane rolls by Z_STRIDE (53),
+  z: lane rolls by 1.
+Roll wrap-around contamination only lands on padded or boundary cells,
+which the interior/boundary masks exclude by construction. Source
+injection and receiver taps are one-hot mask operations (Mosaic has no
+scatter); per-sample src/rcv scalars live in SMEM.
 """
 
 from __future__ import annotations
@@ -24,59 +32,70 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpuaudiobench_tpu.ops import fdtd3d as C
 
+PAD_N = C.GRID_N + 1  # 53: fits every staggered extent (52 or 53)
+PLANE = PAD_N * PAD_N  # 2809 lanes
+
+
+def _shift_down(a):
+    """rows: out[k] = a[k-1], zero row at k=0 (x-1 shift)."""
+    return jnp.concatenate([jnp.zeros((1, a.shape[1]), a.dtype), a[:-1]], axis=0)
+
+
+def _shift_up(a):
+    """rows: out[k] = a[k+1], zero row at the end (x+1 shift)."""
+    return jnp.concatenate([a[1:], jnp.zeros((1, a.shape[1]), a.dtype)], axis=0)
+
+
+def _roll_lanes(a, shift):
+    """Circular lane roll; wrapped elements only reach masked cells."""
+    return pltpu.roll(a, shift % a.shape[1], 1)
+
 
 def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
                  out_ref, p_out, vx_out, vy_out, vz_out,
                  *, buffer_size: int, steps_per_sample: int):
-    n = p_in.shape[0]
+    n = C.GRID_N
     k1 = jnp.float32(C.DT_OVER_RHO_DX)
     k2 = jnp.float32(C.RHO_C2_DT_OVER_DX)
     absorb = jnp.float32(1.0 - C.ABSORPTION)
     sx, sy, sz = C.SOURCE
     rx, ry, rz = C.RECEIVER
 
-    ix = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 0)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 1)
-    iz = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 2)
-    boundary = (
-        (ix == 0) | (ix == n - 1) | (iy == 0) | (iy == n - 1)
-        | (iz == 0) | (iz == n - 1)
+    shape = (PAD_N, PLANE)
+    x_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    y_i = lane // PAD_N
+    z_i = lane % PAD_N
+
+    valid = (x_i < n) & (y_i < n) & (z_i < n)
+    edge = (
+        (x_i == 0) | (x_i == n - 1) | (y_i == 0) | (y_i == n - 1)
+        | (z_i == 0) | (z_i == n - 1)
     )
-    src_mask = ((ix == sx) & (iy == sy) & (iz == sz)).astype(jnp.float32)
-    rcv_mask = ((ix == rx) & (iy == ry) & (iz == rz)).astype(jnp.float32)
+    interior_p = (valid & ~edge).astype(jnp.float32)
+    boundary_p = (valid & edge).astype(jnp.float32)
+    keep_p = 1.0 - interior_p - boundary_p  # padded cells: unchanged
 
-    # Staggered-face interior masks on the velocity grids (index 1..n-1).
-    def face_mask(shape, axis):
-        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
-        return ((i >= 1) & (i <= n - 1)).astype(jnp.float32)
+    # Velocity interior masks: staggered index 1..n-1 on the staggered
+    # axis, 0..n-1 on the others (bench_fdtd3d.cu:26-56).
+    fmx = ((x_i >= 1) & (x_i <= n - 1) & (y_i < n) & (z_i < n)).astype(jnp.float32)
+    fmy = ((y_i >= 1) & (y_i <= n - 1) & (x_i < n) & (z_i < n)).astype(jnp.float32)
+    fmz = ((z_i >= 1) & (z_i <= n - 1) & (x_i < n) & (y_i < n)).astype(jnp.float32)
 
-    mx = face_mask((n + 1, n, n), 0)
-    my = face_mask((n, n + 1, n), 1)
-    mz = face_mask((n, n, n + 1), 2)
-
-    def pad1(a, axis):
-        """Zero-pad one plane on each side of `axis` (slice-free
-        formulation: Mosaic has no scatter-add, so velocity updates are
-        masked full-grid adds of padded pressure differences)."""
-        cfgs = [(0, 0, 0)] * 3
-        cfgs[axis] = (1, 1, 0)
-        return jax.lax.pad(a, jnp.float32(0), cfgs)
+    src_mask = ((x_i == sx) & (y_i == sy) & (z_i == sz)).astype(jnp.float32)
+    rcv_mask = ((x_i == rx) & (y_i == ry) & (z_i == rz)).astype(jnp.float32)
 
     def substep(_, fields):
         p, vx, vy, vz = fields
-        # vx[k] -= k1*(p[k] - p[k-1]) for k in 1..n-1, via padded shifts.
-        vx = vx - k1 * mx * (pad1(p, 0)[1:, :, :] - pad1(p, 0)[:-1, :, :])[
-            : n + 1, :, :]
-        vy = vy - k1 * my * (pad1(p, 1)[:, 1:, :] - pad1(p, 1)[:, :-1, :])[
-            :, : n + 1, :]
-        vz = vz - k1 * mz * (pad1(p, 2)[:, :, 1:] - pad1(p, 2)[:, :, :-1])[
-            :, :, : n + 1]
+        vx = vx - k1 * fmx * (p - _shift_down(p))
+        vy = vy - k1 * fmy * (p - _roll_lanes(p, PAD_N))
+        vz = vz - k1 * fmz * (p - _roll_lanes(p, 1))
         div = (
-            (vx[1:, :, :] - vx[:-1, :, :])
-            + (vy[:, 1:, :] - vy[:, :-1, :])
-            + (vz[:, :, 1:] - vz[:, :, :-1])
+            (_shift_up(vx) - vx)
+            + (_roll_lanes(vy, -PAD_N) - vy)
+            + (_roll_lanes(vz, -1) - vz)
         )
-        p = jnp.where(boundary, p * absorb, p - k2 * div)
+        p = interior_p * (p - k2 * div) + boundary_p * (p * absorb) + keep_p * p
         return (p, vx, vy, vz)
 
     def per_sample(smp, fields):
@@ -85,8 +104,7 @@ def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
         p, vx, vy, vz = jax.lax.fori_loop(
             0, steps_per_sample, substep, (p, vx, vy, vz)
         )
-        rcv = jnp.sum(rcv_mask * p) * jnp.float32(C.OUTPUT_SCALE)
-        out_ref[0, smp] = rcv
+        out_ref[0, smp] = jnp.sum(rcv_mask * p) * jnp.float32(C.OUTPUT_SCALE)
         return (p, vx, vy, vz)
 
     fields = (p_in[...], vx_in[...], vy_in[...], vz_in[...])
@@ -95,6 +113,17 @@ def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
     vx_out[...] = vx
     vy_out[...] = vy
     vz_out[...] = vz
+
+
+def _pack(a3):
+    """(X<=53, Y<=53, Z<=53) field -> (53, 53*53) padded plane layout."""
+    padded = jnp.zeros((PAD_N, PAD_N, PAD_N), a3.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, a3, (0, 0, 0))
+    return padded.reshape(PAD_N, PLANE)
+
+
+def _unpack(a2, shape):
+    return a2.reshape(PAD_N, PAD_N, PAD_N)[: shape[0], : shape[1], : shape[2]]
 
 
 @functools.partial(jax.jit, static_argnames=("steps_per_sample",))
@@ -115,20 +144,18 @@ def fdtd3d_block_pallas(
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    # src/receiver taps are per-sample scalars with dynamic indices ->
-    # SMEM, where scalar loads/stores are native.
+    plane = jax.ShapeDtypeStruct((PAD_N, PLANE), jnp.float32)
     rcv, p_o, vx_o, vy_o, vz_o = pl.pallas_call(
         kernel,
         in_specs=[smem()] + [vmem() for _ in range(4)],
         out_specs=[smem()] + [vmem() for _ in range(4)],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, s), x.dtype),
-            jax.ShapeDtypeStruct(p.shape, p.dtype),
-            jax.ShapeDtypeStruct(vx.shape, vx.dtype),
-            jax.ShapeDtypeStruct(vy.shape, vy.dtype),
-            jax.ShapeDtypeStruct(vz.shape, vz.dtype),
-        ],
-        input_output_aliases={1: 1, 2: 2, 3: 3, 4: 4},
-    )(src, p, vx, vy, vz)
+        out_shape=[jax.ShapeDtypeStruct((1, s), x.dtype)] + [plane] * 4,
+    )(src, _pack(p), _pack(vx), _pack(vy), _pack(vz))
     out = jnp.broadcast_to(rcv, (tracks, s))
-    return out, p_o, vx_o, vy_o, vz_o
+    return (
+        out,
+        _unpack(p_o, p.shape),
+        _unpack(vx_o, vx.shape),
+        _unpack(vy_o, vy.shape),
+        _unpack(vz_o, vz.shape),
+    )
