@@ -59,6 +59,19 @@ class Benchmark:
         self.cfg = cfg
         self.buffer_size = cfg.buffer_size
         self.track_count = cfg.n_tracks
+        self._allocations: Dict[str, int] = {}
+
+    # -- allocation tracking (BufferManager.totalMemoryAllocated analog,
+    # metal-swift/.../BenchmarkUtilities.swift:30-77) ---------------------
+    def track_alloc(self, name: str, nbytes: int) -> None:
+        self._allocations[name] = int(nbytes)
+
+    def memory_report(self) -> Dict[str, int]:
+        if not self._allocations:
+            return {}
+        report = dict(self._allocations)
+        report["totalBytes"] = sum(self._allocations.values())
+        return report
 
     # -- lifecycle ---------------------------------------------------------
     def setup(self) -> None:

@@ -112,6 +112,9 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
         out["deadline"]["miss_rate_percent"] = result.deadline_miss_rate
     if result.metadata:
         out["metadata"] = result.metadata
+    # Raw per-iteration latencies (extension: feeds tools/report.py
+    # histograms, the Chart.js analog).
+    out["raw_latencies_ms"] = [round(v, 6) for v in result.latencies]
     return out
 
 

@@ -44,14 +44,14 @@ def run_benchmark(
             cfg.buffer_size, cfg.fs, cfg.dawsim_mode, cfg.dawsim_jitter_us, cfg.seed
         )
 
-    profiler_ctx = None
-    if cfg.capture:
-        import jax
+    import contextlib
 
-        jax.profiler.start_trace(cfg.capture_dir)
-        profiler_ctx = True
+    from gpuaudiobench_tpu.harness.profiler import capture_trace
 
-    try:
+    capture = (
+        capture_trace(cfg.capture_dir) if cfg.capture else contextlib.nullcontext()
+    )
+    with capture:
         # Warmup (bench_base.cu:70-81); iteration 1 also pays jit compile.
         if cfg.warmup > 0:
             if verbose:
@@ -111,10 +111,8 @@ def run_benchmark(
 
         result.validation = benchmark.validate()
         result.metadata = benchmark.metadata()
-    finally:
-        if profiler_ctx:
-            import jax
-
-            jax.profiler.stop_trace()
+        mem = benchmark.memory_report()
+        if mem:
+            result.metadata["memory"] = mem
 
     return result

@@ -34,6 +34,11 @@ class StandardBufferBenchmark(Benchmark):
     def setup_standard_buffers(self) -> None:
         self.host_input = self.make_input()
         self._resident_input = dev.to_device(self.host_input)
+        nbytes = self.host_input.nbytes
+        self.track_alloc("hostInput", nbytes)
+        self.track_alloc("hostOutput", nbytes)
+        self.track_alloc("deviceInput", nbytes)
+        self.track_alloc("deviceOutput", nbytes)
 
     def validate(self) -> ValidationData:
         return compare_abs(

@@ -46,6 +46,8 @@ class DataTransferBenchmark(Benchmark):
 
     def setup(self) -> None:
         self.host_input = generate_uniform01(self.input_size, self.cfg.seed)
+        self.track_alloc("inputBuffers", self.input_size * 4 * 2)
+        self.track_alloc("outputBuffers", self.output_size * 4 * 2)
         self._resident_input = dev.to_device(self.host_input)
         idx = np.arange(self.output_size, dtype=np.float32)
         synth = (0.5 + 0.5 * np.sin(idx * np.float32(0.001))).astype(np.float32)

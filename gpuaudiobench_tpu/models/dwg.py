@@ -94,6 +94,8 @@ class DWGBenchmark(Benchmark):
         ).astype(np.float32)
 
         self._zero_rails = np.zeros((n_wg, MAX_LENGTH), np.float32)
+        self.track_alloc("delayRails", self._zero_rails.nbytes * 4)  # fwd+bwd, host+dev
+        self.track_alloc("ioBuffers", self.buffer_size * 4 * 4)
         self._consts = {
             "lengths": dev.to_device(self.lengths),
             "in_taps": dev.to_device(self.in_taps),

@@ -77,6 +77,10 @@ class FDTD3DBenchmark(Benchmark):
         self.host_input = generate_random_audio(t * s, self.cfg.seed).reshape(t, s)
         self._resident_input = dev.to_device(self.host_input)
         self._zero_fields = tuple(dev.to_device(np.asarray(f)) for f in op.zero_fields())
+        n = op.GRID_N
+        self.track_alloc("pressureField", n * n * n * 4)
+        self.track_alloc("velocityFields", 3 * (n + 1) * n * n * 4)
+        self.track_alloc("ioBuffers", t * s * 4 * 4)
         self._impl = dev.resolve_impl(self.cfg.impl)
         if self._impl == "pallas":
             from gpuaudiobench_tpu.ops.fdtd3d_pallas import fdtd3d_block_pallas

@@ -35,6 +35,8 @@ class FFTBenchmark(Benchmark):
         self.host_input = np.zeros((t, self.fft_size), np.float32)
         self.host_input[:, :n] = data
         self._resident_input = dev.to_device(self.host_input)
+        self.track_alloc("inputBuffers", self.host_input.nbytes * 2)
+        self.track_alloc("outputBuffers", t * self.bins * 8 * 2)
         spec = np.fft.rfft(self.host_input.astype(np.float64), axis=-1)
         self.golden_re = spec.real.astype(np.float32)
         self.golden_im = spec.imag.astype(np.float32)

@@ -91,6 +91,8 @@ class ModalFilterBankBenchmark(Benchmark):
             "state_re": sre, "state_im": sim,
         }
         self._dev = {k: dev.to_device(v) for k, v in self.params.items()}
+        self.track_alloc("modeParams", self.num_modes * NUM_MODE_PARAMS * 4)
+        self.track_alloc("outputBuffer", self.output_tracks * self.buffer_size * 4)
         self.golden = modal_reference(
             amp, cos_w, sin_w, sre, sim, self.buffer_size, self.output_tracks
         )

@@ -38,6 +38,8 @@ class RndMemBenchmark(Benchmark):
         t = self.track_count
         self.host_pool = generate_uniform01(self.pool_elems, self.cfg.seed)
         self._pool_dev = dev.to_device(self.host_pool)  # one-time 512 MiB upload
+        self.track_alloc("samplePool", self.host_pool.nbytes * 2)  # host+device
+        self.track_alloc("outputBuffer", t * self.buffer_size * 4 * 2)
         g = np.random.Generator(np.random.MT19937(self.cfg.seed))
         starts = g.integers(0, self.sample_buffer_end, t)
         loop_lens = self.cfg.rndmem_min_loop + g.integers(

@@ -1,0 +1,150 @@
+"""Static HTML report generator: the TPU build's analog of the WebGPU
+UI (webgpu/index.html + js/app.js) -- latency histograms, suite
+comparison table, deadline markers, hardware info -- as a dependency-free
+single-file dashboard rendered from the harness's JSON results.
+
+Usage:
+  python -m gpuaudiobench_tpu.cli --benchmarkFilter /.*/ --json \
+      --outputfile results.json
+  python tools/report.py results.json -o report.html
+"""
+
+from __future__ import annotations
+
+import argparse
+import html
+import json
+import sys
+from typing import List
+
+
+def _histogram_svg(latencies: List[float], threshold_ms: float,
+                   width: int = 420, height: int = 120, bins: int = 30) -> str:
+    """Inline-SVG latency histogram with the deadline marker
+    (Statistics.histogram + Chart.js analog, webgpu Statistics.js)."""
+    if not latencies:
+        return "<svg></svg>"
+    lo, hi = min(latencies), max(latencies)
+    span = (hi - lo) or 1e-9
+    counts = [0] * bins
+    for v in latencies:
+        idx = min(int((v - lo) / span * bins), bins - 1)
+        counts[idx] += 1
+    peak = max(counts) or 1
+    bar_w = width / bins
+    bars = []
+    for i, c in enumerate(counts):
+        h = (c / peak) * (height - 14)
+        bars.append(
+            f'<rect x="{i * bar_w:.1f}" y="{height - h:.1f}" '
+            f'width="{bar_w - 1:.1f}" height="{h:.1f}" fill="#4a7dbd"/>'
+        )
+    marker = ""
+    if lo <= threshold_ms <= hi:
+        mx = (threshold_ms - lo) / span * width
+        marker = (
+            f'<line x1="{mx:.1f}" y1="0" x2="{mx:.1f}" y2="{height}" '
+            f'stroke="#c0392b" stroke-dasharray="4,3"/>'
+        )
+    return (
+        f'<svg width="{width}" height="{height}" '
+        f'style="background:#f7f9fb;border:1px solid #d8dee6">'
+        + "".join(bars) + marker +
+        f'<text x="2" y="10" font-size="9" fill="#555">{lo:.2f} ms</text>'
+        f'<text x="{width - 50}" y="10" font-size="9" fill="#555">{hi:.2f} ms</text>'
+        "</svg>"
+    )
+
+
+def generate_report(results: List[dict], title: str = "tpuaudiobench results") -> str:
+    rows = []
+    cards = []
+    for r in results:
+        name = html.escape(r.get("benchmark", "?"))
+        stats = r.get("statistics", {})
+        deadline = r.get("deadline", {})
+        perf = r.get("performance", {})
+        val = r.get("validation", {})
+        meets = deadline.get("meets_deadline", False)
+        badge = (
+            '<span style="color:#1e8449">&#10004; meets deadline</span>'
+            if meets else
+            '<span style="color:#c0392b">&#10008; misses deadline</span>'
+        )
+        vbadge = (
+            '<span style="color:#1e8449">validated</span>'
+            if val.get("status") in ("SUCCESS", "SKIPPED")
+            else f'<span style="color:#c0392b">{html.escape(str(val.get("status", "n/a")))}</span>'
+        )
+        rows.append(
+            "<tr>"
+            f"<td>{name}</td>"
+            f"<td>{stats.get('p50_ms', 0):.3f}</td>"
+            f"<td>{stats.get('p95_ms', 0):.3f}</td>"
+            f"<td>{stats.get('p99_ms', 0):.3f}</td>"
+            f"<td>{stats.get('min_ms', 0):.3f}</td>"
+            f"<td>{stats.get('max_ms', 0):.3f}</td>"
+            f"<td>{deadline.get('threshold_ms', 0):.3f}</td>"
+            f"<td>{badge}</td>"
+            f"<td>{vbadge}</td>"
+            f"<td>{perf.get('throughput_gbps', 0):.3f}</td>"
+            "</tr>"
+        )
+        latencies = r.get("raw_latencies_ms", [])
+        hist = (
+            _histogram_svg(latencies, deadline.get("threshold_ms", 0.0))
+            if latencies else "<i>no raw latencies in result</i>"
+        )
+        meta = r.get("metadata", {})
+        meta_str = html.escape(json.dumps(meta)) if meta else ""
+        dev = r.get("device_statistics")
+        dev_str = (
+            f"device median {dev['median_ms']:.3f} ms / p95 {dev['p95_ms']:.3f} ms"
+            if dev else ""
+        )
+        cards.append(
+            f"<h3>{name}</h3>{hist}"
+            f"<p style='font-size:12px;color:#555'>{dev_str} {meta_str}</p>"
+        )
+
+    table = (
+        "<table border='0' cellspacing='0' cellpadding='6' "
+        "style='border-collapse:collapse;font-size:13px'>"
+        "<tr style='background:#eef2f6'>"
+        "<th>benchmark</th><th>p50</th><th>p95</th><th>p99</th>"
+        "<th>min</th><th>max</th><th>deadline</th><th>status</th>"
+        "<th>validation</th><th>GB/s</th></tr>"
+        + "".join(rows) + "</table>"
+    )
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{html.escape(title)}</title>"
+        "<style>body{font-family:system-ui,sans-serif;margin:2em;color:#222}"
+        "td,th{border-bottom:1px solid #e1e6eb;text-align:right}"
+        "td:first-child,th:first-child{text-align:left}</style></head><body>"
+        f"<h1>{html.escape(title)}</h1>"
+        "<p>Latencies in ms per full host&rarr;HBM&rarr;kernel&rarr;host "
+        "round trip; deadline = 1000&middot;bufferSize/fs.</p>"
+        + table + "<hr>" + "".join(cards) + "</body></html>"
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("results", help="JSON results file (single object or array)")
+    ap.add_argument("-o", "--output", default="report.html")
+    ap.add_argument("--title", default="tpuaudiobench results")
+    args = ap.parse_args(argv)
+    with open(args.results) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = [data]
+    htmlout = generate_report(data, args.title)
+    with open(args.output, "w") as f:
+        f.write(htmlout)
+    print(f"Report written to {args.output} ({len(data)} benchmarks)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
