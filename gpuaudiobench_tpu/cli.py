@@ -19,7 +19,9 @@ from gpuaudiobench_tpu.config import BenchConfig, matches_filter
 from gpuaudiobench_tpu.registry import (
     BENCHMARK_DESCRIPTIONS,
     BENCHMARK_NAMES,
+    EXTENSION_NAMES,
     create_benchmark,
+    list_benchmarks,
 )
 
 DEFAULT_BENCHMARK = "RndMemRead"  # cuda/main.cu:239
@@ -57,7 +59,7 @@ def print_help() -> None:
     print()
     print("Available Benchmarks:")
     print("=====================")
-    for name in BENCHMARK_NAMES:
+    for name in list_benchmarks():
         print(f"  {name:<16} - {BENCHMARK_DESCRIPTIONS[name]}")
     print()
     print("Examples:")
@@ -68,7 +70,7 @@ def print_help() -> None:
 
 def print_list() -> None:
     print("Available benchmarks:")
-    for name in BENCHMARK_NAMES:
+    for name in list_benchmarks():
         print(name)
 
 
@@ -149,7 +151,8 @@ def parse_args(argv: List[str]):
         return None, [], f"Error: {e}"
 
     if filters:
-        names = [n for n in BENCHMARK_NAMES if matches_filter(n, filters)]
+        all_names = BENCHMARK_NAMES + EXTENSION_NAMES
+        names = [n for n in all_names if matches_filter(n, filters)]
         if benchmark and benchmark not in names:
             names.append(benchmark)
         if not names:

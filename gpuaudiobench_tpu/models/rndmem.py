@@ -54,11 +54,18 @@ class RndMemBenchmark(Benchmark):
             np.zeros((t, self.buffer_size), np.float32)
         )
         self.host_output = None
+        self._impl = dev.resolve_impl(self.cfg.impl)
+        if self._impl == "pallas":
+            from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
+
+            self._gather = rndmem_gather_pallas
+        else:
+            self._gather = rndmem_gather
         self.iterate()
 
     def iterate(self) -> None:
         ph = dev.to_device(self.playheads)
-        out = rndmem_gather(self._pool_dev, ph, self._out_template)
+        out = self._gather(self._pool_dev, ph, self._out_template)
         self.host_output = dev.from_device(out).ravel()  # (S,T) flat interleaved
         self.last_playheads = self.playheads.copy()
         self._update_playheads()
@@ -71,7 +78,7 @@ class RndMemBenchmark(Benchmark):
 
     def device_iterate(self) -> None:
         ph = dev.to_device(self.playheads)
-        dev.block(rndmem_gather(self._pool_dev, ph, self._out_template))
+        dev.block(self._gather(self._pool_dev, ph, self._out_template))
 
     def validate(self) -> ValidationData:
         t, s = self.track_count, self.buffer_size

@@ -12,6 +12,7 @@ from gpuaudiobench_tpu.harness.base import Benchmark
 
 def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
     # Imports deferred so host-only tooling (stats, CSV) never imports jax.
+    from gpuaudiobench_tpu.models.biquad_chain import BiquadChainBenchmark
     from gpuaudiobench_tpu.models.conv1d import Conv1DBenchmark
     from gpuaudiobench_tpu.models.conv1d_accel import Conv1DAccelBenchmark
     from gpuaudiobench_tpu.models.datatransfer import DataTransferBenchmark
@@ -43,6 +44,8 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "DWG1DAccel": lambda cfg: DWGBenchmark(cfg, accelerated=True),
         "FDTD3D": FDTD3DBenchmark,
         "RndMemRead": RndMemBenchmark,
+        # Extensions beyond the reference's registered set.
+        "BiquadChain": BiquadChainBenchmark,
     }
 
 
@@ -67,6 +70,10 @@ BENCHMARK_NAMES: List[str] = [
     "RndMemRead",
 ]
 
+# Extensions: workloads present in the reference tree but unregistered
+# there (kernels_extra.metal), registered here for completeness.
+EXTENSION_NAMES: List[str] = ["BiquadChain"]
+
 BENCHMARK_DESCRIPTIONS = {
     "NoOp": "No-operation baseline (dispatch overhead)",
     "gain": "Simple gain/volume control",
@@ -85,6 +92,7 @@ BENCHMARK_DESCRIPTIONS = {
     "DWG1DAccel": "1D Digital Waveguide (accelerated)",
     "FDTD3D": "3D Finite Difference Time Domain",
     "RndMemRead": "Random memory access pattern",
+    "BiquadChain": "Serial 10-stage biquad cascade (extension)",
 }
 
 
@@ -96,4 +104,4 @@ def create_benchmark(name: str, cfg: BenchConfig) -> Benchmark:
 
 
 def list_benchmarks() -> List[str]:
-    return list(BENCHMARK_NAMES)
+    return list(BENCHMARK_NAMES) + list(EXTENSION_NAMES)

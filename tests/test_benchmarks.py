@@ -83,3 +83,11 @@ def test_verification_modes(small_cfg):
         assert v.passed
         if mode == "none":
             assert v.samples_checked == 0
+
+
+def test_biquad_chain_extension(small_cfg):
+    bench = create_benchmark("BiquadChain", small_cfg)
+    bench.setup()
+    result = run_benchmark(bench, small_cfg, verbose=False)
+    assert result.validation.passed, result.validation.messages[:3]
+    assert result.metadata["numStages"] == 10

@@ -52,3 +52,16 @@ def test_modal_stream_continues_state(rng):
     outs = np.asarray(outs)
     np.testing.assert_allclose(outs[0], np.asarray(ref)[:, :s], atol=1e-4)
     np.testing.assert_allclose(outs[1], np.asarray(ref)[:, s:], atol=1e-4)
+
+
+def test_rndmem_pallas_matches_gather(rng):
+    from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
+    from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
+
+    pool = rng.random(50000, dtype=np.float32)
+    ph = rng.integers(0, 49000, 16).astype(np.int32)
+    tmpl = np.zeros((16, 32), np.float32)
+    ref = np.asarray(rndmem_gather(pool, ph, tmpl))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(rndmem_gather_pallas(pool, ph, tmpl))
+    np.testing.assert_array_equal(out, ref)
