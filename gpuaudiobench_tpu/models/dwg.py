@@ -130,6 +130,13 @@ class DWGBenchmark(Benchmark):
 
     def _run(self, x, fwd, bwd):
         c = self._consts
+        if dev.resolve_impl(self.cfg.impl) == "pallas":
+            from gpuaudiobench_tpu.ops.dwg_pallas import dwg_block_pallas
+
+            return dwg_block_pallas(
+                x, fwd, bwd, c["lengths"], c["in_taps"], c["out_taps"],
+                c["gains"], c["refl"], c["damp"],
+            )
         return dwg_block(
             x, fwd, bwd, c["lengths"], c["in_taps"], c["out_taps"],
             c["gains"], c["refl"], c["damp"],

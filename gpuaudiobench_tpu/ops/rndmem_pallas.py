@@ -2,14 +2,23 @@
 
 The XLA path (ops/rndmem.py) lowers the per-track dynamic slices to a
 gather; this kernel expresses the access pattern the benchmark is
-*about* explicitly: the 512 MiB sample pool stays in HBM (never blocked
+*about* natively: the 512 MiB sample pool stays in HBM (never blocked
 into VMEM), per-track playheads arrive as scalar-prefetch operands, and
-each track's bufferSize window is fetched with a double-buffered async
-DMA HBM->VMEM -- the TPU analog of the CUDA kernel's non-coalesced
-per-track copies (bench_rndmem.cu:7-20).
+each track's window is fetched with its own async DMA HBM->VMEM -- the
+TPU analog of the CUDA kernel's non-coalesced per-track copies
+(bench_rndmem.cu:7-20).
 
-Output is track-major here; the caller transposes to the reference's
-interleaved layout (a fused XLA transpose on the way out).
+HBM DMA slices must respect the (8, 128) tile: the pool is viewed as
+(P/128, 128) rows and each track fetches the 16 aligned rows (2048
+samples, 8 KiB) that cover its unaligned 512-sample window -- the TPU's
+minimum-scatter granularity, the honest analog of GPU cacheline
+overfetch. The window is then cut out in VMEM with dynamic rolls:
+for offset q*128 + m, roll rows by -q, roll lanes by -m, and select
+between the row and its successor at the lane seam.
+
+Output rows are (4, 128) per track, reshaped to (T, 512) outside the
+kernel. Buffer size must be 512 and the pool a multiple of 1024; other
+shapes fall back to the XLA gather.
 """
 
 from __future__ import annotations
@@ -21,57 +30,75 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TRACKS_PER_STEP = 8  # one sublane row of output per DMA wave
+FETCH_ROWS = 16  # 16 x 128 = 2048 samples >= any 512 window in a 1024-block
+OUT_ROWS = 4  # 4 x 128 = 512 samples per track
+TRACKS_PER_STEP = 2  # out block (8, 128) satisfies the sublane tile
 
 
-def _rndmem_kernel(ph_ref, pool_ref, out_ref, scratch, sems):
-    """Grid step = TRACKS_PER_STEP tracks; fetch each track's window
-    from HBM with its own DMA, then assemble the (8, S) output block."""
+def _rndmem_kernel(ph_ref, pool_ref, out_ref, scratch, sem):
+    """Two tracks per grid step: overlapped aligned DMAs + roll-select."""
     step = pl.program_id(0)
-    s = out_ref.shape[1]
+    total_rows = pool_ref.shape[0]
 
-    def start(i):
-        ph = ph_ref[step * TRACKS_PER_STEP + i]
-        return pltpu.make_async_copy(
-            pool_ref.at[pl.ds(ph, s)],
-            scratch.at[i],
-            sems.at[i],
+    def dma_for(j):
+        ph = ph_ref[step * TRACKS_PER_STEP + j]
+        base_row = jnp.minimum((ph // 1024) * 8, total_rows - FETCH_ROWS)
+        return base_row, pltpu.make_async_copy(
+            pool_ref.at[pl.ds(base_row, FETCH_ROWS), :],
+            scratch.at[j],
+            sem.at[j],
         )
 
-    # Launch all TRACKS_PER_STEP fetches, then drain.
-    for i in range(TRACKS_PER_STEP):
-        start(i).start()
-    for i in range(TRACKS_PER_STEP):
-        start(i).wait()
-        out_ref[i, :] = scratch[i]
+    bases = []
+    for j in range(TRACKS_PER_STEP):
+        base_row, dma = dma_for(j)
+        dma.start()
+        bases.append(base_row)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (FETCH_ROWS, 128), 1)
+    for j in range(TRACKS_PER_STEP):
+        _, dma = dma_for(j)
+        dma.wait()
+        ph = ph_ref[step * TRACKS_PER_STEP + j]
+        off = ph - bases[j] * 128
+        q = off // 128
+        m = off % 128
+        # pltpu.roll takes non-negative shifts: left-roll k == (N-k) % N.
+        xq = pltpu.roll(scratch[j], (FETCH_ROWS - q) % FETCH_ROWS, 0)
+        lshift = (128 - m) % 128
+        a = pltpu.roll(xq, lshift, 1)  # within-row lane shift
+        b = pltpu.roll(pltpu.roll(xq, FETCH_ROWS - 1, 0), lshift, 1)
+        sel = jnp.where(lane < 128 - m, a, b)
+        out_ref[j * OUT_ROWS:(j + 1) * OUT_ROWS, :] = sel[:OUT_ROWS, :]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
                          out_template: jax.Array):
     """Same contract as rndmem_gather: returns (S, T) interleaved."""
     t, s = out_template.shape
-    if t % TRACKS_PER_STEP != 0:
+    if s != 512 or pool.shape[0] % 1024 != 0 or t % TRACKS_PER_STEP != 0:
         from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
 
         return rndmem_gather(pool, playheads, out_template)
 
+    pool2d = pool.reshape(-1, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t // TRACKS_PER_STEP,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # pool stays HBM
         out_specs=pl.BlockSpec(
-            (TRACKS_PER_STEP, s), lambda i, *_: (i, 0),
+            (TRACKS_PER_STEP * OUT_ROWS, 128), lambda i, *_: (i, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((TRACKS_PER_STEP, s), jnp.float32),
+            pltpu.VMEM((TRACKS_PER_STEP, FETCH_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((TRACKS_PER_STEP,)),
         ],
     )
     rows = pl.pallas_call(
         _rndmem_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, s), jnp.float32),
-    )(playheads, pool)
-    return rows.T
+        out_shape=jax.ShapeDtypeStruct((t * OUT_ROWS, 128), jnp.float32),
+    )(playheads, pool2d)
+    return rows.reshape(t, s).T

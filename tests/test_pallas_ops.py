@@ -58,10 +58,50 @@ def test_rndmem_pallas_matches_gather(rng):
     from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
     from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
 
-    pool = rng.random(50000, dtype=np.float32)
-    ph = rng.integers(0, 49000, 16).astype(np.int32)
-    tmpl = np.zeros((16, 32), np.float32)
+    pool = rng.random(64 * 1024, dtype=np.float32)
+    # include edge cases: block-aligned, end-of-pool, mid-block offsets
+    ph = np.array([0, 1024, 513, 1000, 64 * 1024 - 512, 2047, 12345, 777],
+                  np.int32)
+    tmpl = np.zeros((8, 512), np.float32)
     ref = np.asarray(rndmem_gather(pool, ph, tmpl))
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(rndmem_gather_pallas(pool, ph, tmpl))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_rndmem_pallas_fallback_small_buffer(rng):
+    from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
+
+    pool = rng.random(50000, dtype=np.float32)
+    ph = rng.integers(0, 49000, 16).astype(np.int32)
+    tmpl = np.zeros((16, 32), np.float32)
+    out = np.asarray(rndmem_gather_pallas(pool, ph, tmpl))  # xla fallback
+    for i, p in enumerate(ph):
+        np.testing.assert_array_equal(out[:, i], pool[p:p + 32])
+
+
+def test_dwg_pallas_matches_xla(rng):
+    from gpuaudiobench_tpu.ops.dwg import dwg_block
+    from gpuaudiobench_tpu.ops.dwg_pallas import dwg_block_pallas
+
+    g_count, s, max_len = 6, 48, 40  # deliberately unaligned G and L
+    lengths = np.array([5, 8, 12, 16, 33, 40], np.int32)
+    in_taps = (lengths // 4).astype(np.int32)
+    out_taps = (3 * lengths // 4).astype(np.int32)
+    gains = rng.random(g_count, dtype=np.float32)
+    refl = np.full(g_count, 0.99, np.float32)
+    damp = np.full(g_count, 0.9999, np.float32)
+    x = (rng.random(s, dtype=np.float32) * 2 - 1).astype(np.float32)
+    fwd = (rng.random((g_count, max_len), dtype=np.float32) * 0.1).astype(np.float32)
+    bwd = (rng.random((g_count, max_len), dtype=np.float32) * 0.1).astype(np.float32)
+
+    ref_out, ref_f, ref_b = dwg_block(
+        x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, f_o, b_o = dwg_block_pallas(
+            x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_o), np.asarray(ref_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_o), np.asarray(ref_b), atol=1e-6)
