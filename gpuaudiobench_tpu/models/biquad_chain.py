@@ -41,7 +41,15 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
         import jax
         import jax.numpy as jnp
 
+        impl = dev.resolve_impl(self.cfg.impl)
+        self._impl = impl
+
         def _chain(x, coeffs, states):
+            if impl == "pallas":
+                from gpuaudiobench_tpu.ops.iir import iir_cascade_pallas
+
+                y, zs = iir_cascade_pallas(x, coeffs, states)
+                return jnp.concatenate([y.ravel(), zs.ravel()])
             y = x
             outs_states = []
             for k in range(NUM_STAGES):

@@ -115,3 +115,78 @@ def iir_biquad(x, coeffs, state, impl: str = "xla"):
     if impl == "pallas":
         return iir_biquad_pallas(x, coeffs, state)
     return iir_biquad_xla(x, coeffs, state)
+
+
+def _iir_cascade_kernel(x_ref, c_ref, z_ref, y_ref, zout_ref, *, n_stages: int):
+    """Cascade of n_stages DF-II biquads in one pass over the samples
+    (the BiquadChain workload, kernels_extra.metal:16-67): all 2K state
+    vectors stay in registers; each sample flows through every stage
+    before the next sample starts -- one kernel for the whole chain
+    instead of K chained scans."""
+    s = x_ref.shape[0]
+
+    def body(n, carry):
+        zs = list(carry)
+        v = x_ref[n, :]
+        for k in range(n_stages):
+            b0 = c_ref[k, 0]
+            b1 = c_ref[k, 1]
+            b2 = c_ref[k, 2]
+            a1 = c_ref[k, 3]
+            a2 = c_ref[k, 4]
+            z1, z2 = zs[2 * k], zs[2 * k + 1]
+            w = v - a1 * z1 - a2 * z2
+            v = b0 * w + b1 * z1 + b2 * z2
+            zs[2 * k] = w
+            zs[2 * k + 1] = z1
+        y_ref[n, :] = v
+        return tuple(zs)
+
+    init = tuple(z_ref[i, :] for i in range(2 * n_stages))
+    final = jax.lax.fori_loop(0, s, body, init)
+    for i in range(2 * n_stages):
+        zout_ref[i, :] = final[i]
+
+
+@functools.partial(jax.jit, static_argnames=("track_block",))
+def iir_cascade_pallas(
+    x: jax.Array,  # (tracks, S)
+    coeffs: jax.Array,  # (K, 5)
+    states: jax.Array,  # (K, tracks, 2)
+    track_block: int = 512,
+):
+    """K-stage biquad cascade. Returns (y (tracks, S), states')."""
+    k = coeffs.shape[0]
+    tracks, s = x.shape
+    tb = min(track_block, tracks)
+    if tracks % tb != 0:
+        pad = (-tracks) % tb
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        sp = jnp.pad(states, ((0, 0), (0, pad), (0, 0)))
+        y, z = iir_cascade_pallas(xp, coeffs, sp, track_block=tb)
+        return y[:tracks], z[:, :tracks]
+
+    xt = x.T  # (S, T)
+    zt = states.transpose(0, 2, 1).reshape(2 * k, tracks)  # (2K, T)
+    c = jnp.pad(coeffs, ((0, 0), (0, 3)))  # (K, 8)
+
+    kernel = functools.partial(_iir_cascade_kernel, n_stages=k)
+    grid = (tracks // tb,)
+    y, zout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, tracks), x.dtype),
+            jax.ShapeDtypeStruct((2 * k, tracks), x.dtype),
+        ],
+    )(xt, c, zt)
+    return y.T, zout.reshape(k, 2, tracks).transpose(0, 2, 1)

@@ -105,3 +105,26 @@ def test_dwg_pallas_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_o), np.asarray(ref_f), atol=1e-6)
     np.testing.assert_allclose(np.asarray(b_o), np.asarray(ref_b), atol=1e-6)
+
+
+def test_iir_cascade_pallas(rng):
+    from gpuaudiobench_tpu.ops.iir import iir_biquad_xla, iir_cascade_pallas
+    from gpuaudiobench_tpu.utils.data import biquad_lowpass_coefficients
+
+    k, t, s = 4, 8, 32
+    coeffs = np.stack(
+        [np.array(biquad_lowpass_coefficients(0.25 - 0.02 * i), np.float32)
+         for i in range(k)]
+    )
+    states = (rng.random((k, t, 2), dtype=np.float32) * 0.1).astype(np.float32)
+    x = (rng.random((t, s), dtype=np.float32) * 2 - 1).astype(np.float32)
+    # reference: chain of single-stage scans
+    y = x
+    zs = []
+    for i in range(k):
+        y, z = iir_biquad_xla(y, coeffs[i], states[i])
+        zs.append(np.asarray(z))
+    with pltpu.force_tpu_interpret_mode():
+        yp, zp = iir_cascade_pallas(x, coeffs, states, track_block=8)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zp), np.stack(zs), atol=1e-5)
