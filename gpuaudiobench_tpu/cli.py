@@ -38,6 +38,8 @@ def print_help() -> None:
     print("  --benchmark [name]       Run specific benchmark (see list below)")
     print("  --benchmarkFilter [pat]  Run all benchmarks matching substring or /regex/")
     print("                           (repeatable / comma separated)")
+    print("  --category [name]        Run a suite category: transfer | basic | dsp")
+    print("                           | physical | memory")
     print("  --fs [rate]              Set sampling rate (default: 48000)")
     print("  --bufferSize [size]      Set buffer size (default: 512)")
     print("  --nTracks [count]        Set number of tracks (default: 128)")
@@ -54,6 +56,8 @@ def print_help() -> None:
     print("  --irLength [n]           Conv1D/Conv1D_accel IR length")
     print("  --convEdgeMode [m]       clamp | bleed (Conv1D edge handling)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
+    print("  --transferMiB [n]        datacopy* pool size (default: 10)")
+    print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
     print()
@@ -79,6 +83,7 @@ def parse_args(argv: List[str]):
     cfg = BenchConfig()
     benchmark: Optional[str] = None
     filters: List[str] = []
+    categories: List[str] = []
     i = 0
     updates = {}
 
@@ -104,6 +109,8 @@ def parse_args(argv: List[str]):
         "--irLength": ("ir_length", int),
         "--convEdgeMode": ("conv_edge_mode", str),
         "--poolMiB": ("rndmem_pool_mb", int),
+        "--transferMiB": ("transfer_mib", int),
+        "--dataParallel": ("data_parallel", int),
         "--seed": ("seed", int),
         "--latenciesFile": ("latencies_file", str),
     }
@@ -122,6 +129,18 @@ def parse_args(argv: List[str]):
             updates["capture"] = True
         elif arg == "--no-device-timing":
             updates["device_timing"] = False
+        elif arg == "--category":
+            v = need_value(arg)
+            if v is None:
+                return None, [], f"Error: {arg} requires an argument"
+            from gpuaudiobench_tpu.registry import CATEGORIES
+
+            if v not in CATEGORIES:
+                return None, [], (
+                    f"Error: unknown category '{v}' "
+                    f"(choose from {', '.join(CATEGORIES)})"
+                )
+            categories.extend(CATEGORIES[v])
         elif arg == "--benchmarkFilter":
             v = need_value(arg)
             if v is None:
@@ -150,9 +169,10 @@ def parse_args(argv: List[str]):
     except ValueError as e:
         return None, [], f"Error: {e}"
 
-    if filters:
+    if filters or categories:
         all_names = BENCHMARK_NAMES + EXTENSION_NAMES
-        names = [n for n in all_names if matches_filter(n, filters)]
+        names = [n for n in all_names
+                 if (filters and matches_filter(n, filters)) or n in categories]
         if benchmark and benchmark not in names:
             names.append(benchmark)
         if not names:

@@ -47,6 +47,9 @@ class BenchConfig:
     ir_length: Optional[int] = None  # Conv1D default 1024, Conv1D_accel 512
     conv_edge_mode: str = "clamp"  # "clamp" (Metal/accel) | "bleed" (CUDA quirk)
     seed: int = 42
+    # datacopy* base pool (CUDA default 10 MiB; the poster also measured
+    # 100 MiB and 1 GiB variants, BASELINE.md tab5/tab8).
+    transfer_mib: int = 10
     # RndMemRead pool (bench_rndmem.cuh: 512 MiB, loop wrap 1000-48000).
     rndmem_pool_mb: int = 512
     rndmem_min_loop: int = 1000

@@ -35,13 +35,13 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
             for k in range(NUM_STAGES)
         ]
         coeffs_arr = np.array(self.stage_coeffs, np.float32)
-        self._coeffs_dev = dev.to_device(coeffs_arr)
+        self._coeffs_dev = self.put_replicated(coeffs_arr)
         self._zero_state = np.zeros((NUM_STAGES, self.track_count, 2), np.float32)
 
         import jax
         import jax.numpy as jnp
 
-        impl = dev.resolve_impl(self.cfg.impl)
+        impl = self.resolve_impl()
         self._impl = impl
 
         def _chain(x, coeffs, states):
@@ -74,8 +74,8 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
-        states = dev.to_device(self._zero_state)
+        x = self.put_input(self.host_input)
+        states = self.put_spec(self._zero_state, None, "dp")
         buf = dev.from_device(self._step(x, self._coeffs_dev, states))
         n = self.total_elements()
         self.host_output = buf[:n].reshape(self.track_count, self.buffer_size)

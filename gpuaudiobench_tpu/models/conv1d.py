@@ -54,12 +54,12 @@ class Conv1DBenchmark(StandardBufferBenchmark):
         self.edge_mode = self.cfg.conv_edge_mode
         self.setup_standard_buffers()
         self.ir = conv1d_impulse_responses(self.track_count, self.ir_length)
-        self._ir_dev = dev.to_device(self.ir)
+        self._ir_dev = self.put_input(self.ir)  # per-track IR bank: dp-sharded
         self.golden = conv1d_reference(self.host_input, self.ir, self.edge_mode)
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
+        x = self.put_input(self.host_input)
         y = conv1d_direct(x, self._ir_dev, self.edge_mode)
         self.host_output = dev.from_device(y)
 

@@ -46,9 +46,12 @@ class Conv1DAccelBenchmark(StandardBufferBenchmark):
         self.ir = conv1d_impulse_responses(self.track_count, self.ir_length)
         # Stays device-resident as complex64 (this runtime cannot pull
         # complex arrays to host; it never needs to).
-        self._ir_spec_dev = precompute_ir_spectra(
-            dev.to_device(self.ir), self.fft_size
-        )
+        import jax
+
+        spec = precompute_ir_spectra(dev.to_device(self.ir), self.fft_size)
+        if self._sharding is not None:
+            spec = jax.device_put(spec, self._sharding)
+        self._ir_spec_dev = spec
         # Time-domain clamped golden, interleaved layout (cu:230-252).
         t, s = self.host_input.shape
         g = np.empty((t, s), np.float64)
@@ -60,7 +63,7 @@ class Conv1DAccelBenchmark(StandardBufferBenchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
+        x = self.put_input(self.host_input)
         y = conv1d_fft(x, self._ir_spec_dev, self.fft_size, self.buffer_size)
         self.host_output = dev.from_device(y).T.ravel()  # interleave
 

@@ -19,7 +19,7 @@ from gpuaudiobench_tpu.ops.elementwise import data_transfer_op
 from gpuaudiobench_tpu.utils import device as dev
 from gpuaudiobench_tpu.utils.data import generate_uniform01
 
-BASE_BUFFER_SIZE = 10 * 1024 * 1024 // 4  # floats
+BASE_BUFFER_SIZE = 10 * 1024 * 1024 // 4  # floats (CUDA default)
 
 DATACOPY_CONFIGS = {
     "datacopy0199": (0.01, 0.99),
@@ -37,8 +37,10 @@ class DataTransferBenchmark(Benchmark):
         super().__init__(cfg)
         self.name = name
         rin, rout = DATACOPY_CONFIGS[name]
-        self.input_size = int(BASE_BUFFER_SIZE * rin)
-        self.output_size = int(BASE_BUFFER_SIZE * rout)
+        # --transferMiB scales the pool (poster tab5/tab8 used 100 MiB / 1 GiB)
+        base = cfg.transfer_mib * 1024 * 1024 // 4
+        self.input_size = int(base * rin)
+        self.output_size = int(base * rout)
         self.host_input = None
         self.host_output = None
         self.golden = None

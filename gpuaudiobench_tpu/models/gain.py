@@ -21,7 +21,7 @@ class GainBenchmark(StandardBufferBenchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
+        x = self.put_input(self.host_input)
         y = gain_op(x, GAIN_VALUE)
         self.host_output = dev.from_device(y)
 

@@ -43,7 +43,7 @@ class GainStatsBenchmark(StandardBufferBenchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
+        x = self.put_input(self.host_input)
         buf = dev.from_device(self._step(x))
         n = self.total_elements()
         self.host_output = buf[:n].reshape(self.track_count, self.buffer_size)

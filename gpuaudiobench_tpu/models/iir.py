@@ -50,14 +50,14 @@ class IIRBenchmark(StandardBufferBenchmark):
     def setup(self) -> None:
         self.setup_standard_buffers()
         self.coeffs = biquad_lowpass_coefficients(0.25)  # fs/4 (bench_iir.cu:151)
-        self._coeffs_dev = dev.to_device(np.array(self.coeffs, dtype=np.float32))
+        self._coeffs_dev = self.put_replicated(np.array(self.coeffs, dtype=np.float32))
         self._zero_state = np.zeros((self.track_count, 2), np.float32)
         self._state_dev = dev.to_device(self._zero_state)
         self.golden, self.golden_state = iir_reference(
             self.host_input, self.coeffs, self._zero_state
         )
         self.host_state = None
-        self._impl = dev.resolve_impl(self.cfg.impl)
+        self._impl = self.resolve_impl()
 
         # Fuse output+state into one flat device array so the readback is
         # a single transfer (one RPC on relay-backed runtimes).
@@ -74,8 +74,8 @@ class IIRBenchmark(StandardBufferBenchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
-        state = dev.to_device(self._zero_state)
+        x = self.put_input(self.host_input)
+        state = dev.to_device(self._zero_state, self._sharding)
         buf = dev.from_device(self._step(x, self._coeffs_dev, state))
         n = self.total_elements()
         self.host_output = buf[:n].reshape(self.track_count, self.buffer_size)

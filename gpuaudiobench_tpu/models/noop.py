@@ -23,7 +23,7 @@ class NoOpBenchmark(StandardBufferBenchmark):
         self.iterate()  # warm jit compile (plan-creation analog)
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
+        x = self.put_input(self.host_input)
         y = copy_op(x)
         self.host_output = dev.from_device(y)
 

@@ -7,13 +7,13 @@ phasor state in VMEM/registers for the entire buffer loop, and reduces
 each sample's (tile -> 32 tracks) contribution in-register -- one
 kernel launch, state never round-trips to HBM between samples.
 
-Layout: a tile of 2048 consecutive modes is shaped (16, 128)
+Layout: a tile of 32768 consecutive modes is shaped (256, 128)
 (sublane x lane) so the rotation is a full-width VPU op. The
 mode -> track fold (mode % 32, the Metal kernel's round-robin atomic
 accumulation, kernels_benchmark_staging.metal:140-160) becomes a
-row-major reshape to (64, 32) summed over axis 0 -- no atomics, and
-because Pallas TPU executes grid steps sequentially on a core, the
-shared output block accumulates race-free.
+sublane reduce plus lane-aligned slice adds -- no atomics, and because
+Pallas TPU executes grid steps sequentially on a core, the shared
+output block accumulates race-free.
 
 The accumulator block is (S, 32) sample-major so each sample's update
 writes one contiguous 32-lane row instead of a strided column; the
@@ -140,80 +140,6 @@ def modal_bank_pallas(
         buffer_size, output_tracks, tile,
     )
     return out_sn.T, state_re, state_im
-
-
-def _modal_cheb_kernel(c2_ref, prev_ref, cur_ref,
-                       out_ref, prev_out_ref, cur_out_ref,
-                       *, buffer_size: int, output_tracks: int):
-    """Chebyshev form: only Re(state) reaches the output, and
-    re satisfies the 2-term recurrence re[n+1] = 2cos(w)*re[n] - re[n-1]
-    (exactly the rotation's real part) -- 2 flops/mode/sample instead
-    of 6. Carry is (re[n-1], re[n])."""
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
-
-    c2 = c2_ref[:, :]
-    folds = 128 // output_tracks
-
-    def body(n, carry):
-        prev, cur = carry
-        new = c2 * cur - prev
-        acc = new[:, 0:output_tracks]
-        for k in range(1, folds):
-            acc = acc + new[:, k * output_tracks:(k + 1) * output_tracks]
-        out_ref[pl.ds(n, 1), :] += acc.sum(axis=0, keepdims=True)
-        return (cur, new)
-
-    prev_f, cur_f = jax.lax.fori_loop(
-        0, buffer_size, body, (prev_ref[:, :], cur_ref[:, :])
-    )
-    prev_out_ref[:, :] = prev_f
-    cur_out_ref[:, :] = cur_f
-
-
-@functools.partial(
-    jax.jit, static_argnames=("buffer_size", "output_tracks", "tile")
-)
-def _modal_cheb(c2, prev, cur, buffer_size, output_tracks, tile):
-    """Pallas call for the Chebyshev kernel on prepared carries.
-    Returns (out (S, T_out) sample-major, prev', cur')."""
-    m = c2.shape[0]
-    rows = tile // 128
-    grid = (m // tile,)
-
-    def tile_spec():
-        return pl.BlockSpec((rows, 128), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def reshape2d(a):
-        return a.reshape(m // 128, 128)
-
-    kernel = functools.partial(
-        _modal_cheb_kernel, buffer_size=buffer_size,
-        output_tracks=output_tracks,
-    )
-    out_sn, prev_o, cur_o = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[tile_spec() for _ in range(3)],
-        out_specs=[
-            pl.BlockSpec(
-                (buffer_size, output_tracks), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            tile_spec(),
-            tile_spec(),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((buffer_size, output_tracks), c2.dtype),
-            jax.ShapeDtypeStruct((m // 128, 128), c2.dtype),
-            jax.ShapeDtypeStruct((m // 128, 128), c2.dtype),
-        ],
-    )(reshape2d(c2), reshape2d(prev), reshape2d(cur))
-    return out_sn, prev_o.reshape(m), cur_o.reshape(m)
 
 
 @functools.partial(

@@ -74,6 +74,17 @@ BENCHMARK_NAMES: List[str] = [
 # there (kernels_extra.metal), registered here for completeness.
 EXTENSION_NAMES: List[str] = ["BiquadChain"]
 
+# Suite categories (the WebGPU UI's five groups, webgpu/js/app.js:46-79).
+CATEGORIES = {
+    "transfer": ["datacopy0199", "datacopy2080", "datacopy5050",
+                 "datacopy8020", "datacopy9901"],
+    "basic": ["NoOp", "gain", "GainStats"],
+    "dsp": ["IIRFilter", "Conv1D", "Conv1D_accel", "ModalFilterBank",
+            "FFT1D", "BiquadChain"],
+    "physical": ["DWG1DNaive", "DWG1DAccel", "FDTD3D"],
+    "memory": ["RndMemRead"],
+}
+
 BENCHMARK_DESCRIPTIONS = {
     "NoOp": "No-operation baseline (dispatch overhead)",
     "gain": "Simple gain/volume control",

@@ -56,8 +56,19 @@ def pinned_host_sharding() -> Optional[Any]:
 
 
 def to_device(host_array: np.ndarray, device=None):
-    """Host -> HBM transfer (cudaMemcpy H2D analog)."""
+    """Host -> HBM transfer (cudaMemcpy H2D analog). `device` may also
+    be a Sharding for multi-device placement."""
     return jax.device_put(host_array, device or default_device())
+
+
+@functools.lru_cache(maxsize=None)
+def dp_sharding(n_devices: int):
+    """NamedSharding partitioning the leading (track) axis over a
+    1-D "dp" mesh of the first n_devices devices (the multi-chip
+    data-parallel extension; the reference is single-device)."""
+    devices = jax.devices()[:n_devices]
+    mesh = jax.sharding.Mesh(np.asarray(devices), ("dp",))
+    return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
 
 
 def from_device(device_array) -> np.ndarray:

@@ -73,3 +73,37 @@ def test_dryrun_entry():
     fn, ex = ge.entry()
     y, state = jax.jit(fn)(*ex)
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("name", ["gain", "IIRFilter", "Conv1D", "GainStats"])
+def test_data_parallel_benchmarks(name):
+    """--dataParallel shards the track axis over the device mesh; the
+    jitted programs partition via XLA SPMD and still validate."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = BenchConfig(
+        buffer_size=64, n_tracks=16, n_runs=2, warmup=1,
+        write_latencies=False, device_timing=False, data_parallel=8,
+    )
+    bench = create_benchmark(name, cfg)
+    bench.setup()
+    bench.iterate()
+    v = bench.validate()
+    assert v.passed, v.messages[:3]
+    # resident input really is sharded over dp
+    assert len(bench._resident_input.sharding.device_set) == 8
+
+
+def test_data_parallel_requires_divisibility():
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = BenchConfig(buffer_size=64, n_tracks=9, n_runs=1, warmup=0,
+                      data_parallel=8, write_latencies=False,
+                      device_timing=False)
+    bench = create_benchmark("gain", cfg)
+    with pytest.raises(ValueError):
+        bench.setup()
