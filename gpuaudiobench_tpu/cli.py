@@ -189,7 +189,6 @@ def run(cfg: BenchConfig, names: List[str]) -> int:
     from gpuaudiobench_tpu.harness.output import (
         print_results,
         write_csv_results,
-        write_json_results,
         write_latencies_file,
     )
     from gpuaudiobench_tpu.harness.runner import run_benchmark

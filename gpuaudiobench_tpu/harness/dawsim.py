@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import random
 import time
-from typing import List, Sequence
+from typing import Sequence
 
 
 class DAWSimulator:

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
 
 from gpuaudiobench_tpu.config import BenchConfig
 from gpuaudiobench_tpu.harness.base import BenchmarkResult

@@ -23,7 +23,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("buffer_size", "output_tracks"))

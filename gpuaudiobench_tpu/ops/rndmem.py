@@ -15,7 +15,6 @@ like d_sample_memory.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 @jax.jit

@@ -23,8 +23,6 @@ shapes fall back to the XLA gather.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -32,11 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 FETCH_ROWS = 16  # 16 x 128 = 2048 samples >= any 512 window in a 1024-block
 OUT_ROWS = 4  # 4 x 128 = 512 samples per track
-TRACKS_PER_STEP = 2  # out block (8, 128) satisfies the sublane tile
+TRACKS_PER_STEP = 8  # 8 DMAs in flight per grid step hides HBM latency
 
 
 def _rndmem_kernel(ph_ref, pool_ref, out_ref, scratch, sem):
-    """Two tracks per grid step: overlapped aligned DMAs + roll-select."""
+    """Eight tracks per grid step: overlapped aligned DMAs + roll-select."""
     step = pl.program_id(0)
     total_rows = pool_ref.shape[0]
 
