@@ -80,9 +80,22 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
         },
     }
     # Extended sections beyond the CUDA schema (Metal-style metadata).
+    from gpuaudiobench_tpu.harness.statistics import (
+        detect_outliers,
+        stability_rating,
+    )
+
     s = result.statistics
+    cv, rating = stability_rating(result.latencies)
+    outliers, _, _ = detect_outliers(result.latencies)
     out["statistics"].update(
-        {"median_ms": s.median, "stddev_ms": s.std_dev}
+        {
+            "median_ms": s.median,
+            "stddev_ms": s.std_dev,
+            "cv_percent": cv,
+            "stability": rating,
+            "outlier_count": len(outliers),
+        }
     )
     if result.device_statistics is not None:
         d = result.device_statistics

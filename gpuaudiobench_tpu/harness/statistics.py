@@ -99,3 +99,60 @@ def calculate_statistics(latencies: Sequence[float]) -> LatencyStats:
         p99=interpolated_percentile(sorted_vals, 99.0),
         count=n,
     )
+
+
+def histogram(values: Sequence[float], bins: int = 30):
+    """(counts, edges) latency histogram (webgpu Statistics.js histogram,
+    default 30 bins; feeds tools/report.py)."""
+    if not values:
+        return [], []
+    lo, hi = min(values), max(values)
+    span = (hi - lo) or 1e-12
+    counts = [0] * bins
+    for v in values:
+        idx = min(int((v - lo) / span * bins), bins - 1)
+        counts[idx] += 1
+    edges = [lo + span * i / bins for i in range(bins + 1)]
+    return counts, edges
+
+
+def detect_outliers(values: Sequence[float], k: float = 1.5):
+    """IQR outlier detection (webgpu Statistics.js detectOutliers):
+    returns (outliers, low_fence, high_fence)."""
+    n = len(values)
+    if n < 4:
+        return [], 0.0, 0.0
+    s = sorted(values)
+    q1 = interpolated_percentile(s, 25.0)
+    q3 = interpolated_percentile(s, 75.0)
+    iqr = q3 - q1
+    lo, hi = q1 - k * iqr, q3 + k * iqr
+    return [v for v in values if v < lo or v > hi], lo, hi
+
+
+def stability_rating(values: Sequence[float]):
+    """(coefficient_of_variation, rating) per webgpu Statistics.js:
+    cv < 5% excellent, < 15% good, < 30% fair, else poor."""
+    stats = calculate_statistics(values)
+    if stats.mean == 0:
+        return 0.0, "n/a"
+    cv = stats.std_dev / stats.mean * 100.0
+    if cv < 5.0:
+        rating = "excellent"
+    elif cv < 15.0:
+        rating = "good"
+    elif cv < 30.0:
+        rating = "fair"
+    else:
+        rating = "poor"
+    return cv, rating
+
+
+def compare_runs(a: Sequence[float], b: Sequence[float]) -> float:
+    """A/B improvement percent of mean latency, positive = b faster
+    (webgpu Statistics.js compare)."""
+    ma = sum(a) / len(a) if a else 0.0
+    mb = sum(b) / len(b) if b else 0.0
+    if ma == 0:
+        return 0.0
+    return (ma - mb) / ma * 100.0

@@ -54,6 +54,12 @@ def generate_test_pattern(n: int, pattern: str, seed: int = 42) -> np.ndarray:
         return np.sin(2.0 * np.pi * 440.0 * i / 48000.0).astype(np.float32)
     if pattern == "noise":
         return generate_random_audio(n, seed)
+    if pattern == "pink":
+        return generate_pink_noise(n, seed)
+    if pattern == "impulse":
+        return generate_impulse(n)
+    if pattern == "step":
+        return generate_step(n)
     raise ValueError(f"unknown test pattern: {pattern}")
 
 
@@ -115,3 +121,33 @@ def biquad_lowpass_coefficients(normalized_frequency: float, q: float = 0.707):
     a1 = -2.0 * cos_w
     a2 = 1.0 - alpha
     return tuple(np.float32(v / a0) for v in (b0, b1, b2, a1, a2))
+
+
+def generate_pink_noise(n: int, seed: int = 42) -> np.ndarray:
+    """Pink noise via the Paul Kellet economy filter over white noise
+    (BenchmarkUtilities.swift:182-328 AudioDataGenerator.pink)."""
+    white = generate_random_audio(n, seed).astype(np.float64)
+    b0 = b1 = b2 = 0.0
+    out = np.empty(n, np.float64)
+    for i, w in enumerate(white):
+        b0 = 0.99765 * b0 + w * 0.0990460
+        b1 = 0.96300 * b1 + w * 0.2965164
+        b2 = 0.57000 * b2 + w * 1.0526913
+        out[i] = b0 + b1 + b2 + w * 0.1848
+    peak = np.abs(out).max() or 1.0
+    return (out / peak).astype(np.float32)
+
+
+def generate_impulse(n: int) -> np.ndarray:
+    """Unit impulse at sample 0 (BufferManager.js test patterns)."""
+    out = np.zeros(n, np.float32)
+    if n:
+        out[0] = 1.0
+    return out
+
+
+def generate_step(n: int) -> np.ndarray:
+    """Unit step from the midpoint (BufferManager.js test patterns)."""
+    out = np.zeros(n, np.float32)
+    out[n // 2:] = 1.0
+    return out

@@ -200,3 +200,16 @@ def test_rndmem(rng):
     assert out.shape == (16, 4)
     for t in range(4):
         np.testing.assert_array_equal(out[:, t], pool[ph[t] : ph[t] + 16])
+
+
+def test_test_patterns():
+    from gpuaudiobench_tpu.utils.data import generate_test_pattern
+
+    for p in ("zeros", "ones", "ramp", "sine", "noise", "pink", "impulse",
+              "step"):
+        v = generate_test_pattern(64, p)
+        assert v.shape == (64,) and v.dtype == np.float32
+    pink = generate_test_pattern(256, "pink")
+    assert np.abs(pink).max() <= 1.0
+    imp = generate_test_pattern(8, "impulse")
+    assert imp[0] == 1.0 and imp[1:].sum() == 0

@@ -66,3 +66,38 @@ def test_percentiles_ordering():
     vals = np.random.default_rng(1).random(1000).tolist()
     s = calculate_statistics(vals)
     assert s.min_val <= s.median <= s.p95 <= s.p99 <= s.max_val
+
+
+def test_histogram():
+    from gpuaudiobench_tpu.harness.statistics import histogram
+
+    counts, edges = histogram([1.0, 1.0, 2.0, 3.0], bins=4)
+    assert sum(counts) == 4
+    assert len(edges) == 5
+    assert counts[0] == 2  # both 1.0s in the first bin
+    assert histogram([], 4) == ([], [])
+
+
+def test_detect_outliers():
+    from gpuaudiobench_tpu.harness.statistics import detect_outliers
+
+    vals = [1.0] * 20 + [100.0]
+    out, lo, hi = detect_outliers(vals)
+    assert out == [100.0]
+    assert detect_outliers([1.0, 2.0])[0] == []
+
+
+def test_stability_rating():
+    from gpuaudiobench_tpu.harness.statistics import stability_rating
+
+    cv, rating = stability_rating([1.0, 1.01, 0.99, 1.0])
+    assert rating == "excellent"
+    cv, rating = stability_rating([1.0, 3.0, 0.2, 2.5])
+    assert rating == "poor"
+
+
+def test_compare_runs():
+    from gpuaudiobench_tpu.harness.statistics import compare_runs
+
+    assert compare_runs([2.0, 2.0], [1.0, 1.0]) == pytest.approx(50.0)
+    assert compare_runs([1.0], [2.0]) == pytest.approx(-100.0)
