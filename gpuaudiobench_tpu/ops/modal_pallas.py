@@ -30,11 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MODE_TILE = 32768  # modes per grid step: (256 sublanes, 128 lanes).
-# Swept on v5e (1M modes x 512 samples): 2048 -> 27 ms, 8192 -> 8.9 ms,
-# 32768 -> ~3 ms kernel time; larger tiles with the 8x sample unroll
-# exceed the 16 MB scoped-VMEM budget (double-buffered tiles + unroll
-# temporaries), so 32768 is the sweet spot.
+MODE_TILE = 65536  # modes per grid step: (512 sublanes, 128 lanes).
+# Swept on v5e (1M modes x 512 samples, 8x unroll): 16384 -> 1.88 ms,
+# 32768 -> 2.10 ms, 65536 -> 1.66 ms kernel time; 131072 exceeds the
+# 16 MB scoped-VMEM budget (double-buffered tiles + unroll temporaries).
 
 
 def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
