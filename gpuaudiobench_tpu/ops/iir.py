@@ -42,7 +42,7 @@ def iir_biquad_xla(x: jax.Array, coeffs: jax.Array, state: jax.Array):
         y = b0 * w + b1 * z1 + b2 * z2
         return (w, z1), y
 
-    (z1, z2), yt = jax.lax.scan(step, (state[:, 0], state[:, 1]), xt)
+    (z1, z2), yt = jax.lax.scan(step, (state[:, 0], state[:, 1]), xt, unroll=8)
     return yt.T, jnp.stack([z1, z2], axis=1)
 
 

@@ -48,7 +48,7 @@ def modal_bank_xla(
         return (new_re, new_im), contrib
 
     (re, im), out_sn = jax.lax.scan(
-        step, (state_re, state_im), None, length=buffer_size
+        step, (state_re, state_im), None, length=buffer_size, unroll=4
     )
     return out_sn.T, re, im  # (T_out, S)
 

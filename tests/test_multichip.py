@@ -107,3 +107,17 @@ def test_data_parallel_requires_divisibility():
     bench = create_benchmark("gain", cfg)
     with pytest.raises(ValueError):
         bench.setup()
+
+
+def test_fdtd_sharded_matches_single_device(mesh8):
+    """Domain-decomposed FDTD (x-axis over the mesh, ppermute halo
+    exchange) reproduces the single-device program."""
+    from gpuaudiobench_tpu.ops.fdtd3d import fdtd3d_block, zero_fields
+    from gpuaudiobench_tpu.parallel.fdtd_sharded import make_fdtd_sharded_block
+    from gpuaudiobench_tpu.utils.data import generate_random_audio
+
+    x = generate_random_audio(4 * 16, 42).reshape(4, 16)
+    ref, *_ = fdtd3d_block(jnp.asarray(x), *zero_fields())
+    fn = make_fdtd_sharded_block(mesh8, axis="sp")
+    out = fn(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
