@@ -119,3 +119,25 @@ def test_json_schema():
     assert "p99_ms" in out["statistics"]
     assert out["deadline"]["threshold_ms"] == cfg.deadline_ms()
     assert isinstance(json.loads(s), dict)
+
+
+def test_category_selection():
+    _, names, err = parse_args(["--category", "physical"])
+    assert err is None
+    assert names == ["DWG1DNaive", "DWG1DAccel", "FDTD3D"]
+    _, names, _ = parse_args(["--category", "basic", "--category", "memory"])
+    assert set(names) == {"NoOp", "gain", "GainStats", "RndMemRead"}
+    _, _, err = parse_args(["--category", "bogus"])
+    assert err is not None
+
+
+def test_transfer_mib_flag():
+    cfg, _, err = parse_args(["--transferMiB", "100"])
+    assert err is None
+    assert cfg.transfer_mib == 100
+
+
+def test_data_parallel_flag():
+    cfg, _, err = parse_args(["--dataParallel", "4"])
+    assert err is None
+    assert cfg.data_parallel == 4
