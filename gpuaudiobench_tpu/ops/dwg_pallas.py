@@ -2,12 +2,17 @@
 
 The XLA path (ops/dwg.py) carries the rails through a lax.scan with
 per-row gathers/scatters at the circular positions -- XLA lowers those
-to serialized scatter ops (~10 ms/block measured). This kernel keeps
-both rails VMEM-resident for the whole block and replaces the
-per-waveguide dynamic indexing with one-hot lane masks: waveguides on
-the 128 sublanes, delay positions on the lanes, so "read rail at
-position cur_g" is a compare + masked lane-reduce and "write back" is a
-masked select -- all full-width VPU passes, no scatter.
+to serialized scatter ops (~10 ms/block measured). This kernel keeps a
+group of waveguides' rails VMEM-resident for the whole block and
+replaces the per-waveguide dynamic indexing with one-hot lane masks:
+waveguides on the 128 sublanes, delay positions on the lanes, so "read
+rail at position cur_g" is a compare + masked lane-reduce and "write
+back" is a masked select -- all full-width VPU passes, no scatter.
+
+The grid iterates over groups of 128 waveguides (a full (128, Lpad)
+rail pair is ~2 MB of VMEM; 1024+ voices would blow the 16 MB budget in
+one block), accumulating each group's contribution into the shared mono
+output -- race-free because Pallas TPU runs grid steps sequentially.
 
 Layout: rails (G, Lpad) with Lpad = delay capacity rounded to 128
 lanes; per-waveguide parameters as (G, 1) columns broadcasting along
@@ -23,11 +28,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+WG_GROUP = 128  # waveguides per grid step
+
 
 def _dwg_kernel(x_ref, fwd_in, bwd_in, lengths_ref, itap_ref, otap_ref,
                 gain_ref, refl_ref, damp_ref,
                 out_ref, fwd_out, bwd_out,
                 *, buffer_size: int, mix: float):
+    step = pl.program_id(0)
     g, lpad = fwd_in.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (g, lpad), 1)
     lengths = lengths_ref[...]  # (G, 1) int32
@@ -58,7 +66,10 @@ def _dwg_kernel(x_ref, fwd_in, bwd_in, lengths_ref, itap_ref, otap_ref,
         bwd = jnp.where(is_bpos, f * refl, bwd)
 
         contrib = jnp.where(cur == otap, (f + b) * jnp.float32(mix), 0.0)
-        out_ref[0, n] = jnp.sum(contrib)
+        # SMEM allows scalar accesses only: first group seeds the output
+        # cell, later groups accumulate (grid steps run sequentially).
+        prev = jnp.where(step == 0, jnp.float32(0.0), out_ref[0, n])
+        out_ref[0, n] = prev + jnp.sum(contrib)
         return (fwd, bwd)
 
     fwd, bwd = jax.lax.fori_loop(
@@ -84,7 +95,8 @@ def dwg_block_pallas(
     g, lmax = fwd.shape
     s = x.shape[0]
     lpad = -(-lmax // 128) * 128
-    gpad = -(-g // 8) * 8
+    gpad = -(-g // WG_GROUP) * WG_GROUP
+    n_groups = gpad // WG_GROUP
 
     def pad2(a):
         return jnp.pad(a, ((0, gpad - g), (0, lpad - lmax)))
@@ -92,28 +104,37 @@ def dwg_block_pallas(
     def col_f(a):
         return jnp.pad(a.astype(jnp.float32), (0, gpad - g)).reshape(gpad, 1)
 
-    def col_i(a):
+    def col_i(a, fill):
         # padded rows get length 1 so modulo stays defined; taps -1 so
         # they never fire
-        padded = jnp.pad(a.astype(jnp.int32), (0, gpad - g), constant_values=1)
+        padded = jnp.pad(a.astype(jnp.int32), (0, gpad - g),
+                         constant_values=fill)
         return padded.reshape(gpad, 1)
 
     mix = 0.5  # WAVEGUIDE_MIX_FACTOR (benchmark_constants.cuh)
     kernel = functools.partial(_dwg_kernel, buffer_size=s, mix=mix)
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
 
-    itap_padded = jnp.pad(
-        input_taps.astype(jnp.int32), (0, gpad - g), constant_values=-1
-    ).reshape(gpad, 1)
-    otap_padded = jnp.pad(
-        output_taps.astype(jnp.int32), (0, gpad - g), constant_values=-1
-    ).reshape(gpad, 1)
+    def rail_spec():
+        return pl.BlockSpec((WG_GROUP, lpad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec():
+        return pl.BlockSpec((WG_GROUP, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
 
     out, fwd_o, bwd_o = pl.pallas_call(
         kernel,
-        in_specs=[smem()] + [vmem()] * 8,
-        out_specs=[smem(), vmem(), vmem()],
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rail_spec(), rail_spec(),
+            col_spec(), col_spec(), col_spec(),
+            col_spec(), col_spec(), col_spec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rail_spec(), rail_spec(),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((1, s), jnp.float32),
             jax.ShapeDtypeStruct((gpad, lpad), jnp.float32),
@@ -121,7 +142,7 @@ def dwg_block_pallas(
         ],
     )(
         x.reshape(1, s), pad2(fwd), pad2(bwd),
-        col_i(lengths), itap_padded, otap_padded,
+        col_i(lengths, 1), col_i(input_taps, -1), col_i(output_taps, -1),
         col_f(gains), col_f(reflections), col_f(dampings),
     )
     return out[0], fwd_o[:g, :lmax], bwd_o[:g, :lmax]
