@@ -11,13 +11,14 @@ aligned length distribution, DWG1DAccelBenchmark.swift:15-86) -- on TPU
 both variants compile to the same fused scan, with the power-of-2
 lengths exercising the strength-reduced modulo.
 
-Divergence (documented): the reference re-uploads the *evolved* rails
-each iteration and still validates the last iteration's output against a
-single-pass-from-zero golden (bench_dwg.cu:203-247 vs :350) -- with
-reflection 0.99 the string rings across iterations, so that check is
-time-dependent. Here the rails are re-uploaded as zeros each iteration
-(same bytes moved, same measured transfer) making every iteration
-identical to the golden pass.
+State semantics: like the reference, the evolved rails round-trip
+host<->device every iteration (bench_dwg.cu:203-247) so the strings keep
+ringing across blocks (writePos stays 0; each block re-walks positions
+0..S-1 over the evolved rails, bench_dwg.cu:339). Unlike the reference
+-- whose golden is a single pass from silence, making its check
+time-dependent -- validation here runs the NumPy reference once per
+performed iteration and compares the LAST block, so the carried-state
+behavior is what actually gets validated.
 """
 
 from __future__ import annotations
@@ -38,8 +39,9 @@ MIX_FACTOR = 0.5  # benchmark_constants.cuh WAVEGUIDE_MIX_FACTOR
 
 
 def dwg_reference(x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp):
-    """Float32 single-pass golden, vectorized over waveguides
-    (bench_dwg.cu:356-399)."""
+    """Float32 one-block golden, vectorized over waveguides
+    (bench_dwg.cu:356-399); returns (out, fwd', bwd') so repeated calls
+    reproduce the reference's carried-rails evolution."""
     fwd = fwd.copy()
     bwd = bwd.copy()
     g = fwd.shape[0]
@@ -110,12 +112,10 @@ class DWGBenchmark(Benchmark):
             dev.to_device(self._zero_rails),
         )
 
-        self.golden, self.golden_fwd, self.golden_bwd = dwg_reference(
-            self.host_input, self._zero_rails, self._zero_rails,
-            self.lengths, self.in_taps, self.out_taps,
-            self.gains, self.refl, self.damp,
-        )
         self.host_output = None
+        self.host_fwd = self._zero_rails.copy()
+        self.host_bwd = self._zero_rails.copy()
+        self._invocations = 0
 
         # Single-transfer readback: pack mono output + both rails.
         import jax
@@ -143,28 +143,54 @@ class DWGBenchmark(Benchmark):
         )
 
     def iterate(self) -> None:
-        # Upload input + both rails (the reference moves rails both ways
-        # every iteration, bench_dwg.cu:203-247).
+        # Upload input + the EVOLVED rails; download them back (the
+        # reference moves rails both ways every iteration,
+        # bench_dwg.cu:203-247) -- the strings ring across blocks.
         x = dev.to_device(self.host_input)
-        fwd = dev.to_device(self._zero_rails)
-        bwd = dev.to_device(self._zero_rails)
+        fwd = dev.to_device(self.host_fwd)
+        bwd = dev.to_device(self.host_bwd)
         buf = dev.from_device(self._step(x, fwd, bwd))
         s = self.buffer_size
         rails = self.track_count * MAX_LENGTH
         self.host_output = buf[:s]
         self.host_fwd = buf[s:s + rails].reshape(self.track_count, MAX_LENGTH)
         self.host_bwd = buf[s + rails:].reshape(self.track_count, MAX_LENGTH)
+        self._invocations += 1
 
     def device_iterate(self) -> None:
         out, _, _ = self._run(self._resident_input, *self._resident_rails)
         dev.block(out)
 
     def validate(self) -> ValidationData:
-        return compare_abs(
-            self.host_output, self.golden, self.tolerance,
+        if self.cfg.verification == "none":
+            return compare_abs(
+                self.host_output, self.host_output, self.tolerance,
+                mode="none", label=self.name,
+            )
+        # Golden: run the NumPy reference once per performed iteration,
+        # carrying the rails, and compare the final block.
+        fwd = self._zero_rails.copy()
+        bwd = self._zero_rails.copy()
+        golden = None
+        for _ in range(self._invocations):
+            golden, fwd, bwd = dwg_reference(
+                self.host_input, fwd, bwd,
+                self.lengths, self.in_taps, self.out_taps,
+                self.gains, self.refl, self.damp,
+            )
+        v = compare_abs(
+            self.host_output, golden, self.tolerance,
             mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
             label=self.name,
         )
+        v.merge_failure(
+            compare_abs(
+                self.host_fwd, fwd, self.tolerance,
+                mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+                label=f"{self.name} rails",
+            )
+        )
+        return v
 
     def bytes_processed(self) -> int:
         # input + mono output + both rails in each direction

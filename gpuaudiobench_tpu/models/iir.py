@@ -1,16 +1,14 @@
 """IIRFilter: per-track 2nd-order Butterworth lowpass biquad at fs/4,
 Q = 0.707, Direct Form II (cuda/bench_iir.cu).
 
-Divergence (documented): the reference's d_state persists across
-iterations (bench_iir.cu:19-43) while its golden is a single pass from
-zero state -- after iteration 2 the early block samples reflect the
-carried entry state and the comparison is time-dependent (the entry
-state perturbs y[0..~10] by O(0.1), far above the 1e-4 tolerance).
-Here the zero state is re-uploaded at the start of every measured
-iteration (same bytes moved as the reference's per-iteration state
-D2H), making every iteration identical to the golden pass. The *final*
-state is still validated against the golden's final state
-(bench_iir.cu:108-117).
+State semantics: like the reference, the filter state (z1, z2) per
+track persists on-device across iterations (bench_iir.cu:19-43, written
+back every run and never reset) and is read back each iteration
+(bench_iir.cu:102). Unlike the reference -- whose golden is a single
+pass from zero state, so its check is time-dependent after iteration 2
+-- validation here runs the float32 NumPy reference once per performed
+iteration, carrying state, and compares the LAST block's output and
+final state (bench_iir.cu:105-117 tolerances).
 """
 
 from __future__ import annotations
@@ -52,10 +50,10 @@ class IIRBenchmark(StandardBufferBenchmark):
         self.coeffs = biquad_lowpass_coefficients(0.25)  # fs/4 (bench_iir.cu:151)
         self._coeffs_dev = self.put_replicated(np.array(self.coeffs, dtype=np.float32))
         self._zero_state = np.zeros((self.track_count, 2), np.float32)
-        self._state_dev = dev.to_device(self._zero_state)
-        self.golden, self.golden_state = iir_reference(
-            self.host_input, self.coeffs, self._zero_state
-        )
+        self._state_dev = self.put_spec(self._zero_state, "dp") \
+            if self._sharding is not None else dev.to_device(self._zero_state)
+        self._timing_state = self._state_dev  # frozen copy for device timing
+        self._invocations = 0
         self.host_state = None
         self._impl = self.resolve_impl()
 
@@ -68,26 +66,40 @@ class IIRBenchmark(StandardBufferBenchmark):
 
         def _step(x, c, z):
             y, z2 = iir_biquad(x, c, z, impl=impl)
-            return jnp.concatenate([y.ravel(), z2.ravel()])
+            return z2, jnp.concatenate([y.ravel(), z2.ravel()])
 
         self._step = jax.jit(_step)
         self.iterate()
 
     def iterate(self) -> None:
+        # State stays device-resident and evolves across iterations
+        # (the reference's persistent d_state); output + state read back
+        # in one packed transfer (bench_iir.cu:100-102).
         x = self.put_input(self.host_input)
-        state = dev.to_device(self._zero_state, self._sharding)
-        buf = dev.from_device(self._step(x, self._coeffs_dev, state))
+        self._state_dev, buf_dev = self._step(
+            x, self._coeffs_dev, self._state_dev
+        )
+        buf = dev.from_device(buf_dev)
         n = self.total_elements()
         self.host_output = buf[:n].reshape(self.track_count, self.buffer_size)
         self.host_state = buf[n:].reshape(self.track_count, 2)
+        self._invocations += 1
 
     def device_iterate(self) -> None:
         y, _ = iir_biquad(
-            self._resident_input, self._coeffs_dev, self._state_dev, impl=self._impl
+            self._resident_input, self._coeffs_dev, self._timing_state,
+            impl=self._impl,
         )
         dev.block(y)
 
     def validate(self) -> ValidationData:
+        # Multi-iteration golden: carry the float32 state exactly as the
+        # device does, validate the final block + state.
+        state = self._zero_state.copy()
+        golden = None
+        for _ in range(self._invocations):
+            golden, state = iir_reference(self.host_input, self.coeffs, state)
+        self.golden, self.golden_state = golden, state
         v = compare_abs(
             self.host_output, self.golden, self.tolerance,
             mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
