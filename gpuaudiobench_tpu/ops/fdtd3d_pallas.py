@@ -72,30 +72,32 @@ def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
         (x_i == 0) | (x_i == n - 1) | (y_i == 0) | (y_i == n - 1)
         | (z_i == 0) | (z_i == n - 1)
     )
-    interior_p = (valid & ~edge).astype(jnp.float32)
-    boundary_p = (valid & edge).astype(jnp.float32)
-    keep_p = 1.0 - interior_p - boundary_p  # padded cells: unchanged
+    interior_b = valid & ~edge
+    boundary_b = valid & edge
 
-    # Velocity interior masks: staggered index 1..n-1 on the staggered
-    # axis, 0..n-1 on the others (bench_fdtd3d.cu:26-56).
-    fmx = ((x_i >= 1) & (x_i <= n - 1) & (y_i < n) & (z_i < n)).astype(jnp.float32)
-    fmy = ((y_i >= 1) & (y_i <= n - 1) & (x_i < n) & (z_i < n)).astype(jnp.float32)
-    fmz = ((z_i >= 1) & (z_i <= n - 1) & (x_i < n) & (y_i < n)).astype(jnp.float32)
+    # Velocity interior masks (staggered index 1..n-1 on the staggered
+    # axis, bench_fdtd3d.cu:26-56), premultiplied by dt/(rho*dx) so the
+    # update is a single fused multiply-subtract per field.
+    fmx = k1 * ((x_i >= 1) & (x_i <= n - 1) & (y_i < n) & (z_i < n)).astype(jnp.float32)
+    fmy = k1 * ((y_i >= 1) & (y_i <= n - 1) & (x_i < n) & (z_i < n)).astype(jnp.float32)
+    fmz = k1 * ((z_i >= 1) & (z_i <= n - 1) & (x_i < n) & (y_i < n)).astype(jnp.float32)
 
     src_mask = ((x_i == sx) & (y_i == sy) & (z_i == sz)).astype(jnp.float32)
     rcv_mask = ((x_i == rx) & (y_i == ry) & (z_i == rz)).astype(jnp.float32)
 
     def substep(_, fields):
         p, vx, vy, vz = fields
-        vx = vx - k1 * fmx * (p - _shift_down(p))
-        vy = vy - k1 * fmy * (p - _roll_lanes(p, PAD_N))
-        vz = vz - k1 * fmz * (p - _roll_lanes(p, 1))
+        vx = vx - fmx * (p - _shift_down(p))  # k1 premultiplied into masks
+        vy = vy - fmy * (p - _roll_lanes(p, PAD_N))
+        vz = vz - fmz * (p - _roll_lanes(p, 1))
         div = (
             (_shift_up(vx) - vx)
             + (_roll_lanes(vy, -PAD_N) - vy)
             + (_roll_lanes(vz, -1) - vz)
         )
-        p = interior_p * (p - k2 * div) + boundary_p * (p * absorb) + keep_p * p
+        p = jnp.where(
+            interior_b, p - k2 * div, jnp.where(boundary_b, p * absorb, p)
+        )
         return (p, vx, vy, vz)
 
     def per_sample(smp, fields):
