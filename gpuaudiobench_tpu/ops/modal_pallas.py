@@ -31,9 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MODE_TILE = 65536  # modes per grid step: (512 sublanes, 128 lanes).
-# Swept on v5e (1M modes x 512 samples, 8x unroll): 16384 -> 1.88 ms,
-# 32768 -> 2.10 ms, 65536 -> 1.66 ms kernel time; 131072 exceeds the
-# 16 MB scoped-VMEM budget (double-buffered tiles + unroll temporaries).
+# Swept on v5e (1M modes x 512 samples): 16384 -> 1.88 ms, 32768 ->
+# 2.10 ms, 65536 -> 1.66 ms (8x unroll) -> 1.49 ms (16x unroll);
+# 131072 exceeds the 16 MB scoped-VMEM budget.
 
 
 def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
@@ -48,7 +48,7 @@ def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
     cos_w = cos_ref[:, :]
     sin_w = sin_ref[:, :]
     folds = 128 // output_tracks  # 128 % output_tracks == 0 (caller checks)
-    unroll = 8 if buffer_size % 8 == 0 else 1
+    unroll = 16 if buffer_size % 16 == 0 else (8 if buffer_size % 8 == 0 else 1)
 
     def fold(new_re):
         # mode -> track fold: flat index f = r*128 + lane, and since
