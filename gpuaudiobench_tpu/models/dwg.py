@@ -95,6 +95,26 @@ class DWGBenchmark(Benchmark):
             g.random(self.buffer_size, dtype=np.float32) * 2 - 1
         ).astype(np.float32)
 
+        # Stable partition: waveguides with L >= bufferSize first. The
+        # arc-window kernel (ops/dwg_arc.py) handles long rows with a
+        # fully-parallel elementwise path and needs the split to be a
+        # static row boundary. A pure relabeling: the mono output sum
+        # and the per-row rail validation use the permuted parameters
+        # consistently. Applied after all RNG draws so the sampled
+        # values match the reference's stream.
+        order = np.argsort(self.lengths < self.buffer_size, kind="stable")
+        self.lengths = self.lengths[order]
+        self.in_taps = self.in_taps[order]
+        self.out_taps = self.out_taps[order]
+        self.gains = self.gains[order]
+        self.refl = self.refl[order]
+        self.damp = self.damp[order]
+        self._n_long = int((self.lengths >= self.buffer_size).sum())
+        shorts = self.lengths[self.lengths < self.buffer_size]
+        self._n_rounds = (
+            int(-(-self.buffer_size // int(shorts.min()))) if shorts.size else 0
+        )
+
         self._zero_rails = np.zeros((n_wg, MAX_LENGTH), np.float32)
         self.track_alloc("delayRails", self._zero_rails.nbytes * 4)  # fwd+bwd, host+dev
         self.track_alloc("ioBuffers", self.buffer_size * 4 * 4)
@@ -131,11 +151,12 @@ class DWGBenchmark(Benchmark):
     def _run(self, x, fwd, bwd):
         c = self._consts
         if dev.resolve_impl(self.cfg.impl) == "pallas":
-            from gpuaudiobench_tpu.ops.dwg_pallas import dwg_block_pallas
+            from gpuaudiobench_tpu.ops.dwg_arc import dwg_block_arc
 
-            return dwg_block_pallas(
+            return dwg_block_arc(
                 x, fwd, bwd, c["lengths"], c["in_taps"], c["out_taps"],
                 c["gains"], c["refl"], c["damp"],
+                n_long=self._n_long, n_rounds=self._n_rounds,
             )
         return dwg_block(
             x, fwd, bwd, c["lengths"], c["in_taps"], c["out_taps"],

@@ -128,3 +128,57 @@ def test_iir_cascade_pallas(rng):
         yp, zp = iir_cascade_pallas(x, coeffs, states, track_block=8)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(y), atol=1e-5)
     np.testing.assert_allclose(np.asarray(zp), np.stack(zs), atol=1e-5)
+
+
+@pytest.mark.parametrize("s,lengths", [
+    # mixed long/short around S, incl. L == S and L just above/below
+    (48, [100, 96, 48, 49, 5, 8, 33, 40, 47]),
+    # all long (pure elementwise path, no pallas sub-call)
+    (32, [40, 64, 33, 32]),
+    # all short (pure one-hot path)
+    (64, [5, 8, 12, 63]),
+])
+def test_dwg_arc_matches_xla(rng, s, lengths):
+    from gpuaudiobench_tpu.ops.dwg import dwg_block
+    from gpuaudiobench_tpu.ops.dwg_arc import dwg_block_arc
+
+    lengths = np.array(lengths, np.int32)
+    # pre-partition: long (L >= s) first, stable — the model does this
+    order = np.argsort(lengths < s, kind="stable")
+    lengths = lengths[order]
+    n_long = int((lengths >= s).sum())
+    shorts = lengths[lengths < s]
+    n_rounds = int(-(-s // int(shorts.min()))) if shorts.size else 0
+    g_count = len(lengths)
+    max_len = int(lengths.max())
+    in_taps = (lengths // 4).astype(np.int32)
+    out_taps = (3 * lengths // 4).astype(np.int32)
+    gains = rng.random(g_count, dtype=np.float32)
+    refl = np.full(g_count, 0.99, np.float32)
+    damp = np.full(g_count, 0.9999, np.float32)
+    x = (rng.random(s, dtype=np.float32) * 2 - 1).astype(np.float32)
+    fwd = (rng.random((g_count, max_len), dtype=np.float32) * 0.1).astype(np.float32)
+    bwd = (rng.random((g_count, max_len), dtype=np.float32) * 0.1).astype(np.float32)
+
+    # two chained blocks so the carried-rail path is exercised too
+    ref_out, ref_f, ref_b = dwg_block(
+        x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp
+    )
+    ref_out2, ref_f2, ref_b2 = dwg_block(
+        x, ref_f, ref_b, lengths, in_taps, out_taps, gains, refl, damp
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, f_o, b_o = dwg_block_arc(
+            x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp,
+            n_long=n_long, n_rounds=n_rounds,
+        )
+        out2, f_o2, b_o2 = dwg_block_arc(
+            x, np.asarray(f_o), np.asarray(b_o), lengths, in_taps, out_taps,
+            gains, refl, damp, n_long=n_long, n_rounds=n_rounds,
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_o), np.asarray(ref_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_o), np.asarray(ref_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref_out2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_o2), np.asarray(ref_f2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_o2), np.asarray(ref_b2), atol=1e-6)
