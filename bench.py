@@ -25,14 +25,12 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 BASELINE_PC_P50_MS = 3.168  # BASELINE.md: Modal 1M modes, RTX 4070 p50
-PIPELINE_DEPTH = 64
+PIPELINE_DEPTH = 256
 
 
 def main() -> int:
-    import jax
     import numpy as np
 
     from gpuaudiobench_tpu.config import BenchConfig
@@ -47,6 +45,7 @@ def main() -> int:
         write_latencies=False,
         device_timing=False,
         verification="spot",
+        pipeline_depth=PIPELINE_DEPTH,  # harness saturated/streaming pass
     )
     bench = create_benchmark("ModalFilterBank", cfg)
     bench.setup()
@@ -72,33 +71,10 @@ def main() -> int:
         )
         return 1
 
-    # Saturated throughput: PIPELINE_DEPTH consecutive blocks in ONE
-    # executable with phasor state carried across blocks (streaming
-    # synthesis -- the continuous workload the per-block iteration
-    # approximates), amortizing per-dispatch RPC overhead. blocks/sec/chip
-    # = depth / wall.
-    from gpuaudiobench_tpu.ops.modal_pallas import modal_bank_stream
-
-    d = bench._dev
-
-    def stream(depth: int):
-        return modal_bank_stream(
-            d["amp"], d["cos_w"], d["sin_w"], d["state_re"], d["state_im"],
-            cfg.buffer_size, bench.output_tracks, depth,
-        )
-
-    def saturated_ms(depth: int, reps: int = 3) -> float:
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            outs, _, _ = stream(depth)
-            jax.block_until_ready(outs)
-            dt = (time.perf_counter() - t0) / depth * 1e3
-            best = min(best, dt)
-        return best
-
-    saturated_ms(PIPELINE_DEPTH, reps=1)  # compile
-    per_block = saturated_ms(PIPELINE_DEPTH)
+    # Saturated throughput from the harness streaming pass: PIPELINE_DEPTH
+    # consecutive blocks in ONE executable with phasor state carried across
+    # blocks (harness/streaming.py), amortizing per-dispatch RPC overhead.
+    per_block = result.saturated_statistics.min_val
 
     print(
         json.dumps(

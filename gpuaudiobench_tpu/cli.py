@@ -58,6 +58,11 @@ def print_help() -> None:
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
+    print("  --modalModes [n]         ModalFilterBank mode count")
+    print("                           (default: min(1024*nTracks, 1M))")
+    print("  --pipelineDepth [n]      Also measure saturated throughput:")
+    print("                           n blocks per executable, state carried")
+    print("  --captureDir [dir]       Profiler trace directory for --capture")
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
     print()
@@ -111,6 +116,9 @@ def parse_args(argv: List[str]):
         "--poolMiB": ("rndmem_pool_mb", int),
         "--transferMiB": ("transfer_mib", int),
         "--dataParallel": ("data_parallel", int),
+        "--modalModes": ("modal_num_modes", int),
+        "--pipelineDepth": ("pipeline_depth", int),
+        "--captureDir": ("capture_dir", str),
         "--seed": ("seed", int),
         "--latenciesFile": ("latencies_file", str),
     }

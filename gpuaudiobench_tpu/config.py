@@ -69,6 +69,12 @@ class BenchConfig:
     # Multi-chip: shard the track axis over this many devices (1 = single chip).
     data_parallel: int = 1
 
+    # Saturated/streaming pass: run this many blocks per executable
+    # (lax.scan, state carried) and report marginal ms/block +
+    # blocks/sec next to the round-trip stats. 0/1 = off.
+    pipeline_depth: int = 0
+    saturated_reps: int = 5
+
     def deadline_ms(self) -> float:
         """Real-time deadline: 1000*BUFSIZE/FS ms (cuda/globals.cu:55,89)."""
         return 1000.0 * self.buffer_size / self.fs

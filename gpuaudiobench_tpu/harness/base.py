@@ -48,6 +48,11 @@ class BenchmarkResult:
     metadata: Dict[str, Any] = dataclasses.field(default_factory=dict)
     # DAW-sim deadline tracking (Statistics.swift:172-192).
     deadline_miss_rate: Optional[float] = None
+    # Saturated/streaming pass (--pipelineDepth): marginal ms/block with
+    # the dispatch pipeline kept full (N blocks per executable).
+    pipeline_depth: int = 0
+    saturated_latencies: List[float] = dataclasses.field(default_factory=list)
+    saturated_statistics: Optional[LatencyStats] = None
 
 
 class Benchmark:
@@ -86,6 +91,18 @@ class Benchmark:
 
     def supports_device_timing(self) -> bool:
         return True
+
+    def stream_body(self):
+        """Optional streaming-mode hook (--pipelineDepth): return
+        ``(step_fn, carry)`` where ``step_fn(carry) -> (carry', probe)``
+        runs ONE block on device-resident data, carrying state where the
+        benchmark has it. The harness jits a lax.scan of N steps and
+        times the chained executable (harness/streaming.py). Stateless
+        blocks should use ``streaming.barrier_chain`` so XLA cannot
+        hoist the loop-invariant body. None = unsupported (e.g.
+        datacopy*, whose entire point is the host<->device round trip).
+        """
+        return None
 
     def validate(self) -> ValidationData:
         raise NotImplementedError

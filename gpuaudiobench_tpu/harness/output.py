@@ -24,6 +24,10 @@ CSV_HEADER = (
     "benchmark,fs,bufferSize,nTracks,nRuns,min_ms,max_ms,avg_ms,"
     "p50_ms,p95_ms,p99_ms,threshold_ms,meets_deadline"
 )
+# Extension columns emitted when --pipelineDepth is active: marginal
+# per-block latency with the dispatch pipeline kept full, and its
+# reciprocal throughput. Blank for benchmarks without a streaming mode.
+CSV_SATURATED_COLS = ",saturated_p50_ms,blocks_per_sec"
 
 
 def _csv_stats(latencies, cfg: BenchConfig):
@@ -44,14 +48,22 @@ def write_csv_results(result: BenchmarkResult, cfg: BenchConfig, filename: str) 
         return
     mn, mx, avg, p50, p95, p99, threshold = _csv_stats(result.latencies, cfg)
     meets = p99 <= threshold
+    saturated_mode = cfg.pipeline_depth > 1
+    extra = ""
+    if saturated_mode:
+        if result.saturated_statistics is not None:
+            sat_p50 = csv_percentile(sorted(result.saturated_latencies), 0.50)
+            extra = f",{sat_p50:g},{1000.0 / sat_p50:g}" if sat_p50 > 0 else ",,"
+        else:
+            extra = ",,"
     write_header = not os.path.exists(filename)
     with open(filename, "a") as f:
         if write_header:
-            f.write(CSV_HEADER + "\n")
+            f.write(CSV_HEADER + (CSV_SATURATED_COLS if saturated_mode else "") + "\n")
         f.write(
             f"{result.benchmark_name},{cfg.fs},{cfg.buffer_size},{cfg.n_tracks},"
             f"{len(result.latencies)},{mn:g},{mx:g},{avg:g},{p50:g},{p95:g},"
-            f"{p99:g},{threshold:g},{'true' if meets else 'false'}\n"
+            f"{p99:g},{threshold:g},{'true' if meets else 'false'}{extra}\n"
         )
     print(f"Results saved to: {filename}")
 
@@ -106,6 +118,18 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
             "mean_ms": d.mean,
             "min_ms": d.min_val,
             "max_ms": d.max_val,
+        }
+    if result.saturated_statistics is not None:
+        ss = result.saturated_statistics
+        sat_p50 = csv_percentile(sorted(result.saturated_latencies), 0.50)
+        out["saturated"] = {
+            "pipeline_depth": result.pipeline_depth,
+            "p50_ms": sat_p50,
+            "mean_ms": ss.mean,
+            "min_ms": ss.min_val,
+            "blocks_per_sec": 1000.0 / sat_p50 if sat_p50 > 0 else 0.0,
+            "reps": ss.count,
+            "meets_deadline": bool(sat_p50 <= cfg.deadline_ms()),
         }
     out["performance"] = {
         "throughput_gbps": result.throughput_gbps,
@@ -195,6 +219,16 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
         print(f"Device Median:  {d.median:.3f} ms")
         print(f"Device P95:     {d.p95:.3f} ms")
         print(f"Device Mean:    {d.mean:.3f} ms")
+
+    if result.saturated_statistics is not None:
+        ss = result.saturated_statistics
+        sat_p50 = csv_percentile(sorted(result.saturated_latencies), 0.50)
+        verdict = "meets" if sat_p50 <= threshold else "MISSES"
+        print(
+            f"Saturated (depth {result.pipeline_depth}): "
+            f"p50 {sat_p50:.3f} ms/block, min {ss.min_val:.3f}, "
+            f"{1000.0 / sat_p50:.1f} blocks/s ({verdict} deadline)"
+        )
 
     print("\nPerformance Metrics:")
     print(f"Throughput:        {result.throughput_gbps:.3f} GB/s")

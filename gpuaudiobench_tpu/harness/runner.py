@@ -96,6 +96,30 @@ def run_benchmark(
             except NotImplementedError:
                 pass
 
+        # Saturated/streaming pass: marginal per-block cost with the
+        # dispatch pipeline kept full (--pipelineDepth blocks per
+        # executable, state carried). The chip-meaningful number on
+        # relay/RPC-backed runtimes where single-block round trips sit
+        # on a synchronization floor.
+        if cfg.pipeline_depth > 1:
+            body = benchmark.stream_body()
+            if body is None:
+                if verbose:
+                    print(
+                        f"Note: {benchmark.name} has no streaming mode "
+                        "(round-trip is the workload); skipping saturated pass."
+                    )
+            else:
+                from gpuaudiobench_tpu.harness.streaming import measure_saturated
+
+                step_fn, carry = body
+                sat = measure_saturated(
+                    step_fn, carry, cfg.pipeline_depth, cfg.saturated_reps
+                )
+                result.pipeline_depth = cfg.pipeline_depth
+                result.saturated_latencies = sat
+                result.saturated_statistics = calculate_statistics(sat)
+
         # Derived metrics (bench_base.cu:110-115).
         result.bytes_processed = benchmark.bytes_processed()
         result.mean_latency_ms = result.statistics.mean

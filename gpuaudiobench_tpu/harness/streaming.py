@@ -1,0 +1,90 @@
+"""Saturated/streaming measurement: N blocks per executable.
+
+The reference's timed iteration (cuda/bench_base.cu:59-118) measures one
+host->device->kernel->host round trip. The TPU analog of the chip's
+steady-state capability is the *marginal* per-block cost with the
+dispatch pipeline kept full: a ``lax.scan`` of ``--pipelineDepth``
+blocks inside ONE executable, with state carried where the benchmark
+has it (IIR z, DWG rails, modal phasors, FDTD fields, RndMem
+playheads).
+
+Stateless block bodies are chained through
+``jax.lax.optimization_barrier`` so XLA cannot hoist the loop-invariant
+block out of the scan (it would otherwise compute one block and
+broadcast it -- a fake saturated number). Each step also emits a tiny
+probe slice of its output which the scan stacks, so no block can be
+dead-code-eliminated.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Tuple
+
+
+def probe(y) -> "jax.Array":  # noqa: F821 - lazy jax import
+    """Tiny per-block residue: 1 element of the (possibly pytree) output.
+
+    The scan stacks these, keeping every block live at negligible
+    stacking cost.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(y)[0]
+    return leaf.ravel()[:1]
+
+
+def barrier_chain(fn: Callable, *inputs) -> Tuple[Callable, tuple]:
+    """``stream_body`` helper for STATELESS blocks.
+
+    Carries the inputs themselves and ties the next block's inputs to
+    the previous block's output via ``optimization_barrier``, forcing
+    sequential execution of identical blocks.
+    """
+    import jax
+
+    def step(carry):
+        y = fn(*carry)
+        carry2, y2 = jax.lax.optimization_barrier((carry, y))
+        return carry2, probe(y2)
+
+    return step, tuple(inputs)
+
+
+def measure_saturated(
+    step_fn: Callable,
+    carry,
+    depth: int,
+    reps: int = 5,
+) -> List[float]:
+    """Per-block wall latencies (ms) over ``reps`` runs of a
+    ``depth``-block chained executable.
+
+    Synchronization is a REAL device-to-host read of the stacked probes
+    (depth elements), not ``block_until_ready``: data cannot arrive
+    before the computation finishes, so the wall time is trustworthy
+    even on relay/RPC-backed runtimes where block_until_ready can
+    return at the transport floor without waiting for device
+    completion. The read costs one fixed RPC, amortized across the
+    depth like the dispatch overhead it sits next to.
+    """
+    import jax
+    import numpy as np
+
+    @jax.jit
+    def chained(c):
+        def f(c, _):
+            return step_fn(c)
+
+        c, probes = jax.lax.scan(f, c, None, length=depth)
+        return probes
+
+    _ = np.asarray(chained(carry))  # compile + warm
+
+    latencies = []
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        out = np.asarray(chained(carry))
+        latencies.append((time.perf_counter() - t0) / depth * 1000.0)
+        del out
+    return latencies

@@ -89,6 +89,32 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
             )
         )
 
+    def stream_body(self):
+        import jax.numpy as jnp
+
+        from gpuaudiobench_tpu.harness.streaming import probe
+
+        impl = self._impl
+        x, coeffs = self._resident_input, self._coeffs_dev
+
+        if impl == "pallas":
+            from gpuaudiobench_tpu.ops.iir import iir_cascade_pallas
+
+            cascade = iir_cascade_pallas
+        else:
+            def cascade(x, coeffs, states):
+                y, zs = x, []
+                for k in range(NUM_STAGES):
+                    y, z = iir_biquad_xla(y, coeffs[k], states[k])
+                    zs.append(z)
+                return y, jnp.stack(zs)
+
+        def step(states):
+            y, zs = cascade(x, coeffs, states)
+            return zs, probe(y)
+
+        return step, dev.to_device(self._zero_state)
+
     def validate(self) -> ValidationData:
         v = compare_abs(
             self.host_output, self.golden, self.tolerance,

@@ -66,5 +66,13 @@ class Conv1DBenchmark(StandardBufferBenchmark):
     def device_iterate(self) -> None:
         dev.block(conv1d_direct(self._resident_input, self._ir_dev, self.edge_mode))
 
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+        return barrier_chain(
+            lambda x: conv1d_direct(x, self._ir_dev, self.edge_mode),
+            self._resident_input,
+        )
+
     def metadata(self):
         return {"irLength": self.ir_length, "edgeMode": self.edge_mode}

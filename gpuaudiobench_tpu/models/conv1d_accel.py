@@ -75,6 +75,16 @@ class Conv1DAccelBenchmark(StandardBufferBenchmark):
             )
         )
 
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+        return barrier_chain(
+            lambda x: conv1d_fft(
+                x, self._ir_spec_dev, self.fft_size, self.buffer_size
+            ),
+            self._resident_input,
+        )
+
     def validate(self) -> ValidationData:
         # Relative-to-peak metric (error <= tol * max|golden|, the DSP
         # full-scale convention): the reference's per-sample relative

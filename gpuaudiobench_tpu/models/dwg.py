@@ -182,6 +182,18 @@ class DWGBenchmark(Benchmark):
         out, _, _ = self._run(self._resident_input, *self._resident_rails)
         dev.block(out)
 
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import probe
+
+        x, run = self._resident_input, self._run
+
+        def step(carry):
+            fwd, bwd = carry
+            out, f2, b2 = run(x, fwd, bwd)
+            return (f2, b2), probe(out)
+
+        return step, self._resident_rails
+
     def validate(self) -> ValidationData:
         if self.cfg.verification == "none":
             return compare_abs(

@@ -110,6 +110,17 @@ class FDTD3DBenchmark(Benchmark):
         out, *_ = self._block(self._resident_input, *self._zero_fields)
         dev.block(out)
 
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import probe
+
+        x, block = self._resident_input, self._block
+
+        def step(fields):
+            out, *new_fields = block(x, *fields)
+            return tuple(new_fields), probe(out)
+
+        return step, self._zero_fields
+
     def validate(self) -> ValidationData:
         return compare_abs(
             self.host_output, self.golden, self.tolerance,

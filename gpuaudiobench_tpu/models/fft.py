@@ -65,6 +65,13 @@ class FFTBenchmark(Benchmark):
         re, im = rfft_batched(self._resident_input, self.fft_size)
         dev.block((re, im))
 
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+        return barrier_chain(
+            lambda x: rfft_batched(x, self.fft_size), self._resident_input
+        )
+
     def validate(self) -> ValidationData:
         return compare_complex(
             self.host_re, self.host_im, self.golden_re, self.golden_im,

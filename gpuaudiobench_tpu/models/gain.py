@@ -27,3 +27,10 @@ class GainBenchmark(StandardBufferBenchmark):
 
     def device_iterate(self) -> None:
         dev.block(gain_op(self._resident_input, GAIN_VALUE))
+
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+        return barrier_chain(
+            lambda x: gain_op(x, GAIN_VALUE), self._resident_input
+        )

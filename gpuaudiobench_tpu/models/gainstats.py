@@ -52,6 +52,13 @@ class GainStatsBenchmark(StandardBufferBenchmark):
     def device_iterate(self) -> None:
         dev.block(gain_stats_op(self._resident_input, GAINSTATS_GAIN))
 
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+        return barrier_chain(
+            lambda x: gain_stats_op(x, GAINSTATS_GAIN), self._resident_input
+        )
+
     def validate(self) -> ValidationData:
         v = compare_abs(
             self.host_output, self.golden, self.tolerance,

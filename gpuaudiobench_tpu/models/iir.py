@@ -92,6 +92,18 @@ class IIRBenchmark(StandardBufferBenchmark):
         )
         dev.block(y)
 
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import probe
+
+        impl = self._impl
+        x, c = self._resident_input, self._coeffs_dev
+
+        def step(z):
+            y, z2 = iir_biquad(x, c, z, impl=impl)
+            return z2, probe(y)
+
+        return step, self._timing_state
+
     def validate(self) -> ValidationData:
         # Multi-iteration golden: carry the float32 state exactly as the
         # device does, validate the final block + state.

@@ -118,6 +118,42 @@ class ModalFilterBankBenchmark(Benchmark):
         out, _, _ = self._run()
         dev.block(out)
 
+    def stream_body(self):
+        # Streaming synthesis carries the ROTATED phasor states across
+        # blocks. modal_bank_pallas cannot be chained directly (its
+        # contract returns the unchanged input states for Metal parity
+        # -- XLA would hoist the loop-invariant body out of the scan and
+        # compute one block); chain through the amp-prefolded core step.
+        from gpuaudiobench_tpu.harness.streaming import probe
+
+        d, s, t = self._dev, self.buffer_size, self.output_tracks
+        if self._impl == "pallas":
+            from gpuaudiobench_tpu.ops import modal_pallas as mp
+
+            tile = mp.stream_tile(self.padded_modes, t)
+            if tile is not None:
+                def step(carry):
+                    re, im = carry
+                    out_sn, re2, im2 = mp.modal_folded_step(
+                        d["cos_w"], d["sin_w"], re, im, s, t, tile
+                    )
+                    return (re2, im2), probe(out_sn)
+
+                return step, (
+                    d["amp"] * d["state_re"], d["amp"] * d["state_im"]
+                )
+
+        from gpuaudiobench_tpu.ops.modal import modal_bank_xla
+
+        def step(carry):
+            re, im = carry
+            out, re2, im2 = modal_bank_xla(
+                d["amp"], d["cos_w"], d["sin_w"], re, im, s, t
+            )
+            return (re2, im2), probe(out)
+
+        return step, (d["state_re"], d["state_im"])
+
     def validate(self) -> ValidationData:
         # Relative-to-peak metric (error <= tol * max|golden|): summing
         # thousands of f32 mode contributions carries ~1e-5-relative-to-

@@ -29,3 +29,8 @@ class NoOpBenchmark(StandardBufferBenchmark):
 
     def device_iterate(self) -> None:
         dev.block(copy_op(self._resident_input))
+
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+        return barrier_chain(copy_op, self._resident_input)

@@ -80,6 +80,24 @@ class RndMemBenchmark(Benchmark):
         ph = dev.to_device(self.playheads)
         dev.block(self._gather(self._pool_dev, ph, self._out_template))
 
+    def stream_body(self):
+        import jax.numpy as jnp
+
+        from gpuaudiobench_tpu.harness.streaming import probe
+
+        pool, tmpl, gather = self._pool_dev, self._out_template, self._gather
+        starts = dev.to_device(self.playheads_start.astype(np.int32))
+        ends = dev.to_device(self.playheads_end.astype(np.int32))
+        s = self.buffer_size
+
+        def step(ph):
+            out = gather(pool, ph, tmpl)
+            ph2 = ph + s
+            ph2 = jnp.where(ph2 >= ends, starts, ph2)  # _update_playheads
+            return ph2, probe(out)
+
+        return step, dev.to_device(self.playheads)
+
     def validate(self) -> ValidationData:
         t, s = self.track_count, self.buffer_size
         idx = self.last_playheads[:, None].astype(np.int64) + np.arange(s)[None, :]

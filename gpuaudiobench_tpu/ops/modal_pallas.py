@@ -185,6 +185,29 @@ def _modal_folded(cos_w, sin_w, re_f, im_f, buffer_size, output_tracks, tile):
     return out_sn, re_o.reshape(m), im_o.reshape(m)
 
 
+def stream_tile(m: int, output_tracks: int, mode_tile: int = MODE_TILE):
+    """Mode-tile size for block-chained streaming (None if the mode
+    count cannot tile evenly -- callers fall back to the XLA scan)."""
+    if 128 % output_tracks != 0:
+        return None
+    tile = min(mode_tile, m)
+    align = math.lcm(128, output_tracks)
+    if tile % align != 0:
+        tile = align * max(1, tile // align)
+    return tile if m % tile == 0 else None
+
+
+def modal_folded_step(cos_w, sin_w, re_f, im_f, buffer_size, output_tracks,
+                      tile):
+    """One streaming block on amp-prefolded phasor states: returns
+    (out (S, T_out), re', im') with the TRUE rotated states, enabling
+    block chaining (unlike modal_bank_pallas, whose contract returns
+    the unchanged inputs for Metal parity)."""
+    return _modal_folded(
+        cos_w, sin_w, re_f, im_f, buffer_size, output_tracks, tile
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("buffer_size", "output_tracks", "n_blocks", "mode_tile"),
@@ -208,11 +231,8 @@ def modal_bank_stream(
     if 128 % output_tracks != 0:
         raise ValueError("output_tracks must divide 128 for the pallas path")
     m = amp.shape[0]
-    tile = min(mode_tile, m)
-    align = math.lcm(128, output_tracks)
-    if tile % align != 0:
-        tile = align * max(1, tile // align)
-    if m % tile != 0:
+    tile = stream_tile(m, output_tracks, mode_tile)
+    if tile is None:
         raise ValueError("mode count must be a multiple of the tile size")
 
     def body(carry, _):
