@@ -38,6 +38,10 @@ class BenchmarkResult:
     # Device-only latencies (separate timing pass on HBM-resident data).
     device_latencies: List[float] = dataclasses.field(default_factory=list)
     device_statistics: Optional[LatencyStats] = None
+    # How device time was obtained: "xplane" (profiler trace, the
+    # cudaEvent analog), "pipeline-slope" (depth-differenced marginal
+    # cost), or "wall" (synchronized dispatch wall clock).
+    device_timing_method: str = ""
     # Derived performance metrics (cuda/bench_base.cu:110-115).
     bytes_processed: int = 0
     mean_latency_ms: float = 0.0

@@ -118,6 +118,7 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
             "mean_ms": d.mean,
             "min_ms": d.min_val,
             "max_ms": d.max_val,
+            "method": result.device_timing_method,
         }
     if result.saturated_statistics is not None:
         ss = result.saturated_statistics
@@ -216,9 +217,10 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
 
     if result.device_statistics is not None:
         d = result.device_statistics
-        print(f"Device Median:  {d.median:.3f} ms")
-        print(f"Device P95:     {d.p95:.3f} ms")
-        print(f"Device Mean:    {d.mean:.3f} ms")
+        method = f" [{result.device_timing_method}]" if result.device_timing_method else ""
+        print(f"Device Median:  {d.median:.4f} ms{method}")
+        print(f"Device P95:     {d.p95:.4f} ms")
+        print(f"Device Mean:    {d.mean:.4f} ms")
 
     if result.saturated_statistics is not None:
         ss = result.saturated_statistics

@@ -80,21 +80,20 @@ def run_benchmark(
         result.latencies = latencies
         result.statistics = calculate_statistics(latencies)
 
-        # Device-only timing pass (the cudaEvent analog): time the jitted
-        # computation on HBM-resident inputs, excluding host transfers.
+        # Device-only timing pass (the cudaEvent / gpuStartTime analog):
+        # on-device execution time from the profiler trace, or marginal
+        # pipeline-slope time where the runtime forwards no device trace
+        # (harness/device_timing.py).
         if cfg.device_timing and benchmark.supports_device_timing():
-            try:
-                benchmark.device_iterate()  # warm the resident-input path
-                dev_latencies = []
-                for _ in range(cfg.n_runs):
-                    t0 = time.perf_counter()
-                    benchmark.device_iterate()
-                    t1 = time.perf_counter()
-                    dev_latencies.append((t1 - t0) * 1000.0)
+            from gpuaudiobench_tpu.harness.device_timing import (
+                measure_device_times,
+            )
+
+            dev_latencies, method = measure_device_times(benchmark, cfg)
+            if dev_latencies:
                 result.device_latencies = dev_latencies
                 result.device_statistics = calculate_statistics(dev_latencies)
-            except NotImplementedError:
-                pass
+                result.device_timing_method = method
 
         # Saturated/streaming pass: marginal per-block cost with the
         # dispatch pipeline kept full (--pipelineDepth blocks per

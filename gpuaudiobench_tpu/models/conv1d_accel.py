@@ -44,8 +44,9 @@ class Conv1DAccelBenchmark(StandardBufferBenchmark):
         self.fft_size = next_pow2(self.ir_length + self.buffer_size - 1)
         self.setup_standard_buffers()
         self.ir = conv1d_impulse_responses(self.track_count, self.ir_length)
-        # Stays device-resident as complex64 (this runtime cannot pull
-        # complex arrays to host; it never needs to).
+        # Spectra stay device-resident as a float32 (re, im) pair:
+        # complex64 buffers cannot cross host<->device on some PJRT
+        # runtimes (ops/conv.py:precompute_ir_spectra).
         import jax
 
         spec = precompute_ir_spectra(dev.to_device(self.ir), self.fft_size)

@@ -67,17 +67,25 @@ def conv1d_direct(x: jax.Array, ir: jax.Array, edge_mode: str = "clamp") -> jax.
     return _depthwise_conv(x_padded, ir)
 
 
-def precompute_ir_spectra(ir: jax.Array, fft_size: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("fft_size",))
+def precompute_ir_spectra(ir: jax.Array, fft_size: int):
     """IR spectra for fast convolution (precomputeImpulseResponseFFTs
-    analog, cuda/bench_conv1d_accel.cu:254-304). Returns complex64
-    (T, fft_size//2+1)."""
-    return jnp.fft.rfft(ir, n=fft_size, axis=-1)
+    analog, cuda/bench_conv1d_accel.cu:254-304). Returns float32
+    (re, im), each (T, fft_size//2+1): some PJRT runtimes cannot
+    transfer complex64 buffers at all, and a complex array crossing a
+    jit capture boundary may be re-staged through the host -- float
+    pairs keep the spectra portable while the complex math stays inside
+    the jitted program."""
+    spec = jnp.fft.rfft(ir, n=fft_size, axis=-1)
+    return jnp.real(spec).astype(jnp.float32), jnp.imag(spec).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("fft_size", "out_len"))
-def conv1d_fft(x: jax.Array, ir_spec: jax.Array, fft_size: int, out_len: int):
+def conv1d_fft(x: jax.Array, ir_spec, fft_size: int, out_len: int):
     """Fast convolution: irfft(rfft(x) * ir_spec)[:, :out_len].
-    x: (T, S) real; ir_spec: (T, F) complex64. Returns (T, out_len)."""
+    x: (T, S) real; ir_spec: (re, im) float32 pair, each (T, F).
+    Returns (T, out_len)."""
+    sr, si = ir_spec
     spec = jnp.fft.rfft(x, n=fft_size, axis=-1)
-    y = jnp.fft.irfft(spec * ir_spec, n=fft_size, axis=-1)
+    y = jnp.fft.irfft(spec * jax.lax.complex(sr, si), n=fft_size, axis=-1)
     return y[:, :out_len].astype(jnp.float32)
