@@ -69,6 +69,70 @@ class Benchmark:
         self.buffer_size = cfg.buffer_size
         self.track_count = cfg.n_tracks
         self._allocations: Dict[str, int] = {}
+        self._sharding = None
+        # Set by setup_sharding(); the runner refuses to run a benchmark
+        # under --dataParallel that never declared its sharded axis, so
+        # the flag can never silently no-op.
+        self._dp_ready = False
+
+    # -- data-parallel sharding (--dataParallel: SPMD over a "dp" mesh) ----
+    def setup_sharding(self, axis_size: int, axis_label: str = "nTracks") -> None:
+        """Declare the benchmark's data-parallel axis; call from setup()
+        with the size of the axis that shards over the dp mesh."""
+        self._dp_ready = True
+        self._sharding = None
+        if self.cfg.data_parallel > 1:
+            if axis_size % self.cfg.data_parallel != 0:
+                raise ValueError(
+                    f"{axis_label} ({axis_size}) must be divisible by "
+                    f"--dataParallel ({self.cfg.data_parallel})"
+                )
+            from gpuaudiobench_tpu.utils import device as dev
+
+            self._sharding = dev.dp_sharding(self.cfg.data_parallel)
+
+    def put_sharded(self, host_array):
+        """H2D placement, leading axis sharded over the dp mesh when
+        --dataParallel > 1 (XLA SPMD partitions the jitted programs)."""
+        from gpuaudiobench_tpu.utils import device as dev
+
+        return dev.to_device(host_array, self._sharding)
+
+    def put_replicated(self, a):
+        """Auxiliary arrays must live on the same mesh as sharded inputs."""
+        from gpuaudiobench_tpu.utils import device as dev
+
+        if self._sharding is None:
+            return dev.to_device(a)
+        import jax
+
+        rep = jax.sharding.NamedSharding(
+            self._sharding.mesh, jax.sharding.PartitionSpec()
+        )
+        return jax.device_put(a, rep)
+
+    def put_spec(self, a, *axes):
+        """Place with an explicit PartitionSpec on the dp mesh ("dp" or
+        None per axis); plain device placement when unsharded."""
+        from gpuaudiobench_tpu.utils import device as dev
+
+        if self._sharding is None:
+            return dev.to_device(a)
+        import jax
+
+        s = jax.sharding.NamedSharding(
+            self._sharding.mesh, jax.sharding.PartitionSpec(*axes)
+        )
+        return jax.device_put(a, s)
+
+    def resolve_impl(self) -> str:
+        """Concrete impl choice; SPMD sharding forces the xla path
+        (pallas_call does not auto-partition)."""
+        from gpuaudiobench_tpu.utils import device as dev
+
+        if self.cfg.data_parallel > 1:
+            return "xla"
+        return dev.resolve_impl(self.cfg.impl)
 
     # -- allocation tracking (BufferManager.totalMemoryAllocated analog,
     # metal-swift/.../BenchmarkUtilities.swift:30-77) ---------------------

@@ -29,6 +29,11 @@ def run_benchmark(
     verbose: bool = True,
 ) -> BenchmarkResult:
     cfg = cfg or benchmark.cfg
+    if cfg.data_parallel > 1 and not benchmark._dp_ready:
+        raise ValueError(
+            f"{benchmark.name} does not support --dataParallel "
+            "(no sharded axis declared in setup)"
+        )
     result = BenchmarkResult(
         benchmark_name=benchmark.name,
         buffer_size=benchmark.buffer_size,

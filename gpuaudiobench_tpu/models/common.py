@@ -32,48 +32,11 @@ class StandardBufferBenchmark(Benchmark):
         return data.reshape(self.track_count, self.buffer_size)
 
     def put_input(self, host_array: np.ndarray):
-        """H2D placement; shards the track axis over a dp mesh when
-        --dataParallel > 1 (XLA SPMD partitions the jitted programs;
-        forces the xla impl since pallas_call does not auto-partition)."""
-        return dev.to_device(host_array, self._sharding)
-
-    def put_replicated(self, a):
-        """Auxiliary arrays (coefficients, IR banks when not track-major)
-        must live on the same mesh as the sharded inputs."""
-        if self._sharding is None:
-            return dev.to_device(a)
-        import jax
-
-        rep = jax.sharding.NamedSharding(
-            self._sharding.mesh, jax.sharding.PartitionSpec()
-        )
-        return jax.device_put(a, rep)
-
-    def put_spec(self, a, *axes):
-        """Place with an explicit PartitionSpec on the dp mesh ("dp" or
-        None per axis); plain device placement when unsharded."""
-        if self._sharding is None:
-            return dev.to_device(a)
-        import jax
-
-        s = jax.sharding.NamedSharding(
-            self._sharding.mesh, jax.sharding.PartitionSpec(*axes)
-        )
-        return jax.device_put(a, s)
-
-    def resolve_impl(self) -> str:
-        if self.cfg.data_parallel > 1:
-            return "xla"
-        return dev.resolve_impl(self.cfg.impl)
+        """H2D placement, track axis dp-sharded (Benchmark.put_sharded)."""
+        return self.put_sharded(host_array)
 
     def setup_standard_buffers(self) -> None:
-        self._sharding = None
-        if self.cfg.data_parallel > 1:
-            if self.track_count % self.cfg.data_parallel != 0:
-                raise ValueError(
-                    "nTracks must be divisible by --dataParallel"
-                )
-            self._sharding = dev.dp_sharding(self.cfg.data_parallel)
+        self.setup_sharding(self.track_count)
         self.host_input = self.make_input()
         self._resident_input = self.put_input(self.host_input)
         nbytes = self.host_input.nbytes

@@ -47,10 +47,19 @@ class DataTransferBenchmark(Benchmark):
         self._resident_input = None
 
     def setup(self) -> None:
+        # dp shards the flat transfer across devices (parallel host->HBM
+        # DMA lanes); both portions must split evenly.
+        self.setup_sharding(self.input_size, "input floats")
+        if self.cfg.data_parallel > 1 and \
+                self.output_size % self.cfg.data_parallel != 0:
+            raise ValueError(
+                f"output floats ({self.output_size}) must be divisible "
+                f"by --dataParallel ({self.cfg.data_parallel})"
+            )
         self.host_input = generate_uniform01(self.input_size, self.cfg.seed)
         self.track_alloc("inputBuffers", self.input_size * 4 * 2)
         self.track_alloc("outputBuffers", self.output_size * 4 * 2)
-        self._resident_input = dev.to_device(self.host_input)
+        self._resident_input = self.put_sharded(self.host_input)
         idx = np.arange(self.output_size, dtype=np.float32)
         synth = (0.5 + 0.5 * np.sin(idx * np.float32(0.001))).astype(np.float32)
         n = min(self.input_size, self.output_size)
@@ -60,7 +69,7 @@ class DataTransferBenchmark(Benchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
+        x = self.put_sharded(self.host_input)
         y = data_transfer_op(x, self.output_size)
         self.host_output = dev.from_device(y)
 

@@ -115,21 +115,22 @@ class DWGBenchmark(Benchmark):
             int(-(-self.buffer_size // int(shorts.min()))) if shorts.size else 0
         )
 
+        self.setup_sharding(n_wg, "waveguides (nTracks)")
         self._zero_rails = np.zeros((n_wg, MAX_LENGTH), np.float32)
         self.track_alloc("delayRails", self._zero_rails.nbytes * 4)  # fwd+bwd, host+dev
         self.track_alloc("ioBuffers", self.buffer_size * 4 * 4)
         self._consts = {
-            "lengths": dev.to_device(self.lengths),
-            "in_taps": dev.to_device(self.in_taps),
-            "out_taps": dev.to_device(self.out_taps),
-            "gains": dev.to_device(self.gains),
-            "refl": dev.to_device(self.refl),
-            "damp": dev.to_device(self.damp),
+            "lengths": self.put_sharded(self.lengths),
+            "in_taps": self.put_sharded(self.in_taps),
+            "out_taps": self.put_sharded(self.out_taps),
+            "gains": self.put_sharded(self.gains),
+            "refl": self.put_sharded(self.refl),
+            "damp": self.put_sharded(self.damp),
         }
-        self._resident_input = dev.to_device(self.host_input)
+        self._resident_input = self.put_replicated(self.host_input)
         self._resident_rails = (
-            dev.to_device(self._zero_rails),
-            dev.to_device(self._zero_rails),
+            self.put_sharded(self._zero_rails),
+            self.put_sharded(self._zero_rails),
         )
 
         self.host_output = None
@@ -150,7 +151,7 @@ class DWGBenchmark(Benchmark):
 
     def _run(self, x, fwd, bwd):
         c = self._consts
-        if dev.resolve_impl(self.cfg.impl) == "pallas":
+        if self.resolve_impl() == "pallas":
             from gpuaudiobench_tpu.ops.dwg_arc import dwg_block_arc
 
             return dwg_block_arc(
@@ -167,9 +168,9 @@ class DWGBenchmark(Benchmark):
         # Upload input + the EVOLVED rails; download them back (the
         # reference moves rails both ways every iteration,
         # bench_dwg.cu:203-247) -- the strings ring across blocks.
-        x = dev.to_device(self.host_input)
-        fwd = dev.to_device(self.host_fwd)
-        bwd = dev.to_device(self.host_bwd)
+        x = self.put_replicated(self.host_input)
+        fwd = self.put_sharded(self.host_fwd)
+        bwd = self.put_sharded(self.host_bwd)
         buf = dev.from_device(self._step(x, fwd, bwd))
         s = self.buffer_size
         rails = self.track_count * MAX_LENGTH

@@ -30,11 +30,12 @@ class FFTBenchmark(Benchmark):
 
     def setup(self) -> None:
         t, s = self.track_count, self.buffer_size
+        self.setup_sharding(t)
         n = min(s, self.fft_size)
         data = generate_random_audio(t * n, self.cfg.seed).reshape(t, n)
         self.host_input = np.zeros((t, self.fft_size), np.float32)
         self.host_input[:, :n] = data
-        self._resident_input = dev.to_device(self.host_input)
+        self._resident_input = self.put_sharded(self.host_input)
         self.track_alloc("inputBuffers", self.host_input.nbytes * 2)
         self.track_alloc("outputBuffers", t * self.bins * 8 * 2)
         spec = np.fft.rfft(self.host_input.astype(np.float64), axis=-1)
@@ -56,7 +57,7 @@ class FFTBenchmark(Benchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        x = dev.to_device(self.host_input)
+        x = self.put_sharded(self.host_input)
         buf = dev.from_device(self._step(x))
         self.host_re = buf[..., 0]
         self.host_im = buf[..., 1]

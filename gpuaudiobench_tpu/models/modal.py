@@ -90,14 +90,15 @@ class ModalFilterBankBenchmark(Benchmark):
             "amp": amp, "cos_w": cos_w, "sin_w": sin_w,
             "state_re": sre, "state_im": sim,
         }
-        self._dev = {k: dev.to_device(v) for k, v in self.params.items()}
+        self.setup_sharding(mp, "modes (padded)")
+        self._dev = {k: self.put_sharded(v) for k, v in self.params.items()}
         self.track_alloc("modeParams", self.num_modes * NUM_MODE_PARAMS * 4)
         self.track_alloc("outputBuffer", self.output_tracks * self.buffer_size * 4)
         self.golden = modal_reference(
             amp, cos_w, sin_w, sre, sim, self.buffer_size, self.output_tracks
         )
         self.host_output = None
-        self._impl = dev.resolve_impl(self.cfg.impl)
+        self._impl = self.resolve_impl()
         self.iterate()
 
     def _run(self):

@@ -36,8 +36,9 @@ class RndMemBenchmark(Benchmark):
 
     def setup(self) -> None:
         t = self.track_count
+        self.setup_sharding(t)
         self.host_pool = generate_uniform01(self.pool_elems, self.cfg.seed)
-        self._pool_dev = dev.to_device(self.host_pool)  # one-time 512 MiB upload
+        self._pool_dev = self.put_replicated(self.host_pool)  # one-time 512 MiB upload
         self.track_alloc("samplePool", self.host_pool.nbytes * 2)  # host+device
         self.track_alloc("outputBuffer", t * self.buffer_size * 4 * 2)
         g = np.random.Generator(np.random.MT19937(self.cfg.seed))
@@ -50,11 +51,11 @@ class RndMemBenchmark(Benchmark):
         self.playheads_end = ends.astype(np.int64)
         self.playheads = starts.astype(np.int32)
         self.last_playheads = self.playheads.copy()
-        self._out_template = dev.to_device(
+        self._out_template = self.put_sharded(
             np.zeros((t, self.buffer_size), np.float32)
         )
         self.host_output = None
-        self._impl = dev.resolve_impl(self.cfg.impl)
+        self._impl = self.resolve_impl()
         if self._impl == "pallas":
             from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
 
@@ -64,7 +65,7 @@ class RndMemBenchmark(Benchmark):
         self.iterate()
 
     def iterate(self) -> None:
-        ph = dev.to_device(self.playheads)
+        ph = self.put_sharded(self.playheads)
         out = self._gather(self._pool_dev, ph, self._out_template)
         self.host_output = dev.from_device(out).ravel()  # (S,T) flat interleaved
         self.last_playheads = self.playheads.copy()
@@ -77,7 +78,7 @@ class RndMemBenchmark(Benchmark):
         self.playheads = wrapped.astype(np.int32)
 
     def device_iterate(self) -> None:
-        ph = dev.to_device(self.playheads)
+        ph = self.put_sharded(self.playheads)
         dev.block(self._gather(self._pool_dev, ph, self._out_template))
 
     def stream_body(self):

@@ -121,3 +121,87 @@ def test_fdtd_sharded_matches_single_device(mesh8):
     fn = make_fdtd_sharded_block(mesh8, axis="sp")
     out = fn(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("NoOp", {}),
+    ("Conv1D_accel", {}),
+    ("BiquadChain", {}),
+    ("FFT1D", {}),
+    ("ModalFilterBank", {}),
+    ("DWG1DNaive", {}),
+    ("DWG1DAccel", {}),
+    ("RndMemRead", {"rndmem_pool_mb": 8}),
+    ("datacopy5050", {"transfer_mib": 1}),
+    ("datacopy2080", {"transfer_mib": 10}),
+])
+def test_data_parallel_full_coverage(name, kw):
+    """Round 2: --dataParallel must never silently no-op. Every
+    benchmark either shards its parallel axis (tracks / modes /
+    waveguides / transfer pool) over the dp mesh, or fails fast."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = BenchConfig(
+        buffer_size=64, n_tracks=16, n_runs=2, warmup=1,
+        write_latencies=False, device_timing=False, data_parallel=8,
+        **kw,
+    )
+    bench = create_benchmark(name, cfg)
+    bench.setup()
+    bench.iterate()
+    v = bench.validate()
+    assert v.passed, v.messages[:3]
+    assert bench._sharding is not None  # really sharded, not a no-op
+
+
+def test_data_parallel_datacopy_divisibility():
+    """Indivisible transfer portions fail fast with a clear error."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = BenchConfig(transfer_mib=1, data_parallel=8, n_runs=1, warmup=0,
+                      write_latencies=False, device_timing=False)
+    bench = create_benchmark("datacopy2080", cfg)
+    with pytest.raises(ValueError, match="divisible by --dataParallel"):
+        bench.setup()
+
+
+def test_data_parallel_fdtd_fails_fast():
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = BenchConfig(
+        buffer_size=64, n_tracks=8, n_runs=2, warmup=1,
+        write_latencies=False, device_timing=False, data_parallel=8,
+    )
+    bench = create_benchmark("FDTD3D", cfg)
+    with pytest.raises(ValueError, match="domain decomposition"):
+        bench.setup()
+
+
+def test_data_parallel_guard_in_runner():
+    """A benchmark that never declares a sharded axis cannot run under
+    --dataParallel."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.harness.base import Benchmark
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+
+    cfg = BenchConfig(n_runs=1, warmup=0, data_parallel=8,
+                      write_latencies=False, device_timing=False)
+
+    class Opaque(Benchmark):
+        name = "opaque"
+
+        def setup(self):
+            pass
+
+        def iterate(self):
+            pass
+
+    b = Opaque(cfg)
+    b.setup()
+    with pytest.raises(ValueError, match="does not support --dataParallel"):
+        run_benchmark(b, cfg, verbose=False)
