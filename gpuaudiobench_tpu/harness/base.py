@@ -178,6 +178,13 @@ class Benchmark:
     def metadata(self) -> Dict[str, Any]:
         return {}
 
+    def cost_model(self):
+        """Algorithmic per-block cost for roofline accounting
+        (utils/roofline.py): {"flops", "hbm_bytes", "unit"} or None.
+        flops = required arithmetic; hbm_bytes = minimum HBM traffic
+        assuming perfect on-chip reuse (inputs + outputs + state)."""
+        return None
+
     def cleanup(self) -> None:
         pass
 

@@ -237,6 +237,19 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
     print(f"Samples/sec:       {result.samples_per_sec:.0f}")
     print(f"Bytes processed:   {result.bytes_processed}")
 
+    rl = result.metadata.get("roofline") if result.metadata else None
+    if rl:
+        flops_pct = rl.get("flops_pct_of_peak")
+        flops_part = (
+            f"{rl['achieved_gflops']:.1f} GFLOP/s"
+            + (f" ({flops_pct:.1f}% of {rl['unit']} peak)" if flops_pct is not None else "")
+        )
+        print(
+            f"Roofline [{rl['basis']}]: {flops_part}, "
+            f"{rl['achieved_gbps']:.1f} GB/s HBM ({rl['hbm_pct_of_peak']:.1f}% "
+            f"of peak) -> {rl['bound']}-bound"
+        )
+
     if result.deadline_miss_rate is not None:
         print(f"Deadline miss rate: {result.deadline_miss_rate:.1f}%")
 

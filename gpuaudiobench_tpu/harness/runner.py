@@ -139,6 +139,36 @@ def run_benchmark(
 
         result.validation = benchmark.validate()
         result.metadata = benchmark.metadata()
+
+        # Roofline / MFU accounting: algorithmic cost over measured
+        # on-device block time (utils/roofline.py). Prefers the device
+        # time (xplane / pipeline-slope); falls back to the saturated
+        # per-block time when the device pass is off.
+        cost = benchmark.cost_model()
+        if cost is not None:
+            candidates = []
+            if result.device_statistics is not None and \
+                    result.device_timing_method in ("xplane", "pipeline-slope"):
+                candidates.append((
+                    result.device_statistics.median,
+                    f"device:{result.device_timing_method}",
+                ))
+            if result.saturated_statistics is not None:
+                candidates.append(
+                    (result.saturated_statistics.median, "saturated")
+                )
+            # Bodies below timer resolution (slope clamps at 0) fall
+            # through to the next basis.
+            block_ms, basis = next(
+                ((ms, b) for ms, b in candidates if ms > 0), (0.0, "")
+            )
+            if block_ms > 0:
+                from gpuaudiobench_tpu.utils.roofline import roofline_metrics
+
+                rl = roofline_metrics(cost, block_ms)
+                if rl is not None:
+                    rl["basis"] = basis
+                    result.metadata["roofline"] = rl
         mem = benchmark.memory_report()
         if mem:
             result.metadata["memory"] = mem

@@ -130,5 +130,13 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
         )
         return v
 
+    def cost_model(self):
+        n = self.total_elements()
+        return {
+            "flops": 9 * NUM_STAGES * n,
+            "hbm_bytes": (2 * n + 4 * NUM_STAGES * self.track_count) * 4,
+            "unit": "vpu",
+        }
+
     def metadata(self):
         return {"numStages": NUM_STAGES}

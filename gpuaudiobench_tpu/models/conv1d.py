@@ -74,5 +74,13 @@ class Conv1DBenchmark(StandardBufferBenchmark):
             self._resident_input,
         )
 
+    def cost_model(self):
+        t, s, l = self.track_count, self.buffer_size, self.ir_length
+        return {
+            "flops": 2 * t * s * l,  # MAC per (sample, tap)
+            "hbm_bytes": (2 * t * s + t * l) * 4,
+            "unit": "mxu",
+        }
+
     def metadata(self):
         return {"irLength": self.ir_length, "edgeMode": self.edge_mode}

@@ -86,6 +86,18 @@ class Conv1DAccelBenchmark(StandardBufferBenchmark):
             self._resident_input,
         )
 
+    def cost_model(self):
+        t, s, f = self.track_count, self.buffer_size, self.fft_size
+        import math
+
+        fft_flops = 2.5 * f * math.log2(f)  # real-FFT flop model, per track
+        bins = f // 2 + 1
+        return {
+            "flops": int(t * (2 * fft_flops + 6 * bins)),
+            "hbm_bytes": (t * s * 2 + t * bins * 2) * 4,
+            "unit": "vpu",  # XLA TPU FFT runs on the vector unit
+        }
+
     def validate(self) -> ValidationData:
         # Relative-to-peak metric (error <= tol * max|golden|, the DSP
         # full-scale convention): the reference's per-sample relative

@@ -83,6 +83,14 @@ class DataTransferBenchmark(Benchmark):
             label=self.name,
         )
 
+    def cost_model(self):
+        return {
+            "flops": 2 * self.output_size,  # sin synth beyond the copy
+            "hbm_bytes": (self.input_size + self.output_size) * 4,
+            "unit": "vpu",
+            "note": "measured path is host<->HBM, not HBM<->VMEM",
+        }
+
     def bytes_processed(self) -> int:
         return (self.input_size + self.output_size) * 4
 

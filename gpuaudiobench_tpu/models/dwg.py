@@ -226,6 +226,18 @@ class DWGBenchmark(Benchmark):
         )
         return v
 
+    def cost_model(self):
+        import numpy as np
+
+        g, s = self.track_count, self.buffer_size
+        touched = int(np.minimum(self.lengths, s).sum()) if hasattr(self, "lengths") \
+            else g * min(MAX_LENGTH, s)
+        return {
+            "flops": 10 * g * s,
+            "hbm_bytes": (2 * 2 * 2 * touched + 2 * s) * 4,  # 2 rails, r+w, +io
+            "unit": "vpu",
+        }
+
     def bytes_processed(self) -> int:
         # input + mono output + both rails in each direction
         rails = 2 * self.track_count * MAX_LENGTH * 4

@@ -135,6 +135,18 @@ class FDTD3DBenchmark(Benchmark):
             label=self.name,
         )
 
+    def cost_model(self):
+        n, s = op.GRID_N, self.buffer_size
+        cells = n ** 3
+        substeps = s * op.STEPS_PER_SAMPLE
+        fields_bytes = (cells + 3 * (n + 1) * n * n) * 4
+        return {
+            "flops": 20 * cells * substeps,  # 3x 2pt grads + 7pt div + scales
+            "hbm_bytes": 2 * fields_bytes + self.track_count * s * 4 * 2,
+            "unit": "vpu",
+            "note": "fields VMEM-resident across the whole block",
+        }
+
     def metadata(self):
         return {
             "impl": self._impl,

@@ -87,5 +87,15 @@ class FFTBenchmark(Benchmark):
         # real input + complex output (bench_fft.cu buffer sizes)
         return self.track_count * (self.fft_size * 4 + self.bins * 8)
 
+    def cost_model(self):
+        import math
+
+        t, f = self.track_count, self.fft_size
+        return {
+            "flops": int(t * 2.5 * f * math.log2(f)),
+            "hbm_bytes": t * (f * 4 + self.bins * 8),
+            "unit": "vpu",
+        }
+
     def metadata(self):
         return {"fftSize": self.fft_size, "bins": self.bins}

@@ -34,3 +34,7 @@ class GainBenchmark(StandardBufferBenchmark):
         return barrier_chain(
             lambda x: gain_op(x, GAIN_VALUE), self._resident_input
         )
+
+    def cost_model(self):
+        n = self.total_elements()
+        return {"flops": n, "hbm_bytes": 2 * n * 4, "unit": "vpu"}

@@ -59,6 +59,14 @@ class GainStatsBenchmark(StandardBufferBenchmark):
             lambda x: gain_stats_op(x, GAINSTATS_GAIN), self._resident_input
         )
 
+    def cost_model(self):
+        n = self.total_elements()
+        return {
+            "flops": 3 * n,  # gain mul + mean-add + max-cmp per sample
+            "hbm_bytes": (2 * n + 2 * self.track_count) * 4,
+            "unit": "vpu",
+        }
+
     def validate(self) -> ValidationData:
         v = compare_abs(
             self.host_output, self.golden, self.tolerance,

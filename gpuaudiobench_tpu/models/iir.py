@@ -104,6 +104,14 @@ class IIRBenchmark(StandardBufferBenchmark):
 
         return step, self._timing_state
 
+    def cost_model(self):
+        n = self.total_elements()
+        return {
+            "flops": 9 * n,  # w = x - a1 z1 - a2 z2; y = b0 w + b1 z1 + b2 z2
+            "hbm_bytes": (2 * n + 4 * self.track_count) * 4,
+            "unit": "vpu",
+        }
+
     def validate(self) -> ValidationData:
         # Multi-iteration golden: carry the float32 state exactly as the
         # device does, validate the final block + state.

@@ -169,6 +169,14 @@ class ModalFilterBankBenchmark(Benchmark):
             label=self.name, floor=floor,
         )
 
+    def cost_model(self):
+        m, s = self.padded_modes, self.buffer_size
+        return {
+            "flops": 8 * m * s,  # 6 rotate + 2 accumulate
+            "hbm_bytes": (4 * m + 2 * m + s * self.output_tracks) * 4,
+            "unit": "vpu",
+        }
+
     def total_elements(self) -> int:
         return self.buffer_size * self.output_tracks
 

@@ -34,3 +34,8 @@ class NoOpBenchmark(StandardBufferBenchmark):
         from gpuaudiobench_tpu.harness.streaming import barrier_chain
 
         return barrier_chain(copy_op, self._resident_input)
+
+    def cost_model(self):
+        n = self.total_elements()
+        return {"flops": 0, "hbm_bytes": 2 * n * 4, "unit": "vpu",
+                "note": "copy in+out"}

