@@ -58,11 +58,14 @@ def print_help() -> None:
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
+    print("  --fdtdPerTrackReceivers  FDTD3D: one receiver cell per track")
+    print("                           (WebGPU parity; default: broadcast)")
     print("  --modalModes [n]         ModalFilterBank mode count")
     print("                           (default: min(1024*nTracks, 1M))")
     print("  --pipelineDepth [n]      Also measure saturated throughput:")
     print("                           n blocks per executable, state carried")
     print("  --captureDir [dir]       Profiler trace directory for --capture")
+    print("  --csvSchema [s]          cuda (default) | metal CSV column set")
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
     print()
@@ -119,6 +122,7 @@ def parse_args(argv: List[str]):
         "--modalModes": ("modal_num_modes", int),
         "--pipelineDepth": ("pipeline_depth", int),
         "--captureDir": ("capture_dir", str),
+        "--csvSchema": ("csv_schema", str),
         "--seed": ("seed", int),
         "--latenciesFile": ("latencies_file", str),
     }
@@ -137,6 +141,8 @@ def parse_args(argv: List[str]):
             updates["capture"] = True
         elif arg == "--no-device-timing":
             updates["device_timing"] = False
+        elif arg == "--fdtdPerTrackReceivers":
+            updates["fdtd_per_track_receivers"] = True
         elif arg == "--category":
             v = need_value(arg)
             if v is None:

@@ -56,6 +56,10 @@ class BenchConfig:
     rndmem_max_loop: int = 48000
     # ModalFilterBank: None = min(1024*nTracks, 1M) (ModalFilterBankBenchmark.swift:20).
     modal_num_modes: Optional[int] = None
+    # FDTD3D: give each track its own receiver cell (WebGPU parity,
+    # webgpu/js/benchmarks/FDTD3DBenchmark.js:57-67); default is the
+    # CUDA/Metal single broadcast receiver.
+    fdtd_per_track_receivers: bool = False
 
     # Implementation selection for the device compute path.
     # "auto" = pallas on TPU where available, xla otherwise.
@@ -68,6 +72,11 @@ class BenchConfig:
 
     # Multi-chip: shard the track axis over this many devices (1 = single chip).
     data_parallel: int = 1
+
+    # CSV schema: "cuda" (globals.cu:69-122, the parity default) or
+    # "metal" (main.swift:256: benchmark,median_ms,p95_ms,p99_ms,max_ms,
+    # mean_ms,stddev_ms,count).
+    csv_schema: str = "cuda"
 
     # Saturated/streaming pass: run this many blocks per executable
     # (lax.scan, state carried) and report marginal ms/block +
@@ -97,6 +106,8 @@ class BenchConfig:
             raise ValueError(f"invalid conv edge mode: {self.conv_edge_mode}")
         if self.impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"invalid impl: {self.impl}")
+        if self.csv_schema not in ("cuda", "metal"):
+            raise ValueError(f"invalid csv schema: {self.csv_schema}")
 
 
 def matches_filter(name: str, patterns: Sequence[str]) -> bool:

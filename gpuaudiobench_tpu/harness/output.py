@@ -43,8 +43,26 @@ def _csv_stats(latencies, cfg: BenchConfig):
     return mn, mx, avg, p50, p95, p99, threshold
 
 
+# Metal's alternate CSV schema (metal-swift/.../main.swift:256,320).
+METAL_CSV_HEADER = (
+    "benchmark,median_ms,p95_ms,p99_ms,max_ms,mean_ms,stddev_ms,count"
+)
+
+
 def write_csv_results(result: BenchmarkResult, cfg: BenchConfig, filename: str) -> None:
     if not filename:
+        return
+    if cfg.csv_schema == "metal":
+        s = result.statistics
+        write_header = not os.path.exists(filename)
+        with open(filename, "a") as f:
+            if write_header:
+                f.write(METAL_CSV_HEADER + "\n")
+            f.write(
+                f"{result.benchmark_name},{s.median:g},{s.p95:g},{s.p99:g},"
+                f"{s.max_val:g},{s.mean:g},{s.std_dev:g},{s.count}\n"
+            )
+        print(f"Results saved to: {filename}")
         return
     mn, mx, avg, p50, p95, p99, threshold = _csv_stats(result.latencies, cfg)
     meets = p99 <= threshold

@@ -28,9 +28,12 @@ from gpuaudiobench_tpu.utils import device as dev
 from gpuaudiobench_tpu.utils.data import generate_random_audio
 
 
-def fdtd3d_reference(x: np.ndarray, steps_per_sample: int = op.STEPS_PER_SAMPLE):
+def fdtd3d_reference(x: np.ndarray, steps_per_sample: int = op.STEPS_PER_SAMPLE,
+                     receivers=None):
     """Full float32 NumPy FDTD simulation (mirrors ops/fdtd3d.py update
-    equations; the independent oracle for the fused TPU program)."""
+    equations; the independent oracle for the fused TPU program).
+    receivers: optional (xs, ys, zs) per-track arrays (WebGPU parity);
+    None = the single broadcast receiver (CUDA/Metal)."""
     n = op.GRID_N
     k1 = np.float32(op.DT_OVER_RHO_DX)
     k2 = np.float32(op.RHO_C2_DT_OVER_DX)
@@ -48,7 +51,10 @@ def fdtd3d_reference(x: np.ndarray, steps_per_sample: int = op.STEPS_PER_SAMPLE)
 
     tracks, s = x.shape
     src = x.sum(axis=0, dtype=np.float32) * np.float32(op.SOURCE_SCALE)
-    rcv = np.zeros(s, np.float32)
+    if receivers is None:
+        rcv = np.zeros((1, s), np.float32)
+    else:
+        rcv = np.zeros((tracks, s), np.float32)
     for smp in range(s):
         p[sx, sy, sz] += src[smp]
         for _ in range(steps_per_sample):
@@ -61,8 +67,14 @@ def fdtd3d_reference(x: np.ndarray, steps_per_sample: int = op.STEPS_PER_SAMPLE)
                 + (vz[:, :, 1:] - vz[:, :, :-1])
             )
             p = np.where(boundary, p * absorb, p - k2 * div)
-        rcv[smp] = p[rx, ry, rz] * np.float32(op.OUTPUT_SCALE)
-    return np.broadcast_to(rcv[None, :], (tracks, s)).copy()
+        if receivers is None:
+            rcv[0, smp] = p[rx, ry, rz] * np.float32(op.OUTPUT_SCALE)
+        else:
+            xs, ys, zs = receivers
+            rcv[:, smp] = p[xs, ys, zs] * np.float32(op.OUTPUT_SCALE)
+    if receivers is None:
+        return np.broadcast_to(rcv, (tracks, s)).copy()
+    return rcv
 
 
 class FDTD3DBenchmark(Benchmark):
@@ -89,7 +101,23 @@ class FDTD3DBenchmark(Benchmark):
         self.track_alloc("velocityFields", 3 * (n + 1) * n * n * 4)
         self.track_alloc("ioBuffers", t * s * 4 * 4)
         self._impl = dev.resolve_impl(self.cfg.impl)
-        if self._impl == "pallas":
+        self._receivers = None
+        if self.cfg.fdtd_per_track_receivers:
+            # Per-track receiver cells (WebGPU parity): XLA path only --
+            # the packed-plane Pallas kernel extracts the one broadcast
+            # cell (documented; the gather of T cells per sample is an
+            # XLA strength).
+            self._impl = "xla"
+            self._receivers = op.receiver_line(t)
+            xs, ys, zs = self._receivers
+            n = op.GRID_N
+            rcv_flat = dev.to_device(
+                (xs.astype(np.int64) * n * n + ys * n + zs).astype(np.int32)
+            )
+            self._block = lambda x, *fields: op.fdtd3d_block_multircv(
+                x, *fields, rcv_flat
+            )
+        elif self._impl == "pallas":
             from gpuaudiobench_tpu.ops.fdtd3d_pallas import fdtd3d_block_pallas
 
             self._block = fdtd3d_block_pallas
@@ -102,8 +130,11 @@ class FDTD3DBenchmark(Benchmark):
             {
                 "seed": self.cfg.seed, "tracks": t, "samples": s,
                 "grid": op.GRID_N, "steps": op.STEPS_PER_SAMPLE,
+                "src": list(op.SOURCE), "rcv": list(op.RECEIVER),
+                "perTrackRcv": bool(self.cfg.fdtd_per_track_receivers),
             },
-            lambda: fdtd3d_reference(self.host_input),
+            lambda: fdtd3d_reference(self.host_input,
+                                     receivers=self._receivers),
         )
         self.host_output = None
         self.iterate()
@@ -156,4 +187,7 @@ class FDTD3DBenchmark(Benchmark):
             "spatialStep": op.SPATIAL_STEP,
             "timeStep": op.TIME_STEP,
             "absorption": op.ABSORPTION,
+            "source": list(op.SOURCE),
+            "receiver": "per-track line" if self._receivers is not None
+                        else list(op.RECEIVER),
         }

@@ -35,8 +35,12 @@ ABSORPTION = 0.2
 CFL = 0.5
 STEPS_PER_SAMPLE = 3  # kFDTD3D_StepsPerSample
 TIME_STEP = CFL * SPATIAL_STEP / (SOUND_SPEED * 1.7320508)
-SOURCE = (25, 25, 5)
-RECEIVER = (40, 15, 25)
+# Room coordinates (25,25,5)/(40,15,25) plus the one-cell ghost/boundary
+# offset: the reference injects at grid (26,26,6) and reads (41,16,26)
+# in the 52^3 grid (bench_fdtd3d.cu source/receiver indexing; fixed in
+# round 2 -- round 1 used the unshifted room coordinates).
+SOURCE = (26, 26, 6)
+RECEIVER = (41, 16, 26)
 SOURCE_SCALE = 0.1  # benchmark_constants.cuh FDTD3D_SOURCE_SCALE
 OUTPUT_SCALE = 0.1
 
@@ -103,6 +107,48 @@ def fdtd3d_block(
     tracks = x.shape[0]
     out = jnp.broadcast_to(rcv[None, :], (tracks, rcv.shape[0]))
     return out, p, vx, vy, vz
+
+
+def receiver_line(tracks: int, n: int = GRID_N):
+    """Per-track receiver positions: a line across x at mid y/z (the
+    WebGPU convention, webgpu/js/benchmarks/FDTD3DBenchmark.js:57-67:
+    x = floor(i/(T-1) * (nx-1)), y = ny/2, z = nz/2)."""
+    import numpy as np
+
+    i = np.arange(tracks)
+    ratio = i / (tracks - 1) if tracks > 1 else np.full(tracks, 0.5)
+    xs = np.floor(ratio * (n - 1)).astype(np.int32)
+    ys = np.full(tracks, n // 2, np.int32)
+    zs = np.full(tracks, n // 2, np.int32)
+    return xs, ys, zs
+
+
+@functools.partial(jax.jit, static_argnames=("steps_per_sample",))
+def fdtd3d_block_multircv(
+    x: jax.Array,       # (tracks, S)
+    p: jax.Array, vx: jax.Array, vy: jax.Array, vz: jax.Array,
+    rcv_flat: jax.Array,  # (tracks,) int32 flat indices into p.ravel()
+    steps_per_sample: int = STEPS_PER_SAMPLE,
+):
+    """Per-track-receiver variant (WebGPU parity: every track reads its
+    own cell, fdtd3d.wgsl binding 18). Returns (out (tracks, S), fields')."""
+    n = p.shape[0]
+    boundary = _boundary_mask(n)
+    sx, sy, sz = SOURCE
+    src_per_sample = jnp.sum(x, axis=0) * jnp.float32(SOURCE_SCALE)
+
+    def per_sample(carry, src_n):
+        p, vx, vy, vz = carry
+        p = p.at[sx, sy, sz].add(src_n)
+        for _ in range(steps_per_sample):
+            p, vx, vy, vz = _fdtd_substep(p, vx, vy, vz, boundary)
+        out_n = p.ravel()[rcv_flat] * jnp.float32(OUTPUT_SCALE)  # (tracks,)
+        return (p, vx, vy, vz), out_n
+
+    (p, vx, vy, vz), rcv = jax.lax.scan(
+        per_sample, (p, vx, vy, vz), src_per_sample
+    )
+    return rcv.T, p, vx, vy, vz  # (tracks, S)
 
 
 def zero_fields(n: int = GRID_N):

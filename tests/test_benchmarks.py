@@ -48,8 +48,9 @@ def test_gain_golden_values(small_cfg):
 
 
 def test_iir_repeated_iterations_stay_valid(small_cfg):
-    # State is re-uploaded as zero each iteration (documented divergence,
-    # models/iir.py) so validation holds for any iteration count.
+    # State persists on-device across iterations (reference semantics,
+    # models/iir.py); the golden carries state once per performed
+    # iteration, so validation holds for any iteration count.
     cfg = small_cfg.replace(buffer_size=512)
     bench = create_benchmark("IIRFilter", cfg)
     bench.setup()
@@ -91,3 +92,31 @@ def test_biquad_chain_extension(small_cfg):
     result = run_benchmark(bench, small_cfg, verbose=False)
     assert result.validation.passed, result.validation.messages[:3]
     assert result.metadata["numStages"] == 10
+
+
+def test_fdtd_per_track_receivers(small_cfg):
+    """WebGPU parity: --fdtdPerTrackReceivers gives each track its own
+    receiver cell on the x line at mid y/z (FDTD3DBenchmark.js:57-67)."""
+    import numpy as np
+
+    cfg = small_cfg.replace(buffer_size=16, n_tracks=4,
+                            fdtd_per_track_receivers=True)
+    bench = create_benchmark("FDTD3D", cfg)
+    bench.setup()
+    v = bench.validate()
+    assert v.passed, v.messages[:3]
+    # tracks read different cells -> rows differ bitwise (in broadcast
+    # mode all rows are the identical receiver trace)
+    out = np.asarray(bench.host_output)
+    assert len({row.tobytes() for row in out}) > 1
+    assert bench.metadata()["receiver"] == "per-track line"
+
+
+def test_fdtd_source_receiver_ghost_offset():
+    """Round-2 parity fix: source/receiver carry the one-cell ghost
+    offset (grid (26,26,6)/(41,16,26) in the 52^3 grid, matching
+    bench_fdtd3d's indexing)."""
+    from gpuaudiobench_tpu.ops import fdtd3d as op
+
+    assert op.SOURCE == (26, 26, 6)
+    assert op.RECEIVER == (41, 16, 26)

@@ -141,3 +141,33 @@ def test_data_parallel_flag():
     cfg, _, err = parse_args(["--dataParallel", "4"])
     assert err is None
     assert cfg.data_parallel == 4
+
+
+def test_metal_csv_schema(small_cfg, tmp_path):
+    """--csvSchema metal writes the Metal harness's column set
+    (main.swift:256)."""
+    from gpuaudiobench_tpu.harness.output import write_csv_results
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = small_cfg.replace(csv_schema="metal")
+    b = create_benchmark("gain", cfg)
+    b.setup()
+    result = run_benchmark(b, cfg, verbose=False)
+    path = str(tmp_path / "metal.csv")
+    write_csv_results(result, cfg, path)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == (
+        "benchmark,median_ms,p95_ms,p99_ms,max_ms,mean_ms,stddev_ms,count"
+    )
+    row = lines[1].split(",")
+    assert row[0] == "gain" and int(row[-1]) == cfg.n_runs
+
+
+def test_csv_schema_flag_parses():
+    from gpuaudiobench_tpu.cli import parse_args
+
+    cfg, names, err = parse_args(["--csvSchema", "metal"])
+    assert err is None and cfg.csv_schema == "metal"
+    _, _, err = parse_args(["--csvSchema", "bogus"])
+    assert err and "csv schema" in err
