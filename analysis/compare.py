@@ -31,6 +31,28 @@ PUBLISHED = {
     "NoOp": {"PC": (0.015, None), "AS": (0.125, None)},  # fig4 bulk
 }
 
+# Modal mode-count sweep (poster tab4): published p50/p95 per platform
+# and this build's measured saturated ms/block on one v5e chip
+# (--modalModes sweep, --pipelineDepth 256, includes ~0.11 ms amortized
+# RPC residual on the relay rig; see docs/RESULTS_r2.md).
+MODAL_SWEEP = {
+    # modes: {"PC": (p50, p95), "AS": (p50, p95), "TPU_v5e": saturated_ms}
+    1024:    {"PC": (0.050, 0.183), "AS": (0.172, 0.203), "TPU_v5e": 0.116},
+    102400:  {"PC": (0.315, 0.447), "AS": (0.611, 0.671), "TPU_v5e": 0.241},
+    1048576: {"PC": (3.168, 3.941), "AS": (5.717, 5.870), "TPU_v5e": 1.143},
+}
+
+
+def print_modal_sweep() -> None:
+    print("Modal mode-count sweep (tab4 analog; TPU = saturated ms/block):")
+    print(f"{'modes':>9} {'PC p50':>8} {'AS p50':>8} {'TPU v5e':>8} {'vs PC':>6}")
+    for modes, row in MODAL_SWEEP.items():
+        tpu = row["TPU_v5e"]
+        print(f"{modes:>9} {row['PC'][0]:>8.3f} {row['AS'][0]:>8.3f} "
+              f"{tpu:>8.3f} {row['PC'][0] / tpu:>5.1f}x")
+    print()
+
+
 NOTES = {
     "ModalFilterBank": "published = 1M modes (run with --nTracks 1024)",
     "datacopy0199": "published = 100 MiB pool (harness default 10 MiB)",
@@ -77,6 +99,7 @@ def main(argv=None) -> int:
         print(__doc__)
         return 1
     rows = list(load_rows(argv[0]))
+    print_modal_sweep()
     print(f"{'benchmark':<16} {'TPU p50':>9} {'TPU p95':>9} {'deadline':>9} "
           f"{'PC p50':>8} {'vs PC':>7}  note")
     print("-" * 86)

@@ -127,21 +127,39 @@ class ModalFilterBankBenchmark(Benchmark):
         # compute one block); chain through the amp-prefolded core step.
         from gpuaudiobench_tpu.harness.streaming import probe
 
+        import jax.numpy as jnp
+
         d, s, t = self._dev, self.buffer_size, self.output_tracks
         if self._impl == "pallas":
             from gpuaudiobench_tpu.ops import modal_pallas as mp
 
-            tile = mp.stream_tile(self.padded_modes, t)
+            # Pad the mode axis (zero-amp modes, unit rotation) so a
+            # healthy tile divides it -- keeps odd counts like 100k on
+            # the Pallas path instead of the ~6x-slower XLA scan.
+            quantum = 8192 if self.padded_modes >= 8192 else 128
+            mpad = -(-self.padded_modes // quantum) * quantum
+            tile = mp.stream_tile(mpad, t)
             if tile is not None:
+                extra = mpad - self.padded_modes
+
+                def padded(a, fill=0.0):
+                    return jnp.concatenate(
+                        [a, jnp.full(extra, fill, a.dtype)]
+                    ) if extra else a
+
+                cos_p = padded(d["cos_w"], 1.0)
+                sin_p = padded(d["sin_w"])
+
                 def step(carry):
                     re, im = carry
                     out_sn, re2, im2 = mp.modal_folded_step(
-                        d["cos_w"], d["sin_w"], re, im, s, t, tile
+                        cos_p, sin_p, re, im, s, t, tile
                     )
                     return (re2, im2), probe(out_sn)
 
                 return step, (
-                    d["amp"] * d["state_re"], d["amp"] * d["state_im"]
+                    padded(d["amp"] * d["state_re"]),
+                    padded(d["amp"] * d["state_im"]),
                 )
 
         from gpuaudiobench_tpu.ops.modal import modal_bank_xla

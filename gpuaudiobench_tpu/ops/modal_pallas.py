@@ -186,15 +186,21 @@ def _modal_folded(cos_w, sin_w, re_f, im_f, buffer_size, output_tracks, tile):
 
 
 def stream_tile(m: int, output_tracks: int, mode_tile: int = MODE_TILE):
-    """Mode-tile size for block-chained streaming (None if the mode
-    count cannot tile evenly -- callers fall back to the XLA scan)."""
+    """Mode-tile size for block-chained streaming: the largest aligned
+    tile <= mode_tile that divides m exactly (None when output_tracks
+    cannot lane-fold or m is misaligned -- callers pad m or fall back to
+    the XLA scan)."""
     if 128 % output_tracks != 0:
         return None
-    tile = min(mode_tile, m)
     align = math.lcm(128, output_tracks)
-    if tile % align != 0:
-        tile = align * max(1, tile // align)
-    return tile if m % tile == 0 else None
+    if m % align != 0:
+        return None
+    top = min(mode_tile, m)
+    top -= top % align
+    for cand in range(top, 0, -align):
+        if m % cand == 0:
+            return cand
+    return None
 
 
 def modal_folded_step(cos_w, sin_w, re_f, im_f, buffer_size, output_tracks,
