@@ -19,16 +19,22 @@
 
 namespace {
 
+// Keep in sync with gpuaudiobench_tpu/cli.py (value_flags + --category /
+// --benchmarkFilter); tests/test_native.py diff-checks these tables
+// against the Python surface.
 const char* kValueFlags[] = {
     "--benchmark",    "--fs",               "--bufferSize", "--nTracks",
     "--nRuns",        "--warmup",           "--outputfile", "--verification",
     "--dawsim-mode",  "--dawsim-jitter-us", "--impl",       "--irLength",
     "--convEdgeMode", "--poolMiB",          "--seed",       "--latenciesFile",
-    "--benchmarkFilter",
+    "--benchmarkFilter", "--category",      "--transferMiB",
+    "--dataParallel", "--modalModes",       "--pipelineDepth",
+    "--captureDir",   "--csvSchema",
 };
 
 const char* kBoolFlags[] = {
     "--help", "--list", "--json", "--dawsim", "--capture", "--no-device-timing",
+    "--fdtdPerTrackReceivers",
 };
 
 bool IsValueFlag(const char* arg) {

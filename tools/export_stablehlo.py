@@ -1,0 +1,114 @@
+"""Export benchmark device programs as StableHLO for native/pjrt_runner.
+
+Writes <name>.stablehlo.mlir (the program, jax.export portable module)
+and <name>.spec (one `dtype dim dim ...` line per input) so the
+PJRT-C-API loader can compile and drive the exact program the Python
+harness benchmarks -- with no interpreter in the benchmark process.
+
+Usage:
+  python tools/export_stablehlo.py [--out DIR] [name ...]
+  # names: gain iirfilter modal conv1d (default: all)
+
+Run under the TPU-registered interpreter (or any; the export pins
+platforms=["tpu"]).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def _programs(cfg):
+    import jax.numpy as jnp
+
+    from gpuaudiobench_tpu.ops.conv import conv1d_direct
+    from gpuaudiobench_tpu.ops.elementwise import gain_op
+    from gpuaudiobench_tpu.ops.iir import iir_biquad_xla
+    from gpuaudiobench_tpu.ops.modal import modal_bank_xla
+
+    t, s = cfg.n_tracks, cfg.buffer_size
+    f32 = np.float32
+
+    def shaped(*shape):
+        import jax
+
+        return jax.ShapeDtypeStruct(shape, f32)
+
+    modes = 1024 * t
+
+    return {
+        "gain": (
+            lambda x: gain_op(x, 2.0),
+            [shaped(t, s)],
+        ),
+        "iirfilter": (
+            lambda x, c, z: iir_biquad_xla(x, c, z),
+            [shaped(t, s), shaped(5), shaped(t, 2)],
+        ),
+        "modal": (
+            lambda amp, cw, sw, re, im: modal_bank_xla(
+                amp, cw, sw, re, im, s, min(t, 32)
+            ),
+            [shaped(modes)] * 5,
+        ),
+        "conv1d": (
+            lambda x, ir: conv1d_direct(x, ir, "clamp"),
+            [shaped(t, s), shaped(t, 1024)],
+        ),
+        "_jnp": jnp,  # keep the import alive
+    }
+
+
+def main(argv) -> int:
+    out_dir = "."
+    names = []
+    it = iter(argv)
+    for a in it:
+        if a == "--out":
+            out_dir = next(it)
+        else:
+            names.append(a)
+
+    import jax
+
+    from gpuaudiobench_tpu.config import BenchConfig
+
+    cfg = BenchConfig()
+    progs = _programs(cfg)
+    progs.pop("_jnp")
+    names = names or sorted(progs)
+
+    os.makedirs(out_dir, exist_ok=True)
+    # 1-replica/1-partition CompileOptionsProto for pjrt_runner
+    # --compile-options (an empty proto means num_replicas=0, which
+    # PJRT rejects).
+    from jax._src.lib import xla_client
+
+    co = xla_client.CompileOptions()
+    co.num_replicas = 1
+    co.num_partitions = 1
+    with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+        f.write(co.SerializeAsString())
+    print(f"wrote {out_dir}/compile_options.pb")
+    for name in names:
+        fn, args = progs[name]
+        exported = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        mlir = exported.mlir_module()
+        prog_path = os.path.join(out_dir, f"{name}.stablehlo.mlir")
+        spec_path = os.path.join(out_dir, f"{name}.spec")
+        with open(prog_path, "w") as f:
+            f.write(mlir)
+        with open(spec_path, "w") as f:
+            f.write(f"# inputs for {name} (pjrt_runner --spec)\n")
+            for a in args:
+                dims = " ".join(str(d) for d in a.shape)
+                f.write(f"f32 {dims}\n".rstrip() + "\n")
+        print(f"exported {name}: {prog_path} ({len(mlir)} bytes), {spec_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
