@@ -66,6 +66,8 @@ def print_help() -> None:
     print("                           n blocks per executable, state carried")
     print("  --captureDir [dir]       Profiler trace directory for --capture")
     print("  --csvSchema [s]          cuda (default) | metal CSV column set")
+    print("  --mesh [dp,tp,sp]        Device mesh for MultiChipSuite /")
+    print("                           ICIBandwidth (default: 1,1,1)")
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
     print()
@@ -123,6 +125,7 @@ def parse_args(argv: List[str]):
         "--pipelineDepth": ("pipeline_depth", int),
         "--captureDir": ("capture_dir", str),
         "--csvSchema": ("csv_schema", str),
+        "--mesh": ("mesh", str),
         "--seed": ("seed", int),
         "--latenciesFile": ("latencies_file", str),
     }

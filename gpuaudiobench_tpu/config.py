@@ -73,6 +73,11 @@ class BenchConfig:
     # Multi-chip: shard the track axis over this many devices (1 = single chip).
     data_parallel: int = 1
 
+    # Multi-chip mesh for MultiChipSuite/ICIBandwidth: "dp,tp,sp"
+    # (product must not exceed available devices; "1,1,1" runs the
+    # degenerate single-device program).
+    mesh: str = "1,1,1"
+
     # CSV schema: "cuda" (globals.cu:69-122, the parity default) or
     # "metal" (main.swift:256: benchmark,median_ms,p95_ms,p99_ms,max_ms,
     # mean_ms,stddev_ms,count).

@@ -64,6 +64,9 @@ def _local_conv(x_with_halo: jax.Array, ir: jax.Array) -> jax.Array:
         dimension_numbers=("NCW", "OIW", "NCW"),
         feature_group_count=t,
         preferred_element_type=jnp.float32,
+        # full f32 on the MXU (3-pass bf16): the registered benchmark
+        # gates at rel-to-peak 1e-4 against a float64 NumPy reference
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

@@ -23,6 +23,10 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
     from gpuaudiobench_tpu.models.gainstats import GainStatsBenchmark
     from gpuaudiobench_tpu.models.iir import IIRBenchmark
     from gpuaudiobench_tpu.models.modal import ModalFilterBankBenchmark
+    from gpuaudiobench_tpu.models.multichip_bench import (
+        ICIBandwidthBenchmark,
+        MultiChipSuiteBenchmark,
+    )
     from gpuaudiobench_tpu.models.noop import NoOpBenchmark
     from gpuaudiobench_tpu.models.rndmem import RndMemBenchmark
 
@@ -46,6 +50,8 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "RndMemRead": RndMemBenchmark,
         # Extensions beyond the reference's registered set.
         "BiquadChain": BiquadChainBenchmark,
+        "MultiChipSuite": MultiChipSuiteBenchmark,
+        "ICIBandwidth": ICIBandwidthBenchmark,
     }
 
 
@@ -72,7 +78,8 @@ BENCHMARK_NAMES: List[str] = [
 
 # Extensions: workloads present in the reference tree but unregistered
 # there (kernels_extra.metal), registered here for completeness.
-EXTENSION_NAMES: List[str] = ["BiquadChain"]
+EXTENSION_NAMES: List[str] = ["BiquadChain", "MultiChipSuite",
+                              "ICIBandwidth"]
 
 # Suite categories (the WebGPU UI's five groups, webgpu/js/app.js:46-79).
 CATEGORIES = {
@@ -83,6 +90,8 @@ CATEGORIES = {
             "FFT1D", "BiquadChain"],
     "physical": ["DWG1DNaive", "DWG1DAccel", "FDTD3D"],
     "memory": ["RndMemRead"],
+    # TPU extension: the multi-chip layer as runnable workloads.
+    "multichip": ["MultiChipSuite", "ICIBandwidth"],
 }
 
 BENCHMARK_DESCRIPTIONS = {
@@ -104,6 +113,8 @@ BENCHMARK_DESCRIPTIONS = {
     "FDTD3D": "3D Finite Difference Time Domain",
     "RndMemRead": "Random memory access pattern",
     "BiquadChain": "Serial 10-stage biquad cascade (extension)",
+    "MultiChipSuite": "Sharded dp/tp/sp/pp pipeline over --mesh (extension)",
+    "ICIBandwidth": "Interconnect ring ppermute + psum (extension)",
 }
 
 

@@ -29,7 +29,7 @@ const char* kValueFlags[] = {
     "--convEdgeMode", "--poolMiB",          "--seed",       "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",
     "--dataParallel", "--modalModes",       "--pipelineDepth",
-    "--captureDir",   "--csvSchema",
+    "--captureDir",   "--csvSchema",       "--mesh",
 };
 
 const char* kBoolFlags[] = {

@@ -205,3 +205,60 @@ def test_data_parallel_guard_in_runner():
     b.setup()
     with pytest.raises(ValueError, match="does not support --dataParallel"):
         run_benchmark(b, cfg, verbose=False)
+
+
+@pytest.mark.parametrize("mesh", ["1,1,1", "2,2,2", "8,1,1", "1,1,8"])
+def test_multichip_suite_benchmark(mesh):
+    """MultiChipSuite as a registered benchmark: the sharded pipeline
+    validates against the 1x1x1-mesh reference on every mesh shape."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = BenchConfig(buffer_size=64, n_tracks=16, n_runs=2, warmup=1,
+                      write_latencies=False, device_timing=False, mesh=mesh)
+    b = create_benchmark("MultiChipSuite", cfg)
+    b.setup()
+    b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages[:3]
+    assert b.metadata()["mesh"] == dict(
+        zip(("dp", "tp", "sp"), map(int, mesh.split(","))))
+
+
+@pytest.mark.parametrize("mesh", ["1,1,1", "2,2,2", "8,1,1"])
+def test_ici_bandwidth_benchmark(mesh):
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = BenchConfig(n_runs=2, warmup=1, transfer_mib=1,
+                      write_latencies=False, device_timing=False, mesh=mesh)
+    b = create_benchmark("ICIBandwidth", cfg)
+    b.setup()
+    b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages[:3]
+
+
+def test_mesh_too_large_fails_fast():
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = BenchConfig(mesh="64,1,1", n_runs=1, warmup=0,
+                      write_latencies=False, device_timing=False)
+    b = create_benchmark("ICIBandwidth", cfg)
+    with pytest.raises(ValueError, match="devices"):
+        b.setup()
+
+
+def test_mesh_parse_errors():
+    from gpuaudiobench_tpu.models.multichip_bench import parse_mesh
+
+    assert parse_mesh("2,2,2") == (2, 2, 2)
+    with pytest.raises(ValueError):
+        parse_mesh("2,2")
+    with pytest.raises(ValueError):
+        parse_mesh("2,0,1")

@@ -11,7 +11,7 @@ from gpuaudiobench_tpu.registry import create_benchmark, list_benchmarks
 STREAMING = [
     "NoOp", "gain", "GainStats", "IIRFilter", "Conv1D", "Conv1D_accel",
     "FFT1D", "ModalFilterBank", "DWG1DNaive", "DWG1DAccel", "FDTD3D",
-    "RndMemRead", "BiquadChain",
+    "RndMemRead", "BiquadChain", "MultiChipSuite", "ICIBandwidth",
 ]
 NON_STREAMING = ["datacopy0199", "datacopy2080", "datacopy5050",
                  "datacopy8020", "datacopy9901"]
