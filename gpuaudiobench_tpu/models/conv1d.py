@@ -53,6 +53,7 @@ class Conv1DBenchmark(StandardBufferBenchmark):
         self.ir_length = self.cfg.ir_length or DEFAULT_IR_LENGTH
         self.edge_mode = self.cfg.conv_edge_mode
         self.setup_standard_buffers()
+        self._impl = self.resolve_impl()
         self.ir = conv1d_impulse_responses(self.track_count, self.ir_length)
         self._ir_dev = self.put_input(self.ir)  # per-track IR bank: dp-sharded
         self.golden = conv1d_reference(self.host_input, self.ir, self.edge_mode)
@@ -60,17 +61,19 @@ class Conv1DBenchmark(StandardBufferBenchmark):
 
     def iterate(self) -> None:
         x = self.put_input(self.host_input)
-        y = conv1d_direct(x, self._ir_dev, self.edge_mode)
+        y = conv1d_direct(x, self._ir_dev, self.edge_mode, impl=self._impl)
         self.host_output = dev.from_device(y)
 
     def device_iterate(self) -> None:
-        dev.block(conv1d_direct(self._resident_input, self._ir_dev, self.edge_mode))
+        dev.block(conv1d_direct(self._resident_input, self._ir_dev,
+                                self.edge_mode, impl=self._impl))
 
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import barrier_chain
 
         return barrier_chain(
-            lambda x: conv1d_direct(x, self._ir_dev, self.edge_mode),
+            lambda x: conv1d_direct(x, self._ir_dev, self.edge_mode,
+                                    impl=self._impl),
             self._resident_input,
         )
 
@@ -79,8 +82,11 @@ class Conv1DBenchmark(StandardBufferBenchmark):
         return {
             "flops": 2 * t * s * l,  # MAC per (sample, tap)
             "hbm_bytes": (2 * t * s + t * l) * 4,
-            "unit": "mxu",
+            # pallas roll-MAC runs on the VPU; the XLA depthwise path
+            # nominally targets the MXU
+            "unit": "vpu" if self._impl == "pallas" else "mxu",
         }
 
     def metadata(self):
-        return {"irLength": self.ir_length, "edgeMode": self.edge_mode}
+        return {"irLength": self.ir_length, "edgeMode": self.edge_mode,
+                "impl": self._impl}

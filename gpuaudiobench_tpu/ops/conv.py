@@ -45,13 +45,16 @@ def _depthwise_conv(x_padded: jax.Array, ir: jax.Array) -> jax.Array:
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("edge_mode",))
-def conv1d_direct(x: jax.Array, ir: jax.Array, edge_mode: str = "clamp") -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("edge_mode", "impl"))
+def conv1d_direct(x: jax.Array, ir: jax.Array, edge_mode: str = "clamp",
+                  impl: str = "xla") -> jax.Array:
     """Direct per-track FIR. x: (T, S); ir: (T, L). Returns (T, S).
 
     edge_mode "clamp": window confined within each track (zeros before
     sample 0). "bleed": window continues into the previous track's tail
     in flat track-major order (CUDA quirk, bench_conv1d.cu:20-22).
+    impl "pallas": sample-major roll-MAC kernel (ops/conv_pallas.py);
+    "xla": grouped depthwise convolution.
     """
     t, s = x.shape
     l = ir.shape[1]
@@ -64,6 +67,10 @@ def conv1d_direct(x: jax.Array, ir: jax.Array, edge_mode: str = "clamp") -> jax.
         prev = jnp.roll(tails, 1, axis=0).at[0].set(0.0)
         pad = prev
     x_padded = jnp.concatenate([pad, x], axis=1)
+    if impl == "pallas" and l > 1:
+        from gpuaudiobench_tpu.ops.conv_pallas import conv1d_direct_pallas
+
+        return conv1d_direct_pallas(x_padded, ir)
     return _depthwise_conv(x_padded, ir)
 
 

@@ -182,3 +182,16 @@ def test_dwg_arc_matches_xla(rng, s, lengths):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref_out2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_o2), np.asarray(ref_f2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(b_o2), np.asarray(ref_b2), atol=1e-6)
+
+
+@pytest.mark.parametrize("t,s,l", [(4, 32, 8), (130, 48, 16), (8, 64, 7)])
+def test_conv1d_pallas_matches_xla(rng, t, s, l):
+    from gpuaudiobench_tpu.ops.conv import conv1d_direct
+
+    x = rng.standard_normal((t, s), dtype=np.float32)
+    ir = (rng.standard_normal((t, l), dtype=np.float32) * 0.1).astype(np.float32)
+    for mode in ("clamp", "bleed"):
+        ref = np.asarray(conv1d_direct(x, ir, mode, impl="xla"))
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(conv1d_direct(x, ir, mode, impl="pallas"))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
