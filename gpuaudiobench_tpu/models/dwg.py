@@ -186,7 +186,36 @@ class DWGBenchmark(Benchmark):
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
-        x, run = self._resident_input, self._run
+        x, c = self._resident_input, self._consts
+        if self.resolve_impl() == "pallas":
+            # Streaming carries the ALIGNED stored-value form: the
+            # positional scatter of block k cancels against block k+1's
+            # gather, so long rows chain with zero rolls
+            # (ops/dwg_arc.py dwg_stream_step).
+            from gpuaudiobench_tpu.ops.dwg_arc import (
+                dwg_stream_entry,
+                dwg_stream_step,
+            )
+
+            sf0, sb0 = dwg_stream_entry(
+                self.host_fwd, self.host_bwd, self.lengths, self.buffer_size
+            )
+            n_long, n_rounds = self._n_long, self._n_rounds
+
+            def step(carry):
+                sf, sb = carry
+                out, sf, sb = dwg_stream_step(
+                    x, sf, sb, c["lengths"], c["in_taps"], c["out_taps"],
+                    c["gains"], c["refl"], c["damp"],
+                    n_long=n_long, n_rounds=n_rounds,
+                )
+                return (sf, sb), probe(out)
+
+            return step, (
+                self.put_sharded(sf0), self.put_sharded(sb0)
+            )
+
+        run = self._run
 
         def step(carry):
             fwd, bwd = carry

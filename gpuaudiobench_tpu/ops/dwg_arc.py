@@ -121,17 +121,17 @@ def _long_path(x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp):
     return out, fwd_new, bwd_new
 
 
-def _short_path(x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp,
-                n_rounds: int):
-    """All rows have L < S. Fixed-point over in-block lag-L chains.
+def _short_core(x, read_f0, read_b0, lengths, in_taps, out_taps, gains,
+                refl, damp, n_rounds: int):
+    """Fixed-point over in-block lag-L chains for rows with L < S.
 
-    Rails arrive width-S (callers pad/slice); only columns < L are
-    live. Returns (out (S,), fwd', bwd') with untouched columns
-    preserved.
+    ``read_f0``/``read_b0``: the values ReadF/ReadB(n) fetch for n < L
+    (junk beyond; overwritten by the in-block feedback). Returns
+    (out (S,), f, b) -- the final per-sample f/b streams, from which
+    callers derive stored values (refl*b, refl*f).
     """
     s = x.shape[0]
     ll = lengths.astype(jnp.int32).reshape(-1, 1)
-    half = ll // 2
     it = in_taps.astype(jnp.int32).reshape(-1, 1)
     ot = out_taps.astype(jnp.int32).reshape(-1, 1)
     ga = gains.reshape(-1, 1)
@@ -140,27 +140,45 @@ def _short_path(x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp,
     col = jnp.arange(s, dtype=jnp.int32)[None, :]
     cur = col - (col // ll) * ll  # n % L, elementwise
 
+    inj = jnp.where(cur == it, x[None, :] * ga, jnp.float32(0))
+    in_block = col >= ll
+
+    f = da * read_f0 + inj  # round 0: correct for n < L
+    b = da * read_b0 + inj
+    for _ in range(max(0, n_rounds - 1)):
+        # lag-L feedback: ReadF(n>=L) = refl*b(n-L), ReadB likewise.
+        fb = rf * _row_roll_right(b, ll.ravel())
+        bb = rf * _row_roll_right(f, ll.ravel())
+        f = da * jnp.where(in_block, fb, read_f0) + inj
+        b = da * jnp.where(in_block, bb, read_b0) + inj
+
+    out = jnp.sum(
+        jnp.where(cur == ot, (f + b) * jnp.float32(MIX), jnp.float32(0)),
+        axis=0,
+    )
+    return out, f, b
+
+
+def _short_path(x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp,
+                n_rounds: int):
+    """All rows have L < S. Rails arrive width-S (callers pad/slice);
+    only columns < L are live. Returns (out (S,), fwd', bwd') with
+    untouched columns preserved."""
+    s = x.shape[0]
+    ll = lengths.astype(jnp.int32).reshape(-1, 1)
+    half = ll // 2
+    rf = refl.reshape(-1, 1)
+    col = jnp.arange(s, dtype=jnp.int32)[None, :]
+
     # Rail seeds. ReadF(n<L) = fwd[:, n] directly (cur = n there).
     # ReadB(n<L) reads the circular window q = (n + half) % L.
     rb1 = _row_roll_left(bwd, half.ravel())
     rb2 = _row_roll_left(bwd, (s + half - ll).ravel() % s)
     read_b0 = jnp.where(col >= (ll - half), rb2, rb1)
 
-    inj = jnp.where(cur == it, x[None, :] * ga, jnp.float32(0))
-    in_block = col >= ll
-
-    f = da * fwd + inj  # round 0: correct for n < L
-    b = da * read_b0 + inj
-    for _ in range(max(0, n_rounds - 1)):
-        # lag-L feedback: ReadF(n>=L) = refl*b(n-L), ReadB likewise.
-        fb = rf * _row_roll_right(b, ll.ravel())
-        bb = rf * _row_roll_right(f, ll.ravel())
-        f = da * jnp.where(in_block, fb, fwd) + inj
-        b = da * jnp.where(in_block, bb, read_b0) + inj
-
-    out = jnp.sum(
-        jnp.where(cur == ot, (f + b) * jnp.float32(MIX), jnp.float32(0)),
-        axis=0,
+    out, f, b = _short_core(
+        x, fwd, read_b0, lengths, in_taps, out_taps, gains, refl, damp,
+        n_rounds,
     )
 
     # Write-back: position p's final value is the one stored at
@@ -244,3 +262,105 @@ def dwg_block_arc(
     bwd_new = bwd_parts[0] if len(bwd_parts) == 1 \
         else jnp.concatenate(bwd_parts, axis=0)
     return out, fwd_new, bwd_new
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: in steady state the positional-rail scatter of block k
+# is immediately gathered back (same static offsets) by block k+1, so
+# the chained state can stay in ALIGNED stored-value form and the rolls
+# cancel entirely for long rows:
+#
+#   SF[g, n] = the value ReadF will fetch at block-local step n
+#            = fwd[cur(n)] in positional terms = refl * b_prev(g, n)
+#   (SB analogous via the bwd window). Long rows (L >= S): the stream
+#   step is PURE elementwise -- f = damp*SF + inj; SF' = refl*b.
+#   Short rows (L < S): reads at n < L fetch the previous block's
+#   stored value at column n + L*floor((S-1-n)/L) (a 2-roll static
+#   gather), then the usual fixed-point rounds.
+# ---------------------------------------------------------------------------
+
+def dwg_stream_entry(fwd, bwd, lengths, s: int):
+    """NumPy: positional rails -> aligned (SF, SB) stream carry (G, S).
+
+    Unified for long and short rows: SF[g, j] = fwd[g, j % L] and
+    SB[g, j] = bwd[g, (j + L//2) % L] -- the value a read at
+    block-local step j fetches. One host-side gather at stream entry;
+    no per-block rolls afterwards for long rows.
+    """
+    import numpy as np
+
+    g = fwd.shape[0]
+    ll = lengths.astype(np.int64)[:, None]
+    j = np.arange(s, dtype=np.int64)[None, :]
+    rows = np.arange(g)[:, None]
+    sf = fwd[rows, j % ll].astype(np.float32)
+    sb = bwd[rows, (j + ll // 2) % ll].astype(np.float32)
+    return sf, sb
+
+
+@functools.partial(jax.jit, static_argnames=("n_long", "n_rounds"))
+def dwg_stream_step(
+    x: jax.Array,    # (S,)
+    sf: jax.Array,   # (G, S) aligned stored-value carry
+    sb: jax.Array,
+    lengths: jax.Array,
+    input_taps: jax.Array,
+    output_taps: jax.Array,
+    gains: jax.Array,
+    reflections: jax.Array,
+    dampings: jax.Array,
+    *,
+    n_long: int,
+    n_rounds: int = 0,
+):
+    """One streaming block on the aligned carry: (out (S,), sf', sb')."""
+    g, s = sf.shape
+    col = jnp.arange(s, dtype=jnp.int32)[None, :]
+    out = jnp.zeros((s,), jnp.float32)
+    sf_parts, sb_parts = [], []
+
+    if n_long > 0:
+        it = input_taps[:n_long].astype(jnp.int32).reshape(-1, 1)
+        ot = output_taps[:n_long].astype(jnp.int32).reshape(-1, 1)
+        ga = gains[:n_long].reshape(-1, 1)
+        rf = reflections[:n_long].reshape(-1, 1)
+        da = dampings[:n_long].reshape(-1, 1)
+        inj = jnp.where(col == it, x[None, :] * ga, jnp.float32(0))
+        f = da * sf[:n_long] + inj
+        b = da * sb[:n_long] + inj
+        out = out + jnp.sum(
+            jnp.where(col == ot, (f + b) * jnp.float32(MIX), jnp.float32(0)),
+            axis=0,
+        )
+        sf_parts.append(rf * b)
+        sb_parts.append(rf * f)
+
+    if n_long < g:
+        ll = lengths[n_long:].astype(jnp.int32).reshape(-1, 1)
+        rf = reflections[n_long:].reshape(-1, 1)
+        # Previous block's stored value for reads at n < L lives at
+        # column n + L*kmax(n) (kmax for n <= (S-1)%L, else kmax-1).
+        kmax = (s - 1) // ll
+        rrem = (s - 1) - kmax * ll
+        sel = col <= rrem
+
+        def gather(a):
+            hi = _row_roll_left(a, (kmax * ll).ravel())
+            lo = _row_roll_left(a, ((kmax - 1) * ll).ravel() % s)
+            return jnp.where(sel, hi, lo)
+
+        out_s, f, b = _short_core(
+            x, gather(sf[n_long:]), gather(sb[n_long:]),
+            lengths[n_long:], input_taps[n_long:], output_taps[n_long:],
+            gains[n_long:], reflections[n_long:], dampings[n_long:],
+            n_rounds,
+        )
+        out = out + out_s
+        sf_parts.append(rf * b)
+        sb_parts.append(rf * f)
+
+    sf_new = sf_parts[0] if len(sf_parts) == 1 \
+        else jnp.concatenate(sf_parts, axis=0)
+    sb_new = sb_parts[0] if len(sb_parts) == 1 \
+        else jnp.concatenate(sb_parts, axis=0)
+    return out, sf_new, sb_new

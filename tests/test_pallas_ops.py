@@ -195,3 +195,47 @@ def test_conv1d_pallas_matches_xla(rng, t, s, l):
         with pltpu.force_tpu_interpret_mode():
             out = np.asarray(conv1d_direct(x, ir, mode, impl="pallas"))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("s,lengths", [
+    (48, [100, 96, 48, 49, 5, 8, 33, 40, 47]),
+    (32, [40, 64, 33, 32]),
+    (64, [5, 8, 12, 63]),
+])
+def test_dwg_stream_matches_positional(rng, s, lengths):
+    """Chained dwg_stream_step blocks reproduce chained positional
+    dwg_block blocks exactly (the aligned carry is a re-representation,
+    not an approximation)."""
+    from gpuaudiobench_tpu.ops.dwg import dwg_block
+    from gpuaudiobench_tpu.ops.dwg_arc import dwg_stream_entry, dwg_stream_step
+
+    lengths = np.array(lengths, np.int32)
+    order = np.argsort(lengths < s, kind="stable")
+    lengths = lengths[order]
+    n_long = int((lengths >= s).sum())
+    shorts = lengths[lengths < s]
+    n_rounds = int(-(-s // int(shorts.min()))) if shorts.size else 0
+    g_count = len(lengths)
+    max_len = int(lengths.max())
+    in_taps = (lengths // 4).astype(np.int32)
+    out_taps = (3 * lengths // 4).astype(np.int32)
+    gains = rng.random(g_count, dtype=np.float32)
+    refl = np.full(g_count, 0.99, np.float32)
+    damp = np.full(g_count, 0.9999, np.float32)
+    x = (rng.random(s, dtype=np.float32) * 2 - 1).astype(np.float32)
+    fwd = (rng.random((g_count, max_len), dtype=np.float32) * 0.1).astype(np.float32)
+    bwd = (rng.random((g_count, max_len), dtype=np.float32) * 0.1).astype(np.float32)
+
+    sf, sb = dwg_stream_entry(fwd, bwd, lengths, s)
+    ref_f, ref_b = fwd, bwd
+    for _ in range(3):
+        ref_out, ref_f, ref_b = dwg_block(
+            x, ref_f, ref_b, lengths, in_taps, out_taps, gains, refl, damp
+        )
+        out, sf, sb = dwg_stream_step(
+            x, np.asarray(sf), np.asarray(sb), lengths, in_taps, out_taps,
+            gains, refl, damp, n_long=n_long, n_rounds=n_rounds,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), atol=1e-6
+        )
