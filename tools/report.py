@@ -76,14 +76,18 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
             if val.get("status") in ("SUCCESS", "SKIPPED")
             else f'<span style="color:#c0392b">{html.escape(str(val.get("status", "n/a")))}</span>'
         )
+        dev = r.get("device_statistics")
+        sat = r.get("saturated")
+        dev_cell = f"{dev['median_ms']:.4f}" if dev else "&mdash;"
+        sat_cell = f"{sat['p50_ms']:.3f}" if sat else "&mdash;"
         rows.append(
             "<tr>"
             f"<td>{name}</td>"
             f"<td>{stats.get('p50_ms', 0):.3f}</td>"
             f"<td>{stats.get('p95_ms', 0):.3f}</td>"
             f"<td>{stats.get('p99_ms', 0):.3f}</td>"
-            f"<td>{stats.get('min_ms', 0):.3f}</td>"
-            f"<td>{stats.get('max_ms', 0):.3f}</td>"
+            f"<td>{dev_cell}</td>"
+            f"<td>{sat_cell}</td>"
             f"<td>{deadline.get('threshold_ms', 0):.3f}</td>"
             f"<td>{badge}</td>"
             f"<td>{vbadge}</td>"
@@ -95,16 +99,35 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
             _histogram_svg(latencies, deadline.get("threshold_ms", 0.0))
             if latencies else "<i>no raw latencies in result</i>"
         )
-        meta = r.get("metadata", {})
+        meta = dict(r.get("metadata", {}))
+        rl = meta.pop("roofline", None)
         meta_str = html.escape(json.dumps(meta)) if meta else ""
-        dev = r.get("device_statistics")
-        dev_str = (
-            f"device median {dev['median_ms']:.3f} ms / p95 {dev['p95_ms']:.3f} ms"
-            if dev else ""
-        )
+        bits = []
+        if dev:
+            method = dev.get("method", "")
+            bits.append(
+                f"device median {dev['median_ms']:.4f} ms"
+                + (f" [{html.escape(method)}]" if method else "")
+            )
+        if sat:
+            bits.append(
+                f"saturated {sat['p50_ms']:.3f} ms/block "
+                f"({sat['blocks_per_sec']:.0f} blocks/s, depth "
+                f"{sat['pipeline_depth']})"
+            )
+        if rl:
+            pct = rl.get("flops_pct_of_peak")
+            bits.append(
+                f"roofline: {rl['achieved_gflops']:.1f} GFLOP/s"
+                + (f" ({pct:.1f}% {html.escape(rl.get('unit',''))})"
+                   if pct is not None else "")
+                + f", {rl['achieved_gbps']:.1f} GB/s HBM "
+                + f"({rl['hbm_pct_of_peak']:.1f}%) &rarr; {rl['bound']}-bound"
+            )
+        dev_str = " &middot; ".join(bits)
         cards.append(
             f"<h3>{name}</h3>{hist}"
-            f"<p style='font-size:12px;color:#555'>{dev_str} {meta_str}</p>"
+            f"<p style='font-size:12px;color:#555'>{dev_str}<br>{meta_str}</p>"
         )
 
     table = (
@@ -112,8 +135,8 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
         "style='border-collapse:collapse;font-size:13px'>"
         "<tr style='background:#eef2f6'>"
         "<th>benchmark</th><th>p50</th><th>p95</th><th>p99</th>"
-        "<th>min</th><th>max</th><th>deadline</th><th>status</th>"
-        "<th>validation</th><th>GB/s</th></tr>"
+        "<th>device ms</th><th>saturated ms/blk</th><th>deadline</th>"
+        "<th>status</th><th>validation</th><th>GB/s</th></tr>"
         + "".join(rows) + "</table>"
     )
     return (
