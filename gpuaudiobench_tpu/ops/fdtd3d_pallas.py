@@ -85,6 +85,12 @@ def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
     src_mask = ((x_i == sx) & (y_i == sy) & (z_i == sz)).astype(jnp.float32)
     rcv_mask = ((x_i == rx) & (y_i == ry) & (z_i == rz)).astype(jnp.float32)
 
+    # Pressure update as two fused multiply-adds instead of a
+    # select chain: p' = p*p_scale - k2m*div, with p_scale = absorb on
+    # boundary cells (1 elsewhere) and k2m = k2 on interior cells only.
+    p_scale = jnp.where(boundary_b, absorb, jnp.float32(1.0))
+    k2m = k2 * interior_b.astype(jnp.float32)
+
     def substep(_, fields):
         p, vx, vy, vz = fields
         vx = vx - fmx * (p - _shift_down(p))  # k1 premultiplied into masks
@@ -95,9 +101,7 @@ def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
             + (_roll_lanes(vy, -PAD_N) - vy)
             + (_roll_lanes(vz, -1) - vz)
         )
-        p = jnp.where(
-            interior_b, p - k2 * div, jnp.where(boundary_b, p * absorb, p)
-        )
+        p = p * p_scale - k2m * div
         return (p, vx, vy, vz)
 
     def per_sample(smp, fields):
