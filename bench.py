@@ -27,7 +27,7 @@ import json
 import sys
 
 BASELINE_PC_P50_MS = 3.168  # BASELINE.md: Modal 1M modes, RTX 4070 p50
-PIPELINE_DEPTH = 256
+PIPELINE_DEPTH = 512
 
 
 def main() -> int:

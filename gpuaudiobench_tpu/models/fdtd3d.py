@@ -118,9 +118,17 @@ class FDTD3DBenchmark(Benchmark):
                 x, *fields, rcv_flat
             )
         elif self._impl == "pallas":
-            from gpuaudiobench_tpu.ops.fdtd3d_pallas import fdtd3d_block_pallas
+            # Divergence-form kernel: carries (p, div(v)) -- two fields
+            # instead of four, half the per-substep traffic.
+            from gpuaudiobench_tpu.ops.fdtd3d_pallas import (
+                fdtd3d_block_pallas_div,
+                zero_fields_div,
+            )
 
-            self._block = fdtd3d_block_pallas
+            self._block = fdtd3d_block_pallas_div
+            self._zero_fields = tuple(
+                dev.to_device(np.asarray(f)) for f in zero_fields_div()
+            )
         else:
             self._block = op.fdtd3d_block
         from gpuaudiobench_tpu.utils.golden_cache import cached_golden

@@ -239,3 +239,27 @@ def test_dwg_stream_matches_positional(rng, s, lengths):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref_out), atol=1e-6
         )
+
+
+def test_fdtd_div_form_matches_field_form(rng):
+    """The divergence-form kernel (carry p + div(v)) reproduces the
+    field-form update over chained blocks: same algebra, reassociated."""
+    from gpuaudiobench_tpu.ops.fdtd3d_pallas import (
+        fdtd3d_block_pallas_div,
+        zero_fields_div,
+    )
+
+    x = (rng.random((4, 8), dtype=np.float32) * 2 - 1).astype(np.float32)
+    fields = zero_fields()
+    dfields = zero_fields_div()
+    for _ in range(2):  # chained blocks exercise the carried div state
+        ref, *fields = fdtd3d_block(x, *fields)
+        with pltpu.force_tpu_interpret_mode():
+            out, *dfields = fdtd3d_block_pallas_div(
+                x, *(np.asarray(f) for f in dfields)
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # carried pressure fields agree too
+    np.testing.assert_allclose(
+        np.asarray(dfields[0]), np.asarray(fields[0]), atol=1e-6
+    )
