@@ -165,6 +165,15 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
         }
     if result.deadline_miss_rate is not None:
         out["deadline"]["miss_rate_percent"] = result.deadline_miss_rate
+    try:  # device identity (Metal JSON parity); host-only consumers skip
+        from gpuaudiobench_tpu.utils import device as _dev
+
+        out["device"] = {
+            "kind": _dev.default_device().device_kind,
+            "platform": _dev.platform(),
+        }
+    except Exception:  # noqa: BLE001 - jax-free environments
+        pass
     if result.metadata:
         out["metadata"] = result.metadata
     # Raw per-iteration latencies (extension: feeds tools/report.py

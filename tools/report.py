@@ -56,6 +56,58 @@ def _histogram_svg(latencies: List[float], threshold_ms: float,
     )
 
 
+def _load_published():
+    """PUBLISHED/MODAL_SWEEP tables from analysis/compare.py."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "analysis" / "compare.py"
+    spec = importlib.util.spec_from_file_location("gpuab_compare", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.PUBLISHED, mod.NOTES
+
+
+def _baseline_section(results: List[dict]) -> str:
+    try:
+        published, notes = _load_published()
+    except Exception:  # noqa: BLE001 - report must render regardless
+        return ""
+    rows = []
+    for r in results:
+        name = r.get("benchmark", "")
+        if name not in published:
+            continue
+        pub = published[name]
+        sat = r.get("saturated") or {}
+        ours = sat.get("p50_ms") or r.get("statistics", {}).get("p50_ms", 0)
+        basis = "saturated" if sat else "round-trip"
+        pc = pub.get("PC", (None,))[0]
+        asy = pub.get("AS", (None,))[0]
+        speed = f"{pc / ours:.1f}×" if (pc and ours) else "—"
+        rows.append(
+            "<tr>"
+            f"<td>{html.escape(name)}</td>"
+            f"<td>{pc if pc is not None else '—'}</td>"
+            f"<td>{asy if asy is not None else '—'}</td>"
+            f"<td>{ours:.3f} ({basis})</td>"
+            f"<td>{speed}</td>"
+            f"<td style='text-align:left;color:#777'>{html.escape(notes.get(name, ''))}</td>"
+            "</tr>"
+        )
+    if not rows:
+        return ""
+    return (
+        "<h2>vs published baselines (DAFx-24 poster)</h2>"
+        "<table border='0' cellspacing='0' cellpadding='6' "
+        "style='border-collapse:collapse;font-size:13px'>"
+        "<tr style='background:#eef2f6'><th>benchmark</th>"
+        "<th>RTX 4070 p50</th><th>M2 Pro p50</th><th>TPU v5e ms</th>"
+        "<th>vs PC</th><th>note</th></tr>"
+        + "".join(rows) + "</table>"
+    )
+
+
 def generate_report(results: List[dict], title: str = "tpuaudiobench results") -> str:
     rows = []
     cards = []
@@ -139,16 +191,26 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
         "<th>status</th><th>validation</th><th>GB/s</th></tr>"
         + "".join(rows) + "</table>"
     )
+    device = next(
+        (r.get("device") for r in results if r.get("device")), None
+    )
+    hw = (
+        f"<p>Hardware: <b>{html.escape(device['kind'])}</b> "
+        f"[{html.escape(device['platform'])}]</p>" if device else ""
+    )
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>{html.escape(title)}</title>"
         "<style>body{font-family:system-ui,sans-serif;margin:2em;color:#222}"
         "td,th{border-bottom:1px solid #e1e6eb;text-align:right}"
         "td:first-child,th:first-child{text-align:left}</style></head><body>"
-        f"<h1>{html.escape(title)}</h1>"
-        "<p>Latencies in ms per full host&rarr;HBM&rarr;kernel&rarr;host "
-        "round trip; deadline = 1000&middot;bufferSize/fs.</p>"
-        + table + "<hr>" + "".join(cards) + "</body></html>"
+        f"<h1>{html.escape(title)}</h1>" + hw +
+        "<p>Round-trip latencies in ms per full "
+        "host&rarr;HBM&rarr;kernel&rarr;host iteration; device ms = "
+        "on-device module time (xplane); saturated = marginal ms/block "
+        "with the pipeline kept full; deadline = 1000&middot;bufferSize/fs.</p>"
+        + table + _baseline_section(results)
+        + "<hr>" + "".join(cards) + "</body></html>"
     )
 
 
