@@ -84,7 +84,6 @@ def measure_saturated(
     latencies = []
     for _ in range(max(1, reps)):
         t0 = time.perf_counter()
-        out = np.asarray(chained(carry))
+        np.asarray(chained(carry))
         latencies.append((time.perf_counter() - t0) / depth * 1000.0)
-        del out
     return latencies

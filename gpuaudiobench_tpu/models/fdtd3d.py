@@ -95,7 +95,6 @@ class FDTD3DBenchmark(Benchmark):
         t, s = self.track_count, self.buffer_size
         self.host_input = generate_random_audio(t * s, self.cfg.seed).reshape(t, s)
         self._resident_input = dev.to_device(self.host_input)
-        self._zero_fields = tuple(dev.to_device(np.asarray(f)) for f in op.zero_fields())
         n = op.GRID_N
         self.track_alloc("pressureField", n * n * n * 4)
         self.track_alloc("velocityFields", 3 * (n + 1) * n * n * 4)
@@ -117,6 +116,7 @@ class FDTD3DBenchmark(Benchmark):
             self._block = lambda x, *fields: op.fdtd3d_block_multircv(
                 x, *fields, rcv_flat
             )
+            zero = op.zero_fields
         elif self._impl == "pallas":
             # Divergence-form kernel: carries (p, div(v)) -- two fields
             # instead of four, half the per-substep traffic.
@@ -126,11 +126,14 @@ class FDTD3DBenchmark(Benchmark):
             )
 
             self._block = fdtd3d_block_pallas_div
-            self._zero_fields = tuple(
-                dev.to_device(np.asarray(f)) for f in zero_fields_div()
-            )
+            zero = zero_fields_div
         else:
             self._block = op.fdtd3d_block
+            zero = op.zero_fields
+        # Upload only the state the chosen kernel carries (the div form
+        # needs 2 fields, not 4 -- and transfers are expensive on
+        # relay-backed rigs).
+        self._zero_fields = tuple(dev.to_device(np.asarray(f)) for f in zero())
         from gpuaudiobench_tpu.utils.golden_cache import cached_golden
 
         self.golden = cached_golden(

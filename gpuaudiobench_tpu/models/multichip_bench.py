@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from gpuaudiobench_tpu.config import BenchConfig
 from gpuaudiobench_tpu.harness.base import Benchmark
 from gpuaudiobench_tpu.harness.validation import ValidationData, compare_abs, compare_rel
 from gpuaudiobench_tpu.utils import device as dev

@@ -1,4 +1,7 @@
-"""Pallas TPU kernel for direct per-track FIR convolution.
+"""Pallas TPU kernel for direct per-track FIR convolution
+(Conv1DTextureMemoryImplKernel, cuda/bench_conv1d.cu:7-27: one thread
+per track looping samples x taps; here one lane per track with taps on
+sublane offsets).
 
 The XLA path lowers the per-track FIR as a grouped (depthwise)
 convolution, which has no matmul structure: measured 0.617 ms/block at

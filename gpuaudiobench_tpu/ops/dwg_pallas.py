@@ -1,4 +1,10 @@
-"""Pallas TPU kernel for the digital-waveguide strings.
+"""Pallas TPU kernel for the digital-waveguide strings (one-hot form).
+
+SUPERSEDED for production by ops/dwg_arc.py (round 2): the arc-window /
+aligned-stream redesign is ~60x faster at 1024 voices. Retained as an
+independent third implementation (scan != one-hot != arc) -- the tests
+cross-validate all three against each other and the NumPy golden, which
+is how the arc kernel's correctness was established.
 
 The XLA path (ops/dwg.py) carries the rails through a lax.scan with
 per-row gathers/scatters at the circular positions -- XLA lowers those

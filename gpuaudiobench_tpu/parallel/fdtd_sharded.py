@@ -15,7 +15,6 @@ communication round is needed for the divergence.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
