@@ -128,8 +128,7 @@ def make_suite_step(mesh: Mesh, n_micro: int = 2):
             return (new_re, new_im), part
 
         (_, _), mix_sn = jax.lax.scan(
-            modal_step, (s_re, s_im), None, length=s_local,
-            unroll=8 if s_local % 8 == 0 else 1,
+            modal_step, (s_re, s_im), None, length=s_local
         )
         mix = jax.lax.psum(mix_sn.T, "tp")  # (32, S/sp)
 
