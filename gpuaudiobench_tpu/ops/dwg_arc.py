@@ -223,6 +223,13 @@ def dwg_block_arc(
     """Same contract as ops.dwg.dwg_block: (out (S,), fwd', bwd')."""
     g, w = fwd.shape
     s = x.shape[0]
+    if n_long < g and n_rounds < 2:
+        raise ValueError(
+            "short waveguides present (L < S) but n_rounds < 2: pass "
+            "n_rounds = ceil(S / min(short L)) or the fixed point cannot "
+            "converge (results would be silently wrong)"
+        )
+
     out = jnp.zeros((s,), jnp.float32)
     fwd_parts, bwd_parts = [], []
 
@@ -315,6 +322,13 @@ def dwg_stream_step(
 ):
     """One streaming block on the aligned carry: (out (S,), sf', sb')."""
     g, s = sf.shape
+    if n_long < g and n_rounds < 2:
+        raise ValueError(
+            "short waveguides present (L < S) but n_rounds < 2: pass "
+            "n_rounds = ceil(S / min(short L)) or the fixed point cannot "
+            "converge (results would be silently wrong)"
+        )
+
     col = jnp.arange(s, dtype=jnp.int32)[None, :]
     out = jnp.zeros((s,), jnp.float32)
     sf_parts, sb_parts = [], []

@@ -70,16 +70,23 @@ def test_native_dawsim_spin_precision():
     from gpuaudiobench_tpu.utils.native import NativeDAWSimulator
 
     sim = NativeDAWSimulator(48, 48000, "spin")  # 1 ms buffers
-    sim.wait()
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    # On a loaded machine the process can be preempted past the buffer
+    # boundary, in which case wait() correctly returns immediately
+    # (behind schedule) -- so assert on the MEDIAN over more samples
+    # with a schedule reset, not the mean of a few.
+    for attempt in range(3):
+        sim.reset()
         sim.wait()
-        ts.append(time.perf_counter() - t0)
-    mean = sum(ts) / len(ts)
-    # paces at roughly the buffer period; generous upper bound because a
-    # loaded CI machine can delay the spin thread between iterations
-    assert 0.0005 < mean < 0.005, ts
+        ts = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            sim.wait()
+            ts.append(time.perf_counter() - t0)
+        med = sorted(ts)[len(ts) // 2]
+        if 0.0005 < med < 0.005:
+            break
+    else:
+        raise AssertionError(f"pacer median off after 3 attempts: {ts}")
 
 
 def test_gpubench_list():
