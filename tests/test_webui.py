@@ -1,0 +1,269 @@
+"""End-to-end tests for the interactive runner (webui/).
+
+The WebGPU app analog (webgpu/js/app.js): benchmark catalog with
+parameter schemas, hardware panel, queued suite runs with progress,
+preset persistence, session export. Exercised over real HTTP against
+the stdlib server on an ephemeral port, runs executed on the virtual
+CPU mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.registry import list_benchmarks
+from gpuaudiobench_tpu.webui.params import (
+    apply_params,
+    benchmark_params,
+    global_params,
+)
+from gpuaudiobench_tpu.webui.server import serve
+
+
+# ---------------------------------------------------------------------------
+# params.py unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_global_params_defaults_roundtrip():
+    cfg = BenchConfig()
+    schema = global_params()
+    ids = {p["id"] for p in schema}
+    assert {"bufferSize", "nTracks", "nRuns", "warmup",
+            "verification", "pipelineDepth", "impl"} <= ids
+    # Applying every default reproduces the default config fields.
+    defaults = {p["id"]: p["default"] for p in schema}
+    out = apply_params(cfg, defaults)
+    assert out.buffer_size == cfg.buffer_size
+    assert out.n_tracks == cfg.n_tracks
+    assert out.verification == cfg.verification
+
+
+def test_every_benchmark_schema_applies():
+    cfg = BenchConfig()
+    for name in list_benchmarks():
+        schema = benchmark_params(name)
+        defaults = {p["id"]: p["default"] for p in schema}
+        out = apply_params(cfg, defaults)
+        out.validate()
+
+
+def test_apply_params_rejects_unknown_and_invalid():
+    cfg = BenchConfig()
+    with pytest.raises(ValueError):
+        apply_params(cfg, {"nope": 1})
+    with pytest.raises(ValueError):
+        apply_params(cfg, {"bufferSize": "abc"})
+    with pytest.raises(ValueError):
+        apply_params(cfg, {"verification": "bogus"})
+
+
+def test_apply_params_modal_zero_is_auto():
+    out = apply_params(BenchConfig(), {"modalModes": 0})
+    assert out.modal_num_modes is None
+    out = apply_params(BenchConfig(), {"modalModes": 4096})
+    assert out.modal_num_modes == 4096
+
+
+def test_apply_params_bool_coercion():
+    out = apply_params(BenchConfig(), {"dawsim": "true",
+                                       "fdtdPerTrackReceivers": True})
+    assert out.dawsim is True
+    assert out.fdtd_per_track_receivers is True
+
+
+# ---------------------------------------------------------------------------
+# HTTP server end-to-end
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ui_server(tmp_path_factory):
+    presets = tmp_path_factory.mktemp("webui") / "presets.json"
+    httpd = serve(port=0, presets_path=str(presets))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+    httpd.job_runner.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        ctype = r.headers.get("Content-Type", "")
+        body = r.read()
+    return ctype, body
+
+
+def _get_json(base, path):
+    ctype, body = _get(base, path)
+    assert "json" in ctype
+    return json.loads(body)
+
+
+def _post_json(base, path, obj, expect_ok=True):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        if expect_ok:
+            raise
+        return e.code, json.loads(e.read())
+
+
+def test_index_served(ui_server):
+    ctype, body = _get(ui_server, "/")
+    assert "text/html" in ctype
+    assert b"TPU Audio Benchmarks" in body
+    assert b"src=\"http" not in body and b"href=\"http" not in body  # zero egress
+
+
+def test_hardware_endpoint(ui_server):
+    hw = _get_json(ui_server, "/api/hardware")
+    assert hw["platform"] == "cpu"  # conftest forces the virtual mesh
+    assert hw["num_devices"] == 8
+    assert "jax_version" in hw
+
+
+def test_benchmarks_catalog(ui_server):
+    cat = _get_json(ui_server, "/api/benchmarks")
+    names = [b["name"] for b in cat["benchmarks"]]
+    assert names == list_benchmarks()
+    assert "dsp" in cat["categories"]
+    conv = next(b for b in cat["benchmarks"] if b["name"] == "Conv1D")
+    assert any(p["id"] == "irLength" for p in conv["params"])
+    assert any(p["id"] == "bufferSize" for p in cat["global_params"])
+
+
+def _wait_job(base, job_id, timeout=300.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        job = _get_json(base, f"/api/job?id={job_id}")
+        if job["status"] in ("done", "error"):
+            return job
+        time.sleep(0.3)
+    raise TimeoutError("job did not finish")
+
+
+SMALL = {
+    "bufferSize": 64,
+    "nTracks": 8,
+    "nRuns": 3,
+    "warmup": 1,
+    "deviceTiming": False,
+}
+
+
+def test_run_single_benchmark(ui_server):
+    code, resp = _post_json(
+        ui_server, "/api/run", {"benchmarks": ["gain"], "params": SMALL}
+    )
+    assert code == 202
+    job = _wait_job(ui_server, resp["job_id"])
+    assert job["status"] == "done"
+    assert job["errors"] == []
+    (res,) = job["results"]
+    assert res["benchmark"] == "gain"
+    assert res["validation"]["status"] == "SUCCESS"
+    assert res["statistics"]["p50_ms"] > 0
+    assert len(res["raw_latencies_ms"]) == 3
+
+
+def test_run_with_benchmark_params(ui_server):
+    params = dict(SMALL, irLength=128, convEdgeMode="clamp")
+    code, resp = _post_json(
+        ui_server, "/api/run", {"benchmarks": ["Conv1D"], "params": params}
+    )
+    job = _wait_job(ui_server, resp["job_id"])
+    assert job["status"] == "done", job["errors"]
+    assert job["results"][0]["validation"]["status"] == "SUCCESS"
+    assert job["results"][0]["metadata"]["irLength"] == 128
+
+
+def test_run_category_suite_with_progress(ui_server):
+    code, resp = _post_json(
+        ui_server, "/api/run", {"category": "basic", "params": SMALL}
+    )
+    job = _wait_job(ui_server, resp["job_id"])
+    assert job["status"] == "done"
+    assert job["total"] == 3 and job["completed"] == 3
+    assert {r["benchmark"] for r in job["results"]} == {
+        "NoOp", "gain", "GainStats"
+    }
+
+
+def test_run_rejects_bad_requests(ui_server):
+    code, resp = _post_json(ui_server, "/api/run", {}, expect_ok=False)
+    assert code == 400
+    code, resp = _post_json(
+        ui_server, "/api/run", {"benchmarks": ["NotABenchmark"]},
+        expect_ok=False,
+    )
+    assert code == 400 and "NotABenchmark" in resp["error"]
+    code, resp = _post_json(
+        ui_server, "/api/run",
+        {"benchmarks": ["gain"], "params": {"bogusParam": 1}},
+        expect_ok=False,
+    )
+    assert code == 400 and "bogusParam" in resp["error"]
+    code, resp = _post_json(
+        ui_server, "/api/run", {"category": "nope"}, expect_ok=False
+    )
+    assert code == 400
+
+
+def test_suite_resilience_partial_failure(ui_server):
+    # MultiChipSuite with an oversized mesh fails; gain still completes.
+    params = dict(SMALL, mesh="64,1,1")
+    code, resp = _post_json(
+        ui_server, "/api/run",
+        {"benchmarks": ["MultiChipSuite", "gain"], "params": params},
+    )
+    job = _wait_job(ui_server, resp["job_id"])
+    assert job["status"] == "done"
+    assert len(job["errors"]) == 1 and "MultiChipSuite" in job["errors"][0]
+    assert [r["benchmark"] for r in job["results"]] == ["gain"]
+
+
+def test_presets_roundtrip(ui_server):
+    _post_json(
+        ui_server, "/api/presets",
+        {"benchmark": "Conv1D", "name": "long-ir",
+         "params": {"irLength": 2048}},
+    )
+    presets = _get_json(ui_server, "/api/presets")
+    assert presets["Conv1D"]["long-ir"]["irLength"] == 2048
+    code, resp = _post_json(
+        ui_server, "/api/presets",
+        {"action": "delete", "benchmark": "Conv1D", "name": "long-ir"},
+    )
+    assert resp["ok"] is True
+    assert "Conv1D" not in _get_json(ui_server, "/api/presets")
+
+
+def test_session_export(ui_server):
+    # Earlier run tests populated the session accumulator.
+    data = _get_json(ui_server, "/api/export.json")
+    assert any(r["benchmark"] == "gain" for r in data["results"])
+    ctype, body = _get(ui_server, "/api/export.csv")
+    assert "csv" in ctype
+    lines = body.decode().strip().splitlines()
+    assert lines[0].startswith("benchmark_name,buffer_size")
+    assert len(lines) >= 2
+
+
+def test_unknown_routes_404(ui_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(ui_server, "/api/nope")
+    assert e.value.code == 404
