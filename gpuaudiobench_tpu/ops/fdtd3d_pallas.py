@@ -132,7 +132,7 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
     with static per-cell masks m = k1*(staggered-interior), m_up = m
     shifted one cell up the axis -- v never materializes. Two carried
     fields instead of four and one stencil instead of two, roughly
-    halving the VMEM traffic per substep (5.1 -> ~2.9 ms/block). Exact
+    halving the VMEM traffic per substep (5.1 -> 4.3 ms/block). Exact
     same update algebra as the field form, reassociated; equivalence-
     tested against it (tests/test_pallas_ops.py).
     """
@@ -172,28 +172,37 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
     fmz_up = vmask(z_i, (z_i + 1 >= 1) & (z_i + 1 <= n - 1), in_xy)
 
     src_mask = ((x_i == sx) & (y_i == sy) & (z_i == sz)).astype(jnp.float32)
-    rcv_mask = ((x_i == rx) & (y_i == ry) & (z_i == rz)).astype(jnp.float32)
 
     p_scale = jnp.where(boundary_b, absorb, jnp.float32(1.0))
     k2m = k2 * interior_b.astype(jnp.float32)
+    # Merged-mask form: expanding the six (p_neighbor - p) differences
+    # and collecting the -p terms into one coefficient turns the update
+    # into   div' = div + fmsum*p - sum_i fm_i * p_i,
+    # six neighbor FMAs + one center FMA instead of six sub/mul pairs --
+    # the substep is VPU-issue-bound (every op is a full pass over the
+    # 53x2809 field), so fewer passes is directly faster:
+    # measured 4.34 -> 3.39 ms/block on v5e. Same algebra, reassociated;
+    # equivalence-tested against the field-form kernel.
+    fmsum = fmx + fmx_up + fmy + fmy_up + fmz + fmz_up
 
     def substep(_, fields):
         p, div = fields
-        div = div - (
-            fmx_up * (_shift_up(p) - p) - fmx * (p - _shift_down(p))
-            + fmy_up * (_roll_lanes(p, -PAD_N) - p)
-            - fmy * (p - _roll_lanes(p, PAD_N))
-            + fmz_up * (_roll_lanes(p, -1) - p)
-            - fmz * (p - _roll_lanes(p, 1))
-        )
+        s = fmx_up * _shift_up(p) + fmx * _shift_down(p)
+        s = s + fmy_up * _roll_lanes(p, -PAD_N) + fmy * _roll_lanes(p, PAD_N)
+        s = s + fmz_up * _roll_lanes(p, -1) + fmz * _roll_lanes(p, 1)
+        div = div + fmsum * p - s
         p = p * p_scale - k2m * div
         return (p, div)
+
+    # Receiver tap: the cell index is static, so read it directly
+    # instead of a full-field masked reduction per sample.
+    rcv_lane = ry * PAD_N + rz
 
     def per_sample(smp, fields):
         p, div = fields
         p = p + src_mask * src_ref[0, smp]
         p, div = jax.lax.fori_loop(0, steps_per_sample, substep, (p, div))
-        out_ref[0, smp] = jnp.sum(rcv_mask * p) * jnp.float32(C.OUTPUT_SCALE)
+        out_ref[0, smp] = p[rx, rcv_lane] * jnp.float32(C.OUTPUT_SCALE)
         return (p, div)
 
     p, div = jax.lax.fori_loop(
