@@ -38,7 +38,16 @@ class RndMemBenchmark(Benchmark):
         t = self.track_count
         self.setup_sharding(t)
         self.host_pool = generate_uniform01(self.pool_elems, self.cfg.seed)
-        self._pool_dev = self.put_replicated(self.host_pool)  # one-time 512 MiB upload
+        # One-time 512 MiB upload, padded with POOL_PAD tail samples so
+        # the Pallas kernel's per-track 8-row fetch from the playhead's
+        # own row never runs past the pool (ops/rndmem_pallas.py); the
+        # pad is never addressed by any window (ph + 512 <= pool_elems).
+        from gpuaudiobench_tpu.ops.rndmem_pallas import POOL_PAD
+
+        self._pool_dev = self.put_replicated(
+            np.concatenate([self.host_pool,
+                            np.zeros(POOL_PAD, np.float32)])
+        )
         self.track_alloc("samplePool", self.host_pool.nbytes * 2)  # host+device
         self.track_alloc("outputBuffer", t * self.buffer_size * 4 * 2)
         g = np.random.Generator(np.random.MT19937(self.cfg.seed))

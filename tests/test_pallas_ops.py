@@ -58,11 +58,22 @@ def test_rndmem_pallas_matches_gather(rng):
     from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
     from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
 
-    pool = rng.random(64 * 1024, dtype=np.float32)
-    # include edge cases: block-aligned, end-of-pool, mid-block offsets
-    ph = np.array([0, 1024, 513, 1000, 64 * 1024 - 512, 2047, 12345, 777],
-                  np.int32)
-    tmpl = np.zeros((8, 512), np.float32)
+    # Pool carries the POOL_PAD tail slack the kernel contract requires
+    # (models/rndmem.py pads the same way); playheads stay inside the
+    # logical 64k pool.
+    from gpuaudiobench_tpu.ops.rndmem_pallas import POOL_PAD
+
+    pool = rng.random(64 * 1024 + POOL_PAD, dtype=np.float32)
+    # include edge cases: block-aligned, end-of-pool, row-aligned,
+    # mid-row offsets; 32 tracks = one full DMA group
+    edge = [0, 1024, 513, 1000, 64 * 1024 - 512, 2047, 12345, 777,
+            128, 127, 129, 64 * 1024 - 513, 64 * 1024 - 640, 255,
+            64 * 1024 - 768, 511]
+    ph = np.concatenate([
+        np.array(edge, np.int32),
+        rng.integers(0, 64 * 1024 - 512, 16).astype(np.int32),
+    ])
+    tmpl = np.zeros((32, 512), np.float32)
     ref = np.asarray(rndmem_gather(pool, ph, tmpl))
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(rndmem_gather_pallas(pool, ph, tmpl))
