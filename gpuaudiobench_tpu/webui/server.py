@@ -47,6 +47,29 @@ STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 DEFAULT_PRESETS_PATH = os.path.expanduser("~/.tpuaudiobench/presets.json")
 
 
+def published_baselines() -> Dict[str, Any]:
+    """Published RTX 4070 / M2 Pro numbers for the comparison column
+    (analysis/compare.py PUBLISHED/NOTES/MODAL_SWEEP; imported by file
+    path since analysis/ is repo tooling, not part of the package)."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "analysis", "compare.py",
+    )
+    try:
+        spec = importlib.util.spec_from_file_location("gpuab_compare", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # type: ignore[union-attr]
+        return {
+            "published": mod.PUBLISHED,
+            "notes": mod.NOTES,
+            "modal_sweep": mod.MODAL_SWEEP,
+        }
+    except (OSError, AttributeError, ImportError):
+        return {"published": {}, "notes": {}, "modal_sweep": {}}
+
+
 def hardware_info() -> Dict[str, Any]:
     """Device identity panel (webgpu/index.html:55-96 hardware-info:
     vendor/architecture/limits), from the PJRT client."""
@@ -309,6 +332,8 @@ def make_handler(runner: JobRunner, presets: PresetStore):
                 self._json({"jobs": runner.list_jobs()})
             elif route == "/api/presets":
                 self._json(presets.load())
+            elif route == "/api/compare":
+                self._json(published_baselines())
             elif route == "/api/export.json":
                 self._json({"results": runner.results})
             elif route == "/api/export.csv":

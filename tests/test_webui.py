@@ -267,3 +267,12 @@ def test_unknown_routes_404(ui_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(ui_server, "/api/nope")
     assert e.value.code == 404
+
+
+def test_compare_endpoint(ui_server):
+    data = _get_json(ui_server, "/api/compare")
+    assert "ModalFilterBank" in data["published"]
+    assert data["published"]["ModalFilterBank"]["PC"][0] == 3.168
+    assert "1048576" in data["modal_sweep"] or 1048576 in {
+        int(k) for k in data["modal_sweep"]
+    }
