@@ -276,3 +276,98 @@ def test_compare_endpoint(ui_server):
     assert "1048576" in data["modal_sweep"] or 1048576 in {
         int(k) for k in data["modal_sweep"]
     }
+
+
+def test_index_html_ids_consistent():
+    """Every element id the embedded JS looks up must exist in the HTML
+    (no browser in CI, so this static check stands in for a DOM test)."""
+    import os
+    import re
+
+    from gpuaudiobench_tpu.webui import server as srv
+
+    html = open(os.path.join(srv.STATIC_DIR, "index.html")).read()
+    script = re.search(r"<script>(.*)</script>", html, re.S).group(1)
+    looked_up = set(re.findall(r'\$\("([\w-]+)"\)', script))
+    looked_up |= set(re.findall(r'getElementById\("([\w-]+)"\)', script))
+    declared = set(re.findall(r'id="([\w-]+)"', html))
+    # ids built dynamically at runtime (chart containers) are exempt
+    missing = {i for i in looked_up if i not in declared
+               and not i.startswith("chart-")}
+    assert not missing, f"JS references undeclared ids: {sorted(missing)}"
+
+
+def test_index_html_brace_balance():
+    """Structural check of the embedded JS: brackets balance once
+    strings/templates are stripped (a syntax error would kill the whole
+    UI and no JS engine exists in CI to catch it)."""
+    import os
+    import re
+
+    from gpuaudiobench_tpu.webui import server as srv
+
+    html = open(os.path.join(srv.STATIC_DIR, "index.html")).read()
+    js = re.search(r"<script>(.*)</script>", html, re.S).group(1)
+    js = re.sub(r"//[^\n]*", "", re.sub(r"/\*.*?\*/", "", js, flags=re.S))
+
+    out = []
+    mode_stack = ["code"]
+    tmpl_expr_depth = []
+    brace_depth = 0
+    i, n = 0, len(js)
+    while i < n:
+        c = js[i]
+        if mode_stack[-1] == "code":
+            if c in "\"'":
+                q = c
+                i += 1
+                while i < n:
+                    if js[i] == "\\":
+                        i += 2
+                        continue
+                    if js[i] == q:
+                        i += 1
+                        break
+                    i += 1
+                continue
+            if c == "`":
+                mode_stack.append("tmpl")
+                i += 1
+                continue
+            if c == "{":
+                brace_depth += 1
+            if c == "}":
+                if tmpl_expr_depth and brace_depth == tmpl_expr_depth[-1]:
+                    tmpl_expr_depth.pop()
+                    mode_stack.pop()
+                    out.append(")")
+                    i += 1
+                    continue
+                brace_depth -= 1
+            out.append(c)
+            i += 1
+        else:  # template text
+            if c == "\\":
+                i += 2
+                continue
+            if c == "`":
+                mode_stack.pop()
+                i += 1
+                continue
+            if c == "$" and i + 1 < n and js[i + 1] == "{":
+                mode_stack.append("code")
+                tmpl_expr_depth.append(brace_depth)
+                out.append("(")
+                i += 2
+                continue
+            i += 1
+    pairs = {")": "(", "]": "[", "}": "{"}
+    stack = []
+    for ch in "".join(out):
+        if ch in "([{":
+            stack.append(ch)
+        elif ch in ")]}":
+            assert stack and stack[-1] == pairs[ch], "bracket mismatch"
+            stack.pop()
+    assert not stack, f"unclosed brackets: {stack[-5:]}"
+    assert not mode_stack[1:], "unterminated string/template"
