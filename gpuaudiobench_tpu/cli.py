@@ -70,6 +70,7 @@ def print_help() -> None:
     print("                           ICIBandwidth (default: 1,1,1)")
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
+    print("  --quiet                  Suppress progress output (results only)")
     print()
     print("Available Benchmarks:")
     print("=====================")
@@ -138,6 +139,8 @@ def parse_args(argv: List[str]):
             return None, ["--list"], None
         if arg == "--json":
             updates["json_output"] = True
+        elif arg == "--quiet":
+            updates["quiet"] = True
         elif arg == "--dawsim":
             updates["dawsim"] = True
         elif arg == "--capture":
@@ -226,13 +229,15 @@ def run(cfg: BenchConfig, names: List[str]) -> int:
             return 1
         # One failing benchmark doesn't kill the suite (main.swift:261-341).
         try:
-            print(f"Setting up {name} benchmark...")
+            if not cfg.quiet:
+                print(f"Setting up {name} benchmark...")
             bench.setup()
-            print(
-                f"Running {name} benchmark ({cfg.n_runs} iterations "
-                f"with {cfg.warmup} warmup)..."
-            )
-            result = run_benchmark(bench, cfg)
+            if not cfg.quiet:
+                print(
+                    f"Running {name} benchmark ({cfg.n_runs} iterations "
+                    f"with {cfg.warmup} warmup)..."
+                )
+            result = run_benchmark(bench, cfg, verbose=not cfg.quiet)
             if result.validation is not None and not result.validation.passed:
                 exit_code = 1
             if cfg.json_output:

@@ -23,6 +23,9 @@ class BenchConfig:
     warmup: int = 3  # cuda/main.cu:130 hardcodes 3 warmup iterations
 
     # Output control.
+    # Quiet mode: suppress progress chatter, keep results (the WebGPU
+    # UI's quiet toggle, webgpu/js/core/GPUABenchmark.js:91-97).
+    quiet: bool = False
     output_file: str = ""  # CSV path ("" = no CSV), cuda/globals.cu:8
     json_output: bool = False  # cuda/globals.cu:9
     latencies_file: str = ""  # raw latency dump; default /tmp/<name>_latencies.txt

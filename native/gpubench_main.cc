@@ -34,7 +34,7 @@ const char* kValueFlags[] = {
 
 const char* kBoolFlags[] = {
     "--help", "--list", "--json", "--dawsim", "--capture", "--no-device-timing",
-    "--fdtdPerTrackReceivers",
+    "--fdtdPerTrackReceivers", "--quiet",
 };
 
 bool IsValueFlag(const char* arg) {

@@ -171,3 +171,10 @@ def test_csv_schema_flag_parses():
     assert err is None and cfg.csv_schema == "metal"
     _, _, err = parse_args(["--csvSchema", "bogus"])
     assert err and "csv schema" in err
+
+
+def test_quiet_flag():
+    cfg, names, err = parse_args(["--quiet", "--benchmark", "gain"])
+    assert err is None and cfg.quiet is True
+    cfg, _, _ = parse_args(["--benchmark", "gain"])
+    assert cfg.quiet is False
