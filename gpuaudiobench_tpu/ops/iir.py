@@ -148,6 +148,58 @@ def _iir_cascade_kernel(x_ref, c_ref, z_ref, y_ref, zout_ref, *, n_stages: int):
         zout_ref[i, :] = final[i]
 
 
+def _iir_cascade_kernel_systolic(x_ref, c_ref, z_ref, y_ref, zout_ref,
+                                 *, n_stages: int):
+    """Systolic-skew cascade: at step t, stage k processes sample
+    t - k, so all K stages advance IN PARALLEL on consecutive samples
+    instead of each sample flowing through K dependent stages. The
+    5120-long dependency chain of the per-sample form (512 samples x
+    10 stages) becomes S + K - 1 = 521 steps of one vectorized biquad
+    update over the (K, tracks) stage plane -- the recurrence-latency
+    floor of a single biquad, not of the chain.
+
+    A per-stage activity mask (k <= t < S + k) freezes each stage's
+    state outside its window: during warmup (t < k) a stage sees
+    garbage from its upstream neighbor but discards it, and during
+    drain (t >= S + k) it stops updating, so the carried states land
+    exactly where the per-sample form leaves them. Same arithmetic per
+    (sample, stage) as the chain kernel (agreement to FMA-contraction
+    rounding, ~1e-7; tests/test_pallas_ops.py).
+    """
+    s = x_ref.shape[0]
+    k = n_stages
+    b0 = c_ref[:, 0:1]
+    b1 = c_ref[:, 1:2]
+    b2 = c_ref[:, 2:3]
+    a1 = c_ref[:, 3:4]
+    a2 = c_ref[:, 4:5]
+    tracks = x_ref.shape[1]
+    stage = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+    def body(t, carry):
+        z1, z2, ylast = carry  # (K, T) each
+        n = t - stage  # sample index per stage
+        live = ((n >= 0) & (n < s)).astype(jnp.float32)  # (K, 1)
+        xin = x_ref[jnp.minimum(t, s - 1), :]
+        v = jnp.concatenate([xin[None, :], ylast[:-1]], axis=0)
+        w = v - a1 * z1 - a2 * z2
+        y = b0 * w + b1 * z1 + b2 * z2
+
+        @pl.when(t >= k - 1)
+        def _():
+            y_ref[t - (k - 1), :] = y[k - 1]
+
+        dead = 1.0 - live
+        return (live * w + dead * z1, live * z1 + dead * z2, y)
+
+    z1_0 = z_ref[:k, :]
+    z2_0 = z_ref[k:, :]
+    y0 = jnp.zeros((k, tracks), jnp.float32)
+    z1f, z2f, _ = jax.lax.fori_loop(0, s + k - 1, body, (z1_0, z2_0, y0))
+    zout_ref[:k, :] = z1f
+    zout_ref[k:, :] = z2f
+
+
 @functools.partial(jax.jit, static_argnames=("track_block",))
 def iir_cascade_pallas(
     x: jax.Array,  # (tracks, S)
@@ -155,7 +207,55 @@ def iir_cascade_pallas(
     states: jax.Array,  # (K, tracks, 2)
     track_block: int = 512,
 ):
-    """K-stage biquad cascade. Returns (y (tracks, S), states')."""
+    """K-stage biquad cascade via the systolic kernel.
+    Returns (y (tracks, S), states')."""
+    k = coeffs.shape[0]
+    tracks, s = x.shape
+    tb = min(track_block, tracks)
+    if tracks % tb != 0:
+        pad = (-tracks) % tb
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        sp = jnp.pad(states, ((0, 0), (0, pad), (0, 0)))
+        y, z = iir_cascade_pallas(xp, coeffs, sp, track_block=tb)
+        return y[:tracks], z[:, :tracks]
+
+    xt = x.T  # (S, T)
+    # (2K, T): z1 for every stage, then z2 for every stage.
+    zt = jnp.concatenate([states[:, :, 0], states[:, :, 1]], axis=0)
+    c = jnp.pad(coeffs, ((0, 0), (0, 3)))  # (K, 8)
+
+    kernel = functools.partial(_iir_cascade_kernel_systolic, n_stages=k)
+    grid = (tracks // tb,)
+    y, zout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, tracks), x.dtype),
+            jax.ShapeDtypeStruct((2 * k, tracks), x.dtype),
+        ],
+    )(xt, c, zt)
+    return y.T, jnp.stack([zout[:k], zout[k:]], axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("track_block",))
+def iir_cascade_pallas_chain(
+    x: jax.Array,  # (tracks, S)
+    coeffs: jax.Array,  # (K, 5)
+    states: jax.Array,  # (K, tracks, 2)
+    track_block: int = 512,
+):
+    """Per-sample chain form of the cascade (each sample flows through
+    every stage before the next starts). Kept as the bit-exactness
+    oracle for the systolic kernel."""
     k = coeffs.shape[0]
     tracks, s = x.shape
     tb = min(track_block, tracks)

@@ -141,6 +141,35 @@ def test_iir_cascade_pallas(rng):
     np.testing.assert_allclose(np.asarray(zp), np.stack(zs), atol=1e-5)
 
 
+def test_iir_cascade_systolic_matches_chain(rng):
+    """The systolic-skew kernel computes the same per-(sample, stage)
+    arithmetic as the per-sample chain form; only compiler FMA
+    contraction may differ, so agreement is to ~1e-7, carried states
+    included."""
+    from gpuaudiobench_tpu.ops.iir import (
+        iir_cascade_pallas,
+        iir_cascade_pallas_chain,
+    )
+    from gpuaudiobench_tpu.utils.data import biquad_lowpass_coefficients
+
+    for k, t, s in [(10, 8, 32), (1, 8, 16), (4, 16, 64)]:
+        coeffs = np.stack(
+            [np.array(biquad_lowpass_coefficients(0.3 - 0.02 * i),
+                      np.float32) for i in range(k)]
+        )
+        states = (rng.random((k, t, 2), dtype=np.float32) * 0.1
+                  ).astype(np.float32)
+        x = (rng.random((t, s), dtype=np.float32) * 2 - 1).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            ys, zs_ = iir_cascade_pallas(x, coeffs, states, track_block=t)
+            yc, zc = iir_cascade_pallas_chain(x, coeffs, states,
+                                              track_block=t)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yc),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(zs_), np.asarray(zc),
+                                   atol=1e-6, rtol=1e-6)
+
+
 @pytest.mark.parametrize("s,lengths", [
     # mixed long/short around S, incl. L == S and L just above/below
     (48, [100, 96, 48, 49, 5, 8, 33, 40, 47]),
