@@ -37,9 +37,10 @@ PUBLISHED = {
 # RPC residual on the relay rig; see docs/RESULTS_r2.md).
 MODAL_SWEEP = {
     # modes: {"PC": (p50, p95), "AS": (p50, p95), "TPU_v5e": saturated_ms}
-    1024:    {"PC": (0.050, 0.183), "AS": (0.172, 0.203), "TPU_v5e": 0.116},
-    102400:  {"PC": (0.315, 0.447), "AS": (0.611, 0.671), "TPU_v5e": 0.241},
-    1048576: {"PC": (3.168, 3.941), "AS": (5.717, 5.870), "TPU_v5e": 1.095},
+    # TPU numbers regenerate with tools/modal_sweep.py.
+    1024:    {"PC": (0.050, 0.183), "AS": (0.172, 0.203), "TPU_v5e": 0.126},
+    102400:  {"PC": (0.315, 0.447), "AS": (0.611, 0.671), "TPU_v5e": 0.233},
+    1048576: {"PC": (3.168, 3.941), "AS": (5.717, 5.870), "TPU_v5e": 1.089},
 }
 
 
