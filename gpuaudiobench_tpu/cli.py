@@ -71,6 +71,9 @@ def print_help() -> None:
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
     print("  --quiet                  Suppress progress output (results only)")
+    print("  --compilationCacheDir [d] Persistent XLA compile cache dir")
+    print("                           (default ~/.cache/tpuaudiobench/xla)")
+    print("  --no-compilationCache    Disable the persistent compile cache")
     print()
     print("Available Benchmarks:")
     print("=====================")
@@ -125,6 +128,7 @@ def parse_args(argv: List[str]):
         "--modalModes": ("modal_num_modes", int),
         "--pipelineDepth": ("pipeline_depth", int),
         "--captureDir": ("capture_dir", str),
+        "--compilationCacheDir": ("compilation_cache_dir", str),
         "--csvSchema": ("csv_schema", str),
         "--mesh": ("mesh", str),
         "--seed": ("seed", int),
@@ -141,6 +145,8 @@ def parse_args(argv: List[str]):
             updates["json_output"] = True
         elif arg == "--quiet":
             updates["quiet"] = True
+        elif arg == "--no-compilationCache":
+            updates["compilation_cache"] = False
         elif arg == "--dawsim":
             updates["dawsim"] = True
         elif arg == "--capture":

@@ -68,6 +68,13 @@ class BenchConfig:
     # "auto" = pallas on TPU where available, xla otherwise.
     impl: str = "auto"
 
+    # Persistent XLA compilation cache (directory; "" = default
+    # ~/.cache/tpuaudiobench/xla). Cuts repeat-process warmup ~18x on
+    # the v5e relay; timed iterations are unaffected (warmup absorbs
+    # compiles either way).
+    compilation_cache: bool = True
+    compilation_cache_dir: str = ""
+
     # Separate device-only timing pass (the cudaEvent / gpuStartTime analog:
     # times the jitted computation on device-resident buffers, excluding
     # host<->HBM transfers).

@@ -29,6 +29,10 @@ def run_benchmark(
     verbose: bool = True,
 ) -> BenchmarkResult:
     cfg = cfg or benchmark.cfg
+    if cfg.compilation_cache:
+        from gpuaudiobench_tpu.utils.device import enable_compilation_cache
+
+        enable_compilation_cache(cfg.compilation_cache_dir)
     if cfg.data_parallel > 1 and not benchmark._dp_ready:
         raise ValueError(
             f"{benchmark.name} does not support --dataParallel "

@@ -30,11 +30,12 @@ const char* kValueFlags[] = {
     "--benchmarkFilter", "--category",      "--transferMiB",
     "--dataParallel", "--modalModes",       "--pipelineDepth",
     "--captureDir",   "--csvSchema",       "--mesh",
+    "--compilationCacheDir",
 };
 
 const char* kBoolFlags[] = {
     "--help", "--list", "--json", "--dawsim", "--capture", "--no-device-timing",
-    "--fdtdPerTrackReceivers", "--quiet",
+    "--fdtdPerTrackReceivers", "--quiet", "--no-compilationCache",
 };
 
 bool IsValueFlag(const char* arg) {
