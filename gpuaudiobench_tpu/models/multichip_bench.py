@@ -125,7 +125,9 @@ class MultiChipSuiteBenchmark(Benchmark):
             ir_len=ir_len,
             seed=self.cfg.seed,
         )
-        self._step = make_suite_step(self.mesh)
+        self._step = make_suite_step(
+            self.mesh, impl=dev.resolve_impl(self.cfg.impl)
+        )
         self.track_alloc(
             "pipelineBuffers",
             sum(int(np.prod(a.shape)) * 4 for a in self._args),

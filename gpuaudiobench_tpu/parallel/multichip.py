@@ -71,7 +71,7 @@ def _local_conv(x_with_halo: jax.Array, ir: jax.Array) -> jax.Array:
     return out[0]
 
 
-def make_suite_step(mesh: Mesh, n_micro: int = 2):
+def make_suite_step(mesh: Mesh, n_micro: int = 2, impl: str = "xla"):
     """Build the jitted multi-chip pipeline step.
 
     fn(x, amp, cos_w, sin_w, s_re, s_im, ir, stage_coeffs) -> (T, S)
@@ -79,10 +79,27 @@ def make_suite_step(mesh: Mesh, n_micro: int = 2):
       amp..s_im:    (M,)     modes tp-sharded
       ir:           (L,)     replicated FIR kernel (sp halo size = L-1)
       stage_coeffs: (K, 5)   biquad cascade, one stage per tp rank
+
+    ``impl="pallas"`` routes the per-shard recurrences (biquads, modal
+    bank) through the Pallas kernels instead of XLA scans -- the scans'
+    per-step loop overhead dominated the 1x1x1 suite (2.5 ms for ~2k
+    sequential steps of trivial vector work); shard-local Pallas loops
+    run them at the in-kernel recurrence floor. CPU meshes (tests,
+    dryrun) keep "xla".
     """
     dp = mesh.shape["dp"]
     tp = mesh.shape["tp"]
     sp = mesh.shape["sp"]
+
+    def biquad(x, coeffs):
+        if impl == "pallas":
+            from gpuaudiobench_tpu.ops.iir import iir_biquad_pallas
+
+            y, _ = iir_biquad_pallas(
+                x, coeffs, jnp.zeros((x.shape[0], 2), x.dtype)
+            )
+            return y
+        return _biquad_block(x, coeffs)
 
     def local_step(x, amp, cos_w, sin_w, s_re, s_im, ir, stage_coeffs):
         # x local: (T/dp, S/sp); modes local: (M/tp,)
@@ -93,7 +110,7 @@ def make_suite_step(mesh: Mesh, n_micro: int = 2):
         # whole for the recurrence: all-gather the sp shards, scan, keep
         # our slice). The gather rides ICI along "sp".
         x_full = jax.lax.all_gather(x, "sp", axis=1, tiled=True)  # (T/dp, S)
-        y_full = _biquad_block(2.0 * x_full, stage_coeffs[0])
+        y_full = biquad(2.0 * x_full, stage_coeffs[0])
 
         # --- sp stage: halo-exchange FIR convolution on the sample axis.
         sp_idx = jax.lax.axis_index("sp")
@@ -120,17 +137,25 @@ def make_suite_step(mesh: Mesh, n_micro: int = 2):
             0, sp_idx * s_local, pre_rotate, (s_re, s_im)
         )
 
-        def modal_step(carry, _):
-            re, im = carry
-            new_re = re * cos_w - im * sin_w
-            new_im = re * sin_w + im * cos_w
-            part = (amp * new_re).reshape(-1, 32).sum(axis=0)
-            return (new_re, new_im), part
+        if impl == "pallas":
+            from gpuaudiobench_tpu.ops.modal_pallas import modal_bank_pallas
 
-        (_, _), mix_sn = jax.lax.scan(
-            modal_step, (s_re, s_im), None, length=s_local
-        )
-        mix = jax.lax.psum(mix_sn.T, "tp")  # (32, S/sp)
+            mix_local, _, _ = modal_bank_pallas(
+                amp, cos_w, sin_w, s_re, s_im, s_local, 32
+            )
+        else:
+            def modal_step(carry, _):
+                re, im = carry
+                new_re = re * cos_w - im * sin_w
+                new_im = re * sin_w + im * cos_w
+                part = (amp * new_re).reshape(-1, 32).sum(axis=0)
+                return (new_re, new_im), part
+
+            (_, _), mix_sn = jax.lax.scan(
+                modal_step, (s_re, s_im), None, length=s_local
+            )
+            mix_local = mix_sn.T
+        mix = jax.lax.psum(mix_local, "tp")  # (32, S/sp)
 
         # mix into tracks by global track index % 32
         dp_idx = jax.lax.axis_index("dp")
@@ -151,7 +176,7 @@ def make_suite_step(mesh: Mesh, n_micro: int = 2):
         for step_i in range(n_steps):
             inject = micro[step_i] if step_i < n_micro else jnp.zeros_like(buf)
             cur = jnp.where(k_idx == 0, inject, buf)
-            cur = _biquad_block(cur, stage_coeffs[k_idx])
+            cur = biquad(cur, stage_coeffs[k_idx])
             done_i = step_i - (tp - 1)
             if done_i >= 0:
                 final = jnp.where(k_idx == tp - 1, cur, jnp.zeros_like(cur))
