@@ -66,7 +66,17 @@ def _iir_kernel(x_ref, c_ref, z_ref, y_ref, zout_ref):
         y_ref[n, :] = b0 * w + b1 * z1 + b2 * z2
         return (w, z1)
 
-    z1, z2 = jax.lax.fori_loop(0, s, body, (z_ref[0, :], z_ref[1, :]))
+    # 8x sample unroll: the body is ~4 vector ops on one vreg, so loop
+    # overhead dominates (0.0076 -> 0.0052 ms/block at 128 tracks).
+    unroll = 8 if s % 8 == 0 else 1
+
+    def chunk(i, carry):
+        for j in range(unroll):
+            carry = body(unroll * i + j, carry)
+        return carry
+
+    z1, z2 = jax.lax.fori_loop(0, s // unroll, chunk,
+                               (z_ref[0, :], z_ref[1, :]))
     zout_ref[0, :] = z1
     zout_ref[1, :] = z2
 
@@ -185,7 +195,7 @@ def _iir_cascade_kernel_systolic(x_ref, c_ref, z_ref, y_ref, zout_ref,
         w = v - a1 * z1 - a2 * z2
         y = b0 * w + b1 * z1 + b2 * z2
 
-        @pl.when(t >= k - 1)
+        @pl.when((t >= k - 1) & (t - (k - 1) < s))
         def _():
             y_ref[t - (k - 1), :] = y[k - 1]
 
@@ -195,7 +205,20 @@ def _iir_cascade_kernel_systolic(x_ref, c_ref, z_ref, y_ref, zout_ref,
     z1_0 = z_ref[:k, :]
     z2_0 = z_ref[k:, :]
     y0 = jnp.zeros((k, tracks), jnp.float32)
-    z1f, z2f, _ = jax.lax.fori_loop(0, s + k - 1, body, (z1_0, z2_0, y0))
+    # Unrolled steps, padded up to a multiple of 8: the pad steps have
+    # every stage dead (live = 0) so states freeze, and the write guard
+    # caps the output window.
+    total = s + k - 1
+    unroll = 8
+    padded = -(-total // unroll) * unroll
+
+    def chunk(i, carry):
+        for j in range(unroll):
+            carry = body(unroll * i + j, carry)
+        return carry
+
+    z1f, z2f, _ = jax.lax.fori_loop(0, padded // unroll, chunk,
+                                    (z1_0, z2_0, y0))
     zout_ref[:k, :] = z1f
     zout_ref[k:, :] = z2f
 
