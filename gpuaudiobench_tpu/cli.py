@@ -60,6 +60,8 @@ def print_help() -> None:
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
     print("  --fdtdPerTrackReceivers  FDTD3D: one receiver cell per track")
     print("                           (WebGPU parity; default: broadcast)")
+    print("  --dwgMinLen/--dwgMaxLen [n]  DWG delay-line length range")
+    print("                           (CUDA default 100-2000; Metal used 64-1024)")
     print("  --modalModes [n]         ModalFilterBank mode count")
     print("                           (default: min(1024*nTracks, 1M))")
     print("  --pipelineDepth [n]      Also measure saturated throughput:")
@@ -126,6 +128,8 @@ def parse_args(argv: List[str]):
         "--transferMiB": ("transfer_mib", int),
         "--dataParallel": ("data_parallel", int),
         "--modalModes": ("modal_num_modes", int),
+        "--dwgMinLen": ("dwg_min_length", int),
+        "--dwgMaxLen": ("dwg_max_length", int),
         "--pipelineDepth": ("pipeline_depth", int),
         "--captureDir": ("capture_dir", str),
         "--compilationCacheDir": ("compilation_cache_dir", str),

@@ -57,6 +57,11 @@ class BenchConfig:
     rndmem_pool_mb: int = 512
     rndmem_min_loop: int = 1000
     rndmem_max_loop: int = 48000
+    # DWG delay-line length distribution (CUDA bench_dwg.cuh defaults
+    # 100-2000; Metal uses 64-1024 -- reachable via these flags,
+    # SURVEY.md divergence note).
+    dwg_min_length: int = 100
+    dwg_max_length: int = 2000
     # ModalFilterBank: None = min(1024*nTracks, 1M) (ModalFilterBankBenchmark.swift:20).
     modal_num_modes: Optional[int] = None
     # FDTD3D: give each track its own receiver cell (WebGPU parity,

@@ -77,7 +77,10 @@ class DWGBenchmark(Benchmark):
     def setup(self) -> None:
         g = np.random.Generator(np.random.MT19937(self.cfg.seed))
         n_wg = self.track_count
-        lengths = MIN_LENGTH + g.integers(0, MAX_LENGTH - MIN_LENGTH, n_wg)
+        lo = self.cfg.dwg_min_length
+        hi = self.cfg.dwg_max_length
+        self._max_len = hi
+        lengths = lo + g.integers(0, max(1, hi - lo), n_wg)
         if self.accelerated:
             # Round down to powers of two (>= 128 given MIN_LENGTH=100).
             lengths = (2 ** np.floor(np.log2(lengths))).astype(np.int64)
@@ -116,7 +119,7 @@ class DWGBenchmark(Benchmark):
         )
 
         self.setup_sharding(n_wg, "waveguides (nTracks)")
-        self._zero_rails = np.zeros((n_wg, MAX_LENGTH), np.float32)
+        self._zero_rails = np.zeros((n_wg, self._max_len), np.float32)
         self.track_alloc("delayRails", self._zero_rails.nbytes * 4)  # fwd+bwd, host+dev
         self.track_alloc("ioBuffers", self.buffer_size * 4 * 4)
         self._consts = {
@@ -173,10 +176,10 @@ class DWGBenchmark(Benchmark):
         bwd = self.put_sharded(self.host_bwd)
         buf = dev.from_device(self._step(x, fwd, bwd))
         s = self.buffer_size
-        rails = self.track_count * MAX_LENGTH
+        rails = self.track_count * self._max_len
         self.host_output = buf[:s]
-        self.host_fwd = buf[s:s + rails].reshape(self.track_count, MAX_LENGTH)
-        self.host_bwd = buf[s + rails:].reshape(self.track_count, MAX_LENGTH)
+        self.host_fwd = buf[s:s + rails].reshape(self.track_count, self._max_len)
+        self.host_bwd = buf[s + rails:].reshape(self.track_count, self._max_len)
         self._invocations += 1
 
     def device_iterate(self) -> None:
@@ -260,7 +263,7 @@ class DWGBenchmark(Benchmark):
 
         g, s = self.track_count, self.buffer_size
         touched = int(np.minimum(self.lengths, s).sum()) if hasattr(self, "lengths") \
-            else g * min(MAX_LENGTH, s)
+            else g * min(self._max_len, s)
         return {
             "flops": 10 * g * s,
             "hbm_bytes": (2 * 2 * 2 * touched + 2 * s) * 4,  # 2 rails, r+w, +io
@@ -269,12 +272,12 @@ class DWGBenchmark(Benchmark):
 
     def bytes_processed(self) -> int:
         # input + mono output + both rails in each direction
-        rails = 2 * self.track_count * MAX_LENGTH * 4
+        rails = 2 * self.track_count * self._max_len * 4
         return self.buffer_size * 4 * 2 + 2 * rails
 
     def metadata(self):
         return {
             "numWaveguides": self.track_count,
-            "maxLength": MAX_LENGTH,
+            "maxLength": self._max_len,
             "variant": "accel" if self.accelerated else "naive",
         }

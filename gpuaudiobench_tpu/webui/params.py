@@ -204,6 +204,21 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "FDTD3DBenchmark.js:57-67) vs one broadcast receiver",
             ),
         ]
+    if name.startswith("DWG1D"):
+        return [
+            slider(
+                "dwgMinLen", "Min Waveguide Length", 16, 2000,
+                d.dwg_min_length, 1, "samples",
+                "Delay-line length distribution lower bound "
+                "(CUDA 100; Metal used 64)",
+            ),
+            slider(
+                "dwgMaxLen", "Max Waveguide Length", 64, 8000,
+                d.dwg_max_length, 1, "samples",
+                "Delay-line length distribution upper bound "
+                "(CUDA 2000; Metal used 1024)",
+            ),
+        ]
     if name in ("MultiChipSuite", "ICIBandwidth"):
         return [
             select(
@@ -230,6 +245,8 @@ _FIELD_MAP = {
     "irLength": ("ir_length", int),
     "convEdgeMode": ("conv_edge_mode", str),
     "modalModes": ("modal_num_modes", int),
+    "dwgMinLen": ("dwg_min_length", int),
+    "dwgMaxLen": ("dwg_max_length", int),
     "poolMiB": ("rndmem_pool_mb", int),
     "minLoop": ("rndmem_min_loop", int),
     "maxLoop": ("rndmem_max_loop", int),

@@ -178,3 +178,11 @@ def test_quiet_flag():
     assert err is None and cfg.quiet is True
     cfg, _, _ = parse_args(["--benchmark", "gain"])
     assert cfg.quiet is False
+
+
+def test_dwg_length_flags():
+    cfg, _, err = parse_args(
+        ["--benchmark", "DWG1DNaive", "--dwgMinLen", "64",
+         "--dwgMaxLen", "1024"])
+    assert err is None
+    assert cfg.dwg_min_length == 64 and cfg.dwg_max_length == 1024
