@@ -57,6 +57,40 @@ def modal_reference(
     return out.astype(np.float32)
 
 
+def modal_reference_gs(
+    amp: np.ndarray,
+    cos_w: np.ndarray,
+    sin_w: np.ndarray,
+    state_re: np.ndarray,
+    state_im: np.ndarray,
+    buffer_size: int,
+    output_tracks: int,
+) -> np.ndarray:
+    """Golden for the Gordon-Smith resonator path: the same f32 shear
+    sequence the Pallas kernel executes (ops/modal_pallas.py
+    _modal_kernel_res / res_init), f64-accumulated. A separate golden is
+    required because ANY recurrence other than the golden's own f32
+    operator drifts ~1e-4 relative by sample 512 (phase quantization);
+    test_modal_true_sinusoid shows both forms sit equally close to the
+    exact f64 sinusoid."""
+    m = amp.shape[0]
+    f32 = np.float32
+    ampf = amp.astype(f32)
+    ch = np.sqrt(((1.0 + cos_w) * f32(0.5)).astype(f32)).astype(f32)
+    sh = (sin_w / (f32(2.0) * ch)).astype(f32)
+    eps = (f32(2.0) * sh).astype(f32)
+    y = (ampf * state_re.astype(f32)).astype(f32)
+    q = (sh * (ampf * state_re) - ch * (ampf * state_im)).astype(f32)
+    out = np.zeros((output_tracks, buffer_size), np.float64)
+    groups = m // output_tracks
+    for n in range(buffer_size):
+        q = (q - eps * y).astype(f32)
+        y = (y + eps * q).astype(f32)
+        out[:, n] = y.astype(np.float64).reshape(
+            groups, output_tracks).sum(axis=0)
+    return out.astype(np.float32)
+
+
 class ModalFilterBankBenchmark(Benchmark):
     name = "ModalFilterBank"
     tolerance = 1e-4  # relative (ModalFilterBankBenchmark.swift:167)
@@ -149,7 +183,6 @@ class ModalFilterBankBenchmark(Benchmark):
 
                 cos_p = padded(d["cos_w"], 1.0)
                 sin_p = padded(d["sin_w"])
-
                 def step(carry):
                     re, im = carry
                     out_sn, re2, im2 = mp.modal_folded_step(

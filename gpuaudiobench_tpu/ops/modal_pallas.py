@@ -85,8 +85,128 @@ def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
     im_out_ref[:, :] = im_f
 
 
+def _modal_kernel_res(eps_ref, y_ref, q_ref,
+                      out_ref, y_out_ref, q_out_ref,
+                      *, buffer_size: int, output_tracks: int):
+    """Gordon-Smith coupled resonator form of the bank.
+
+    Each mode advances by two dependent shears
+        q[n] = q[n-1] - eps * y[n-1]
+        y[n] = y[n-1] + eps * q[n]      (eps = 2 sin(w/2))
+    which compose to an exact rotation by w -- two FMAs per mode-sample
+    instead of the phasor rotation's four multiplies, with the sin/cos
+    tiles replaced by one eps tile. Unlike the one-FMA Chebyshev
+    two-term recurrence (tried first: its rounding error summed over
+    1M modes landed right AT the 1e-4 validation tolerance), the shear
+    pair is area-preserving, so errors stay rotation-grade (~1e-6 at
+    1M modes). amp stays pre-folded (linear).
+
+    State is (y, q); ``res_init`` maps phasor (re, im) states onto it,
+    and streaming carries it natively across blocks.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    eps = eps_ref[:, :]
+    folds = 128 // output_tracks
+    unroll = 16 if buffer_size % 16 == 0 else (8 if buffer_size % 8 == 0 else 1)
+
+    def fold(s):
+        row = s.sum(axis=0, keepdims=True)  # (1, 128), full width
+        acc = row[:, 0:output_tracks]
+        for k in range(1, folds):
+            acc = acc + row[:, k * output_tracks:(k + 1) * output_tracks]
+        return acc  # (1, T_out)
+
+    def body(ng, carry):
+        y, q = carry
+        contribs = []
+        for _ in range(unroll):
+            q = q - eps * y
+            y = y + eps * q
+            contribs.append(fold(y))
+        block = contribs[0] if unroll == 1 else jnp.concatenate(contribs, axis=0)
+        out_ref[pl.ds(ng * unroll, unroll), :] += block
+        return (y, q)
+
+    y_f, q_f = jax.lax.fori_loop(
+        0, buffer_size // unroll, body, (y_ref[:, :], q_ref[:, :])
+    )
+    y_out_ref[:, :] = y_f
+    q_out_ref[:, :] = q_f
+
+
+def res_init(cos_w, sin_w, re_f, im_f):
+    """Phasor -> Gordon-Smith state for amp-prefolded (re, im).
+
+    With h = w/2 (half-angle roots are safe: w in (0, pi)):
+      y0 = re,  q0 = sin(h)*re - cos(h)*im
+    so step 1 gives q1 = q0 - eps*y0 = -sin(h)*re - cos(h)*im and
+    y1 = y0 + eps*q1 = re*(1 - 2sin^2 h) - im*2 sin h cos h
+       = cos(w)*re - sin(w)*im -- exactly the rotation's first output.
+    """
+    # Half-angle via sin, not 1-cos: sqrt((1-c)/2) cancels
+    # catastrophically for low-frequency modes (c ~ 1 in f32), skewing
+    # their resonator frequency by up to ~1e-2 relative; sin(w/2) =
+    # sin(w) / (2 cos(w/2)) is exact to f32 for w in (-pi/2 .. beyond),
+    # and cos(w/2) = sqrt((1+c)/2) has no cancellation there.
+    ch = jnp.sqrt((1.0 + cos_w) * 0.5)
+    sh = sin_w / (2.0 * ch)
+    eps = 2.0 * sh
+    return eps, re_f, sh * re_f - ch * im_f
+
+
 @functools.partial(
-    jax.jit, static_argnames=("buffer_size", "output_tracks", "mode_tile")
+    jax.jit, static_argnames=("buffer_size", "output_tracks", "tile")
+)
+def modal_res_step(eps, y0, q0, buffer_size, output_tracks,
+                   tile):
+    """One streaming block in resonator form: returns
+    (out (S, T_out) sample-major, y', q'); chain blocks by feeding the
+    states straight back."""
+    m = eps.shape[0]
+    rows = tile // 128
+    grid = (m // tile,)
+
+    def tile_spec():
+        return pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def reshape2d(a):
+        return a.reshape(m // 128, 128)
+
+    kernel = functools.partial(
+        _modal_kernel_res, buffer_size=buffer_size,
+        output_tracks=output_tracks,
+    )
+    out_sn, y_o, q_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec() for _ in range(3)],
+        out_specs=[
+            pl.BlockSpec(
+                (buffer_size, output_tracks), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tile_spec(),
+            tile_spec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((buffer_size, output_tracks), eps.dtype),
+            jax.ShapeDtypeStruct((m // 128, 128), eps.dtype),
+            jax.ShapeDtypeStruct((m // 128, 128), eps.dtype),
+        ],
+    )(reshape2d(eps), reshape2d(y0), reshape2d(q0))
+    return out_sn, y_o.reshape(m), q_o.reshape(m)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("buffer_size", "output_tracks", "mode_tile",
+                     "algorithm"),
 )
 def modal_bank_pallas(
     amp: jax.Array,
@@ -97,12 +217,21 @@ def modal_bank_pallas(
     buffer_size: int,
     output_tracks: int,
     mode_tile: int = MODE_TILE,
+    algorithm: str = "rotation",
 ):
     """Same contract as modal_bank_xla: (out (T_out, S), re', im').
 
     The benchmark's iteration semantics never persist phasor state
     (Metal parity: the kernel reads but does not write the state
     buffer), so the returned states are the unchanged inputs.
+
+    ``algorithm``: "rotation" (default -- the 4-multiply phasor form
+    whose f32 sequence bit-matches the Metal-style golden and sits
+    ~1e-6 from the exact sinusoid of the stored coefficients) or "res"
+    (Gordon-Smith resonator, 2 FMAs/mode-sample -- measured only ~14%
+    faster at 1M modes because the kernel is fold/VMEM-bound, while its
+    eps quantization drifts ~3e-4 relative from the exact sinusoid by
+    sample 512; kept as a documented opt-in, not the validated path).
     """
     if 128 % output_tracks != 0:
         # Lane fold requires output_tracks to divide the 128-lane width;
@@ -131,13 +260,21 @@ def modal_bank_pallas(
             buffer_size,
             output_tracks,
             mode_tile=tile,
+            algorithm=algorithm,
         )
         return out, state_re, state_im
 
-    out_sn, _, _ = _modal_folded(
-        cos_w, sin_w, amp * state_re, amp * state_im,
-        buffer_size, output_tracks, tile,
-    )
+    if algorithm == "rotation":
+        out_sn, _, _ = _modal_folded(
+            cos_w, sin_w, amp * state_re, amp * state_im,
+            buffer_size, output_tracks, tile,
+        )
+    else:
+        eps, y0, q0 = res_init(cos_w, sin_w, amp * state_re,
+                               amp * state_im)
+        out_sn, _, _ = modal_res_step(
+            eps, y0, q0, buffer_size, output_tracks, tile
+        )
     return out_sn.T, state_re, state_im
 
 

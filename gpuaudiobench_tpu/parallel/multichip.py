@@ -140,8 +140,12 @@ def make_suite_step(mesh: Mesh, n_micro: int = 2, impl: str = "xla"):
         if impl == "pallas":
             from gpuaudiobench_tpu.ops.modal_pallas import modal_bank_pallas
 
+            # rotation form: the suite's NumPy reference rotates
+            # phasors, and a different recurrence drifts ~1e-4 by
+            # sample 512 (see ops/modal_pallas.py res kernel notes)
             mix_local, _, _ = modal_bank_pallas(
-                amp, cos_w, sin_w, s_re, s_im, s_local, 32
+                amp, cos_w, sin_w, s_re, s_im, s_local, 32,
+                algorithm="rotation",
             )
         else:
             def modal_step(carry, _):
