@@ -371,3 +371,21 @@ def test_index_html_brace_balance():
             stack.pop()
     assert not stack, f"unclosed brackets: {stack[-5:]}"
     assert not mode_stack[1:], "unterminated string/template"
+
+
+def test_jobs_queue_serially(ui_server):
+    """Two jobs submitted back-to-back both complete; the device worker
+    is a single thread so they never overlap (the listing shows both)."""
+    codes = []
+    ids = []
+    for _ in range(2):
+        code, resp = _post_json(
+            ui_server, "/api/run", {"benchmarks": ["NoOp"], "params": SMALL}
+        )
+        codes.append(code)
+        ids.append(resp["job_id"])
+    assert codes == [202, 202]
+    jobs = [_wait_job(ui_server, i) for i in ids]
+    assert all(j["status"] == "done" and not j["errors"] for j in jobs)
+    listing = _get_json(ui_server, "/api/jobs")["jobs"]
+    assert {j["id"] for j in jobs} <= {j["id"] for j in listing}
