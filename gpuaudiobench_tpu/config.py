@@ -128,6 +128,13 @@ class BenchConfig:
             raise ValueError(f"invalid impl: {self.impl}")
         if self.csv_schema not in ("cuda", "metal"):
             raise ValueError(f"invalid csv schema: {self.csv_schema}")
+        if self.dwg_min_length < 4:
+            raise ValueError("dwg_min_length must be >= 4")
+        if self.dwg_max_length < self.dwg_min_length:
+            raise ValueError(
+                f"dwg_max_length ({self.dwg_max_length}) must be >= "
+                f"dwg_min_length ({self.dwg_min_length})"
+            )
 
 
 def matches_filter(name: str, patterns: Sequence[str]) -> bool:

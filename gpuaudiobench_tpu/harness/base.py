@@ -91,6 +91,16 @@ class Benchmark:
 
             self._sharding = dev.dp_sharding(self.cfg.data_parallel)
 
+    def reject_data_parallel(self, reason: str) -> None:
+        """Benchmarks with no shardable dp axis call this from setup():
+        under --dataParallel it raises ``reason`` (their own targeted
+        message); otherwise it records that the flag was consciously
+        rejected so the runner's generic no-axis-declared error never
+        fires for them."""
+        if self.cfg.data_parallel > 1:
+            raise ValueError(reason)
+        self._dp_ready = True
+
     def put_sharded(self, host_array):
         """H2D placement, leading axis sharded over the dp mesh when
         --dataParallel > 1 (XLA SPMD partitions the jitted programs)."""

@@ -49,12 +49,31 @@ METAL_CSV_HEADER = (
 )
 
 
+def _check_existing_header(filename: str, expected: str) -> bool:
+    """Appending rows under a different header silently corrupts the
+    CSV (e.g. a --pipelineDepth run after a plain run, or --csvSchema
+    metal into a cuda-schema file). Returns True when a header must be
+    written; raises on mismatch with an existing one."""
+    if not os.path.exists(filename):
+        return True
+    with open(filename) as f:
+        first = f.readline().rstrip("\n")
+    if first and first != expected:
+        raise ValueError(
+            f"{filename} already has a different CSV schema "
+            f"(found {first.split(',')[0]}...-header with "
+            f"{len(first.split(','))} columns, this run writes "
+            f"{len(expected.split(','))}); use a new --outputfile"
+        )
+    return not first
+
+
 def write_csv_results(result: BenchmarkResult, cfg: BenchConfig, filename: str) -> None:
     if not filename:
         return
     if cfg.csv_schema == "metal":
         s = result.statistics
-        write_header = not os.path.exists(filename)
+        write_header = _check_existing_header(filename, METAL_CSV_HEADER)
         with open(filename, "a") as f:
             if write_header:
                 f.write(METAL_CSV_HEADER + "\n")
@@ -70,14 +89,15 @@ def write_csv_results(result: BenchmarkResult, cfg: BenchConfig, filename: str) 
     extra = ""
     if saturated_mode:
         if result.saturated_statistics is not None:
-            sat_p50 = csv_percentile(sorted(result.saturated_latencies), 0.50)
+            sat_p50 = result.saturated_statistics.median
             extra = f",{sat_p50:g},{1000.0 / sat_p50:g}" if sat_p50 > 0 else ",,"
         else:
             extra = ",,"
-    write_header = not os.path.exists(filename)
+    header = CSV_HEADER + (CSV_SATURATED_COLS if saturated_mode else "")
+    write_header = _check_existing_header(filename, header)
     with open(filename, "a") as f:
         if write_header:
-            f.write(CSV_HEADER + (CSV_SATURATED_COLS if saturated_mode else "") + "\n")
+            f.write(header + "\n")
         f.write(
             f"{result.benchmark_name},{cfg.fs},{cfg.buffer_size},{cfg.n_tracks},"
             f"{len(result.latencies)},{mn:g},{mx:g},{avg:g},{p50:g},{p95:g},"
@@ -140,7 +160,7 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
         }
     if result.saturated_statistics is not None:
         ss = result.saturated_statistics
-        sat_p50 = csv_percentile(sorted(result.saturated_latencies), 0.50)
+        sat_p50 = result.saturated_statistics.median
         out["saturated"] = {
             "pipeline_depth": result.pipeline_depth,
             "p50_ms": sat_p50,
@@ -251,7 +271,7 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
 
     if result.saturated_statistics is not None:
         ss = result.saturated_statistics
-        sat_p50 = csv_percentile(sorted(result.saturated_latencies), 0.50)
+        sat_p50 = result.saturated_statistics.median
         verdict = "meets" if sat_p50 <= threshold else "MISSES"
         print(
             f"Saturated (depth {result.pipeline_depth}): "

@@ -85,13 +85,11 @@ class FDTD3DBenchmark(Benchmark):
         super().__init__(cfg)
 
     def setup(self) -> None:
-        if self.cfg.data_parallel > 1:
-            raise ValueError(
-                "FDTD3D has no data-parallel axis (one shared acoustic "
-                "field); multi-chip FDTD uses domain decomposition -- see "
-                "parallel/fdtd_sharded.py (tests/test_multichip.py)"
-            )
-        self._dp_ready = True
+        self.reject_data_parallel(
+            "FDTD3D has no data-parallel axis (one shared acoustic "
+            "field); multi-chip FDTD uses domain decomposition -- see "
+            "parallel/fdtd_sharded.py (tests/test_multichip.py)"
+        )
         t, s = self.track_count, self.buffer_size
         self.host_input = generate_random_audio(t * s, self.cfg.seed).reshape(t, s)
         self._resident_input = dev.to_device(self.host_input)

@@ -95,12 +95,10 @@ class MultiChipSuiteBenchmark(Benchmark):
     tolerance = 1e-4  # relative-to-peak vs the 1x1x1-mesh reference
 
     def setup(self) -> None:
-        if self.cfg.data_parallel > 1:
-            raise ValueError(
-                "MultiChipSuite parallelism is set with --mesh dp,tp,sp, "
-                "not --dataParallel"
-            )
-        self._dp_ready = True
+        self.reject_data_parallel(
+            "MultiChipSuite parallelism is set with --mesh dp,tp,sp, "
+            "not --dataParallel"
+        )
         from gpuaudiobench_tpu.parallel.multichip import (
             make_suite_step,
             suite_step_example_args,
@@ -112,6 +110,12 @@ class MultiChipSuiteBenchmark(Benchmark):
         # Mode count kept modest by default: the suite step measures the
         # sharded pipeline + collectives, not peak modal throughput.
         modes = self.cfg.modal_num_modes or min(32 * self.track_count, 32768)
+        tp = shape[1]
+        if modes % 32 != 0 or modes % (32 * tp) != 0:
+            raise ValueError(
+                f"MultiChipSuite needs --modalModes divisible by 32 and "
+                f"by 32*tp ({32 * tp} for --mesh tp={tp}); got {modes}"
+            )
         # The sp halo exchange ships the IR tail (L-1 samples) to the
         # right neighbor; the tail must fit inside one sample shard.
         ir_len = max(3, min(self.cfg.ir_length or 33,
@@ -195,12 +199,10 @@ class ICIBandwidthBenchmark(Benchmark):
     tolerance = 0.0  # exact
 
     def setup(self) -> None:
-        if self.cfg.data_parallel > 1:
-            raise ValueError(
-                "ICIBandwidth spans all --mesh devices; --dataParallel "
-                "does not apply"
-            )
-        self._dp_ready = True
+        self.reject_data_parallel(
+            "ICIBandwidth spans all --mesh devices; --dataParallel "
+            "does not apply"
+        )
         import jax
         import jax.numpy as jnp
         from jax import shard_map

@@ -174,7 +174,7 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
     if name == "ModalFilterBank":
         return [
             slider(
-                "modalModes", "Number of Modes", 128, 1048576, 0, 128, "",
+                "modalModes", "Number of Modes", 0, 1048576, 0, 128, "",
                 "Resonant modes in the bank; 0 = auto "
                 "(min(1024*nTracks, 1M), ModalFilterBankBenchmark.swift:20)",
             ),

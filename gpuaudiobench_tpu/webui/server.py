@@ -49,25 +49,10 @@ DEFAULT_PRESETS_PATH = os.path.expanduser("~/.tpuaudiobench/presets.json")
 
 def published_baselines() -> Dict[str, Any]:
     """Published RTX 4070 / M2 Pro numbers for the comparison column
-    (analysis/compare.py PUBLISHED/NOTES/MODAL_SWEEP; imported by file
-    path since analysis/ is repo tooling, not part of the package)."""
-    import importlib.util
+    (analysis/compare.py tables via the shared loader)."""
+    from gpuaudiobench_tpu.utils.published import published_tables
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "analysis", "compare.py",
-    )
-    try:
-        spec = importlib.util.spec_from_file_location("gpuab_compare", path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)  # type: ignore[union-attr]
-        return {
-            "published": mod.PUBLISHED,
-            "notes": mod.NOTES,
-            "modal_sweep": mod.MODAL_SWEEP,
-        }
-    except (OSError, AttributeError, ImportError):
-        return {"published": {}, "notes": {}, "modal_sweep": {}}
+    return published_tables()
 
 
 def hardware_info() -> Dict[str, Any]:
@@ -105,7 +90,13 @@ def hardware_info() -> Dict[str, Any]:
 
 
 class JobRunner:
-    """Single worker thread; serializes all device access."""
+    """Single worker thread; serializes all device access.
+
+    Completed jobs are pruned beyond ``MAX_JOBS`` (their result
+    payloads duplicate the session accumulator) so a long-lived server
+    does not grow without bound."""
+
+    MAX_JOBS = 50
 
     def __init__(self) -> None:
         self.jobs: Dict[str, Dict[str, Any]] = {}
@@ -200,6 +191,10 @@ class JobRunner:
             job["current"] = None
             job["status"] = "done"
             job["finished_at"] = time.time()
+            done = [jid for jid, j in self.jobs.items()
+                    if j["status"] in ("done", "error")]
+            for jid in done[: max(0, len(done) - self.MAX_JOBS)]:
+                del self.jobs[jid]
 
 
 class PresetStore:

@@ -122,6 +122,7 @@ float NextRand(uint64_t* state) {
 }
 
 double Percentile(std::vector<double> v, double p) {
+  if (v.empty()) return 0.0;  // --runs 0: avoid size_t underflow
   std::sort(v.begin(), v.end());
   size_t idx = static_cast<size_t>(p * (v.size() - 1));
   return v[idx];
@@ -279,9 +280,20 @@ int main(int argc, char** argv) {
   std::vector<PJRT_Buffer*> inputs;
   uint64_t rng = 42;
   std::vector<std::vector<float>> host_data(specs.size());
+  // S32 inputs (e.g. playhead indices) get small non-negative ints:
+  // float bit patterns reinterpreted as int32 are ~1e9-scale and would
+  // send index-typed programs wildly out of bounds.
   for (size_t i = 0; i < specs.size(); ++i) {
     host_data[i].resize(specs[i].elems());
-    for (float& x : host_data[i]) x = NextRand(&rng);
+    if (specs[i].type == PJRT_Buffer_Type_S32) {
+      int32_t* as_i32 = reinterpret_cast<int32_t*>(host_data[i].data());
+      for (size_t j = 0; j < host_data[i].size(); ++j) {
+        as_i32[j] = static_cast<int32_t>(
+            (NextRand(&rng) * 0.5f + 0.5f) * 1000.0f);
+      }
+    } else {
+      for (float& x : host_data[i]) x = NextRand(&rng);
+    }
     PJRT_Client_BufferFromHostBuffer_Args hb{};
     hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
     hb.client = client;

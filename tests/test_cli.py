@@ -186,3 +186,12 @@ def test_dwg_length_flags():
          "--dwgMaxLen", "1024"])
     assert err is None
     assert cfg.dwg_min_length == 64 and cfg.dwg_max_length == 1024
+
+
+def test_dwg_length_range_validated():
+    _, _, err = parse_args(
+        ["--benchmark", "DWG1DNaive", "--dwgMinLen", "100",
+         "--dwgMaxLen", "32"])
+    assert err is not None and "dwg_max_length" in err
+    _, _, err = parse_args(["--benchmark", "DWG1DNaive", "--dwgMinLen", "2"])
+    assert err is not None and "dwg_min_length" in err

@@ -262,3 +262,13 @@ def test_mesh_parse_errors():
         parse_mesh("2,2")
     with pytest.raises(ValueError):
         parse_mesh("2,0,1")
+
+
+def test_multichip_rejects_unfoldable_modes(small_cfg):
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    b = create_benchmark(
+        "MultiChipSuite", small_cfg.replace(modal_num_modes=1000)
+    )
+    with pytest.raises(ValueError, match="divisible by 32"):
+        b.setup()

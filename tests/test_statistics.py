@@ -101,3 +101,29 @@ def test_compare_runs():
 
     assert compare_runs([2.0, 2.0], [1.0, 1.0]) == pytest.approx(50.0)
     assert compare_runs([1.0], [2.0]) == pytest.approx(-100.0)
+
+
+def test_csv_schema_mismatch_refused(tmp_path):
+    """Appending rows under a different header must fail loudly, not
+    silently corrupt the CSV (plain run then --pipelineDepth run, or a
+    metal-schema run into a cuda-schema file)."""
+    import pytest
+
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.harness.base import BenchmarkResult
+    from gpuaudiobench_tpu.harness.output import write_csv_results
+    from gpuaudiobench_tpu.harness.statistics import calculate_statistics
+
+    path = str(tmp_path / "r.csv")
+    res = BenchmarkResult(benchmark_name="gain", buffer_size=512,
+                          track_count=128, iterations=3)
+    res.latencies = [1.0, 2.0, 3.0]
+    res.statistics = calculate_statistics(res.latencies)
+    write_csv_results(res, BenchConfig(), path)  # cuda schema, 13 cols
+    with pytest.raises(ValueError, match="different CSV schema"):
+        write_csv_results(res, BenchConfig(pipeline_depth=256), path)
+    with pytest.raises(ValueError, match="different CSV schema"):
+        write_csv_results(res, BenchConfig(csv_schema="metal"), path)
+    # same schema appends fine
+    write_csv_results(res, BenchConfig(), path)
+    assert len(open(path).read().splitlines()) == 3

@@ -57,14 +57,12 @@ def _histogram_svg(latencies: List[float], threshold_ms: float,
 
 
 def _load_published():
-    """PUBLISHED/MODAL_SWEEP tables from analysis/compare.py."""
-    import importlib.util
-    import pathlib
+    """PUBLISHED/NOTES tables via the shared loader."""
+    from gpuaudiobench_tpu.utils.published import load_compare_module
 
-    path = pathlib.Path(__file__).resolve().parents[1] / "analysis" / "compare.py"
-    spec = importlib.util.spec_from_file_location("gpuab_compare", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    mod = load_compare_module()
+    if mod is None:
+        raise FileNotFoundError("analysis/compare.py not found")
     return mod.PUBLISHED, mod.NOTES
 
 
