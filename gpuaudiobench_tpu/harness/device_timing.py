@@ -83,6 +83,12 @@ def trace_device_times(
         shutil.rmtree(trace_dir, ignore_errors=True)
     if durations is None or len(durations) < n_runs:
         return None
+    if len(durations) % n_runs == 0 and len(durations) > n_runs:
+        # Several module executions (or device planes) per iteration:
+        # chronological events group k-per-run; a run's device time is
+        # the SUM of its modules, not one of them.
+        k = len(durations) // n_runs
+        return [sum(durations[i * k:(i + 1) * k]) for i in range(n_runs)]
     return durations[-n_runs:]
 
 

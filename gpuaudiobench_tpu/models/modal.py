@@ -170,9 +170,17 @@ class ModalFilterBankBenchmark(Benchmark):
             # Pad the mode axis (zero-amp modes, unit rotation) so a
             # healthy tile divides it -- keeps odd counts like 100k on
             # the Pallas path instead of the ~6x-slower XLA scan.
-            quantum = 8192 if self.padded_modes >= 8192 else 128
-            mpad = -(-self.padded_modes // quantum) * quantum
+            # Prefer minimal (128-quantum) padding; only fall back to
+            # the coarse 8192 quantum when it would leave an
+            # unhealthily small tile (many grid steps). The padded
+            # count is recorded in metadata so saturated numbers are
+            # attributable to the mode count actually synthesized.
+            mpad = -(-self.padded_modes // 128) * 128
             tile = mp.stream_tile(mpad, t)
+            if (tile is None or tile < 4096) and self.padded_modes >= 8192:
+                mpad = -(-self.padded_modes // 8192) * 8192
+                tile = mp.stream_tile(mpad, t)
+            self._stream_modes = mpad
             if tile is not None:
                 extra = mpad - self.padded_modes
 
@@ -236,9 +244,15 @@ class ModalFilterBankBenchmark(Benchmark):
         return self.num_modes * NUM_MODE_PARAMS * 4 + self.total_elements() * 4
 
     def metadata(self):
-        return {
+        md = {
             "numModes": self.num_modes,
             "outputTracks": self.output_tracks,
             "numModeParams": NUM_MODE_PARAMS,
             "impl": self._impl,
         }
+        sm = getattr(self, "_stream_modes", None)
+        if sm is not None and sm != self.num_modes:
+            # streaming pads the mode axis for tile alignment; the
+            # saturated pass synthesizes this many (zero-amp padded)
+            md["streamModes"] = int(sm)
+        return md

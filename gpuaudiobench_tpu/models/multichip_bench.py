@@ -111,10 +111,10 @@ class MultiChipSuiteBenchmark(Benchmark):
         # sharded pipeline + collectives, not peak modal throughput.
         modes = self.cfg.modal_num_modes or min(32 * self.track_count, 32768)
         tp = shape[1]
-        if modes % 32 != 0 or modes % (32 * tp) != 0:
+        if modes % (32 * tp) != 0:
             raise ValueError(
-                f"MultiChipSuite needs --modalModes divisible by 32 and "
-                f"by 32*tp ({32 * tp} for --mesh tp={tp}); got {modes}"
+                f"MultiChipSuite needs --modalModes divisible by 32*tp "
+                f"({32 * tp} for --mesh tp={tp}); got {modes}"
             )
         # The sp halo exchange ships the IR tail (L-1 samples) to the
         # right neighbor; the tail must fit inside one sample shard.
@@ -265,14 +265,17 @@ class ICIBandwidthBenchmark(Benchmark):
         )
         expect_total = np.full(
             (self.n_devices, 1),
-            self.host_input.sum(axis=1, dtype=np.float32).sum(
-                dtype=np.float32
-            ),
+            self.host_input.astype(np.float64).sum(),
             np.float32,
         )
+        # f32 summation error is reduction-order dependent and grows
+        # ~sqrt(n); a fixed 1e-6 already had only ~3x margin at the
+        # default 10 MiB chunk and would flake at --transferMiB 1024.
+        n_sum = self.n_devices * self.chunk_elems
+        sum_tol = max(1e-6, 16.0 * float(np.sqrt(n_sum)) * 2.0 ** -24)
         v.merge_failure(
             compare_rel(
-                self.host_total, expect_total, 1e-6,
+                self.host_total, expect_total, sum_tol,
                 mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
                 label=f"{self.name} psum",
             )

@@ -112,12 +112,15 @@ def fdtd3d_block(
 def receiver_line(tracks: int, n: int = GRID_N):
     """Per-track receiver positions: a line across x at mid y/z (the
     WebGPU convention, webgpu/js/benchmarks/FDTD3DBenchmark.js:57-67:
-    x = floor(i/(T-1) * (nx-1)), y = ny/2, z = nz/2)."""
+    x spans the room, y = ny/2, z = nz/2), carried into this grid's
+    one-cell ghost offset: room coordinates map to grid [1, n-2], so
+    edge tracks read interior cells rather than the absorbing boundary
+    ring (same offset as SOURCE/RECEIVER above)."""
     import numpy as np
 
     i = np.arange(tracks)
     ratio = i / (tracks - 1) if tracks > 1 else np.full(tracks, 0.5)
-    xs = np.floor(ratio * (n - 1)).astype(np.int32)
+    xs = (1 + np.floor(ratio * (n - 3))).astype(np.int32)  # [1, n-2]
     ys = np.full(tracks, n // 2, np.int32)
     zs = np.full(tracks, n // 2, np.int32)
     return xs, ys, zs

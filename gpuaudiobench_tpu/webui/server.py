@@ -239,20 +239,20 @@ class PresetStore:
 
 
 def _results_csv(results: List[Dict[str, Any]]) -> str:
-    """Session export in the CUDA CSV schema (cuda/globals.cu:69-122)."""
-    lines = [
-        "benchmark_name,buffer_size,track_count,iterations,"
-        "min_ms,max_ms,avg_ms,p50_ms,p95_ms,p99_ms,"
-        "deadline_ms,meets_deadline"
-    ]
+    """Session export in the harness's CUDA CSV schema
+    (harness/output.py CSV_HEADER -- UI exports and CLI --outputfile
+    CSVs parse identically)."""
+    from gpuaudiobench_tpu.harness.output import CSV_HEADER
+
+    lines = [CSV_HEADER]
     for r in results:
         s, c, d = r["statistics"], r["configuration"], r["deadline"]
         lines.append(
-            f'{r["benchmark"]},{c["bufferSize"]},{c["nTracks"]},'
-            f'{c["nRuns"]},{s["min_ms"]:.6f},{s["max_ms"]:.6f},'
-            f'{s["avg_ms"]:.6f},{s["p50_ms"]:.6f},{s["p95_ms"]:.6f},'
-            f'{s["p99_ms"]:.6f},{d["threshold_ms"]:.6f},'
-            f'{int(d["meets_deadline"])}'
+            f'{r["benchmark"]},{c["fs"]},{c["bufferSize"]},{c["nTracks"]},'
+            f'{c["nRuns"]},{s["min_ms"]:g},{s["max_ms"]:g},'
+            f'{s["avg_ms"]:g},{s["p50_ms"]:g},{s["p95_ms"]:g},'
+            f'{s["p99_ms"]:g},{d["threshold_ms"]:g},'
+            f'{"true" if d["meets_deadline"] else "false"}'
         )
     return "\n".join(lines) + "\n"
 

@@ -259,7 +259,7 @@ def test_session_export(ui_server):
     ctype, body = _get(ui_server, "/api/export.csv")
     assert "csv" in ctype
     lines = body.decode().strip().splitlines()
-    assert lines[0].startswith("benchmark_name,buffer_size")
+    assert lines[0].startswith("benchmark,fs,bufferSize")
     assert len(lines) >= 2
 
 

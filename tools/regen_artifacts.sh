@@ -11,6 +11,7 @@ cd "$(dirname "$0")/.."
 SUF="${1:-r2}"
 CSV="docs/RESULTS_${SUF}_tpu_v5e.csv"
 JSON="docs/RESULTS_${SUF}_tpu_v5e.json"
+rm -f "$CSV.tmp" "$JSON.tmp"   # a crashed run leaves appendable tmps
 
 python -m gpuaudiobench_tpu.cli --benchmarkFilter /./ --nRuns 20 \
     --pipelineDepth 256 --outputfile "$CSV.tmp"
