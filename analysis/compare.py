@@ -38,9 +38,9 @@ PUBLISHED = {
 MODAL_SWEEP = {
     # modes: {"PC": (p50, p95), "AS": (p50, p95), "TPU_v5e": saturated_ms}
     # TPU numbers regenerate with tools/modal_sweep.py.
-    1024:    {"PC": (0.050, 0.183), "AS": (0.172, 0.203), "TPU_v5e": 0.126},
-    102400:  {"PC": (0.315, 0.447), "AS": (0.611, 0.671), "TPU_v5e": 0.233},
-    1048576: {"PC": (3.168, 3.941), "AS": (5.717, 5.870), "TPU_v5e": 1.089},
+    1024:    {"PC": (0.050, 0.183), "AS": (0.172, 0.203), "TPU_v5e": 0.106},
+    102400:  {"PC": (0.315, 0.447), "AS": (0.611, 0.671), "TPU_v5e": 0.254},
+    1048576: {"PC": (3.168, 3.941), "AS": (5.717, 5.870), "TPU_v5e": 1.088},
 }
 
 
