@@ -10,41 +10,47 @@ TPU analog of the CUDA kernel's non-coalesced per-track copies
 
 HBM row slices may start at ANY row, but their row count must be a
 tile multiple (Mosaic rejects e.g. 6-row slices as "unsupported
-unaligned shape"). So each track fetches the 8 rows (1024 samples,
-4 KiB) starting at its playhead's own row; the unaligned 512-sample
-window always lives in the first 5 of them. The fetch requires the
-pool to carry >= 512 samples of tail slack past the last addressable
-window (``POOL_PAD``) so the base row never needs clamping -- the
-model pads its device pool once at setup.
+unaligned shape"). Each track fetches the tile-rounded row cover of
+its window starting at the playhead's own row (8 rows / 4 KiB for the
+default 512-sample buffer); the unaligned window always lives in the
+first rows (``POOL_PAD`` tail slack keeps the fetch in bounds with no
+clamp, so the batched cut-out never needs a row shift).
 
 The window cut-out is BATCHED across the whole DMA group: one lane
-gather over the (32*8, 128) scratch block aligns every track's lanes
-at once (take_along_axis with per-row indices), and the row seam is a
-static slice pair + select. A per-track scalar loop of dynamic rolls
-measured ~85 ns/track of vector+issue time -- 3x the DMA cost; the
-batched form is ~5 vreg ops per track (16384 tracks:
-1.75 -> 0.63 ms/block on v5e).
+gather over the (32*fetch, 128) scratch block aligns every track's
+lanes at once (take_along_axis with per-row indices), and the row seam
+is a static slice pair + select. A per-track scalar loop of dynamic
+rolls measured ~85 ns/track of vector+issue time -- 3x the DMA cost;
+the batched form is ~5 vreg ops per track (16384 tracks:
+1.75 -> 0.55 ms/block on v5e).
 
-Output rows are (4, 128) per track, reshaped to (T, 512) outside the
-kernel. Buffer size must be 512, the pool a multiple of 1024 plus the
-pad, and tracks a multiple of 32; other shapes fall back to the XLA
-gather.
+Supported shapes: any bufferSize with max(128, S) a multiple of 128
+and <= 2048 (sub-128 buffers ride the 128-wide cut and slice the
+result), pool a multiple of 1024 samples, tracks a multiple of 32;
+other shapes fall back to the XLA gather. The pool must carry
+``POOL_PAD`` samples of tail slack past the last addressable window
+(models/rndmem.py pads its device pool once at setup).
+
+Output rows are (S_eff/128, 128) per track, reshaped to (T, S) outside
+the kernel.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-FETCH_ROWS = 8  # 8 x 128 = 1024 samples from the playhead's own row
-OUT_ROWS = 4  # 4 x 128 = 512 samples per track
 TRACKS_PER_STEP = 32  # DMAs in flight per grid step
 POOL_PAD = 1024  # tail slack so base_row = ph//128 never clamps
+MAX_S_EFF = 2048  # fetch*128 - s_eff <= POOL_PAD holds through here
 
 
-def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem):
+def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem,
+                   *, out_rows: int, fetch_rows: int):
     """Double-buffered DMA pipeline: while this grid step's fetched
     windows are cut out, the NEXT step's DMAs are already in flight
     into the other scratch slot -- the gather runs at DMA throughput
@@ -53,9 +59,12 @@ def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem):
     n_steps = pl.num_programs(0)
 
     def dma_for(g, slot, j):
+        # POOL_PAD guarantees base_row + fetch_rows stays in bounds; a
+        # tail clamp would reintroduce a row offset (q > 0) the batched
+        # lane-only cut-out below cannot express.
         base_row = ph_ref[g * TRACKS_PER_STEP + j] // 128
         return pltpu.make_async_copy(
-            pool_ref.at[pl.ds(base_row, FETCH_ROWS), :],
+            pool_ref.at[pl.ds(base_row, fetch_rows), :],
             scratch.at[slot, j],
             sem.at[slot, j],
         )
@@ -81,30 +90,39 @@ def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem):
     lane = jax.lax.broadcasted_iota(jnp.int32, (TRACKS_PER_STEP, 128), 1)
     idx = (moff + lane) & 127
     idx_rep = jnp.broadcast_to(
-        idx[:, None, :], (TRACKS_PER_STEP, FETCH_ROWS, 128)
-    ).reshape(TRACKS_PER_STEP * FETCH_ROWS, 128)
+        idx[:, None, :], (TRACKS_PER_STEP, fetch_rows, 128)
+    ).reshape(TRACKS_PER_STEP * fetch_rows, 128)
     g = jnp.take_along_axis(
-        scratch[slot].reshape(TRACKS_PER_STEP * FETCH_ROWS, 128),
+        scratch[slot].reshape(TRACKS_PER_STEP * fetch_rows, 128),
         idx_rep, axis=1,
-    ).reshape(TRACKS_PER_STEP, FETCH_ROWS, 128)
-    a = g[:, :OUT_ROWS, :]  # lanes < 128 - m: this row
-    b = g[:, 1:OUT_ROWS + 1, :]  # lanes >= 128 - m: successor row
+    ).reshape(TRACKS_PER_STEP, fetch_rows, 128)
+    a = g[:, :out_rows, :]  # lanes < 128 - m: this row
+    b = g[:, 1:out_rows + 1, :]  # lanes >= 128 - m: successor row
     seam = (lane < 128 - moff)[:, None, :]
     sel = jnp.where(seam, a, b)
-    out_ref[...] = sel.reshape(TRACKS_PER_STEP * OUT_ROWS, 128)
+    out_ref[...] = sel.reshape(TRACKS_PER_STEP * out_rows, 128)
 
 
 @jax.jit
 def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
                          out_template: jax.Array):
     """Same contract as rndmem_gather: returns (S, T) interleaved.
-    ``pool`` must include POOL_PAD samples of tail slack beyond the
-    largest playhead + 512 (models/rndmem.py pads its device pool)."""
+    See the module docstring for the supported-shape envelope and the
+    POOL_PAD requirement."""
     t, s = out_template.shape
-    if s != 512 or pool.shape[0] % 1024 != 0 or t % TRACKS_PER_STEP != 0:
+    s_eff = max(128, s)
+    if (
+        s_eff % 128 != 0
+        or s_eff > MAX_S_EFF
+        or pool.shape[0] % 1024 != 0
+        or t % TRACKS_PER_STEP != 0
+    ):
         from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
 
         return rndmem_gather(pool, playheads, out_template)
+
+    out_rows = s_eff // 128
+    fetch_rows = -(-(out_rows + 1) // 8) * 8  # tile-rounded row cover
 
     pool2d = pool.reshape(-1, 128)
     moff = jnp.broadcast_to(
@@ -121,17 +139,22 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
             pl.BlockSpec(memory_space=pltpu.ANY),  # pool stays HBM
         ],
         out_specs=pl.BlockSpec(
-            (TRACKS_PER_STEP * OUT_ROWS, 128), lambda i, *_: (i, 0),
+            (TRACKS_PER_STEP * out_rows, 128), lambda i, *_: (i, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TRACKS_PER_STEP, FETCH_ROWS, 128), jnp.float32),
+            pltpu.VMEM(
+                (2, TRACKS_PER_STEP, fetch_rows, 128), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((2, TRACKS_PER_STEP)),
         ],
     )
+    kernel = functools.partial(
+        _rndmem_kernel, out_rows=out_rows, fetch_rows=fetch_rows
+    )
     rows = pl.pallas_call(
-        _rndmem_kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t * OUT_ROWS, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t * out_rows, 128), jnp.float32),
     )(playheads, moff, pool2d)
-    return rows.reshape(t, s).T
+    return rows.reshape(t, s_eff)[:, :s].T

@@ -397,3 +397,27 @@ def test_modal_true_sinusoid_honesty(rng):
     err_gs = np.abs(gs - exact).max() / peak
     assert err_rot < 1e-5, err_rot
     assert err_gs < 5e-4, err_gs
+
+
+@pytest.mark.parametrize("s", [32, 64, 128, 256, 1024])
+def test_rndmem_pallas_buffer_sizes(rng, s):
+    """The generalized kernel covers every CLI buffer size (sub-128
+    buffers ride the 128-wide cut and slice; 1024 fetches 16 rows)."""
+    from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
+    from gpuaudiobench_tpu.ops.rndmem_pallas import (
+        POOL_PAD,
+        rndmem_gather_pallas,
+    )
+
+    logical = 32 * 1024
+    pool = rng.random(logical + POOL_PAD, dtype=np.float32)
+    ph = np.concatenate([
+        np.array([0, 127, 128, 1023, logical - s, logical - s - 1],
+                 np.int32),
+        rng.integers(0, logical - s, 26).astype(np.int32),
+    ])
+    tmpl = np.zeros((32, s), np.float32)
+    ref = np.asarray(rndmem_gather(pool, ph, tmpl))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(rndmem_gather_pallas(pool, ph, tmpl))
+    np.testing.assert_array_equal(out, ref)

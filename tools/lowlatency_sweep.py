@@ -21,6 +21,9 @@ WORKLOADS = [
     ("Conv1D (128 trk, IR 1024)", "Conv1D", dict(), 256),
     ("DWG 1024 voices", "DWG1DNaive", dict(n_tracks=1024), 256),
     ("FDTD3D (52^3 x 3/sample)", "FDTD3D", dict(), 64),
+    ("RndMem 16384 trk (512 MiB)", "RndMemRead",
+     dict(n_tracks=16384), 64),
+    ("BiquadChain 10 stages", "BiquadChain", dict(), 256),
 ]
 
 
