@@ -102,40 +102,22 @@ def slope_device_times(
     """Marginal per-block device time (ms) by pipeline-depth
     differencing of the benchmark's streaming body.
 
-    Each rep times one ``d1``-deep and one ``d2``-deep chained
-    executable through a real D2H read (see harness/streaming.py on why
-    block_until_ready is not trusted) and reports
-    (wall(d2) - wall(d1)) / (d2 - d1): fixed costs cancel, leaving pure
-    on-device per-block time. Clamped at 0 (timer noise on sub-floor
-    bodies like NoOp).
+    Built on streaming.measure_saturated (ONE chained-scan timing
+    harness in the codebase -- same jit/warm/real-D2H-read semantics):
+    each rep's wall(d) = per_block(d) * d, so
+    (wall(d2) - wall(d1)) / (d2 - d1) cancels fixed costs and leaves
+    pure on-device per-block time. Clamped at 0 (timer noise on
+    sub-floor bodies like NoOp).
     """
-    import jax
-    import numpy as np
+    from gpuaudiobench_tpu.harness.streaming import measure_saturated
 
-    def chained(depth: int):
-        @jax.jit
-        def run(c):
-            c, probes = jax.lax.scan(
-                lambda c, _: step_fn(c), c, None, length=depth
-            )
-            return probes
-
-        return run
-
-    run1, run2 = chained(d1), chained(d2)
-    _ = np.asarray(run1(carry))  # compile + warm
-    _ = np.asarray(run2(carry))
-
-    estimates = []
-    for _ in range(max(1, reps)):
-        t0 = time.perf_counter()
-        _ = np.asarray(run1(carry))
-        w1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _ = np.asarray(run2(carry))
-        w2 = time.perf_counter() - t0
-        estimates.append(max(0.0, (w2 - w1) / (d2 - d1) * 1000.0))
-    return estimates
+    n = max(1, reps)
+    per1 = measure_saturated(step_fn, carry, d1, reps=n)
+    per2 = measure_saturated(step_fn, carry, d2, reps=n)
+    return [
+        max(0.0, (b2 * d2 - b1 * d1) / (d2 - d1))
+        for b1, b2 in zip(per1, per2)
+    ]
 
 
 def measure_device_times(benchmark, cfg) -> tuple[Optional[List[float]], str]:

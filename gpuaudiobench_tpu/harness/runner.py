@@ -148,6 +148,9 @@ def run_benchmark(
         # on-device block time (utils/roofline.py). Prefers the device
         # time (xplane / pipeline-slope); falls back to the saturated
         # per-block time when the device pass is off.
+        from gpuaudiobench_tpu.utils.device import is_tpu
+        from gpuaudiobench_tpu.utils.roofline import roofline_metrics
+
         cost = benchmark.cost_model()
         if cost is not None:
             candidates = []
@@ -166,9 +169,11 @@ def run_benchmark(
             block_ms, basis = next(
                 ((ms, b) for ms, b in candidates if ms > 0), (0.0, "")
             )
-            if block_ms > 0:
-                from gpuaudiobench_tpu.utils.roofline import roofline_metrics
-
+            # %-of-peak is only meaningful against the peaks of the
+            # chip actually running (utils/roofline.py hardcodes v5e);
+            # CPU-mesh runs (tests, mesh_scaling) skip the section
+            # rather than print v5e fractions for a CPU.
+            if block_ms > 0 and is_tpu():
                 rl = roofline_metrics(cost, block_ms)
                 if rl is not None:
                     rl["basis"] = basis

@@ -180,8 +180,8 @@ class ModalFilterBankBenchmark(Benchmark):
             if (tile is None or tile < 4096) and self.padded_modes >= 8192:
                 mpad = -(-self.padded_modes // 8192) * 8192
                 tile = mp.stream_tile(mpad, t)
-            self._stream_modes = mpad
             if tile is not None:
+                self._stream_modes = mpad
                 extra = mpad - self.padded_modes
 
                 def padded(a, fill=0.0):

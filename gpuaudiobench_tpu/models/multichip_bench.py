@@ -129,6 +129,16 @@ class MultiChipSuiteBenchmark(Benchmark):
             ir_len=ir_len,
             seed=self.cfg.seed,
         )
+        # The sp halo ships L-1 samples; each sample shard must hold at
+        # least that many or the VALID conv collapses to zero width.
+        s_local = self._args[0].shape[1] // shape[2]
+        if s_local < ir_len:
+            raise ValueError(
+                f"MultiChipSuite: per-shard sample count {s_local} "
+                f"(bufferSize {self.buffer_size} over sp={shape[2]}) is "
+                f"smaller than the FIR length {ir_len}; use a larger "
+                "--bufferSize, smaller sp, or shorter --irLength"
+            )
         self._step = make_suite_step(
             self.mesh, impl=dev.resolve_impl(self.cfg.impl)
         )
@@ -167,8 +177,11 @@ class MultiChipSuiteBenchmark(Benchmark):
         )
 
     def cost_model(self):
-        t, s = self.track_count, self.buffer_size
+        # Use the ACTUAL mesh-trimmed shapes (suite_step_example_args
+        # may trim tracks/samples; metadata records them) so roofline
+        # flops describe the work really done.
         x = self._args[0]
+        t, s = x.shape
         modes = self._args[1].shape[0]
         tp = self.mesh_shape[1]
         flops = (

@@ -97,6 +97,7 @@ class JobRunner:
     does not grow without bound."""
 
     MAX_JOBS = 50
+    MAX_RESULTS = 500  # session accumulator cap (drop-oldest)
 
     def __init__(self) -> None:
         self.jobs: Dict[str, Dict[str, Any]] = {}
@@ -106,8 +107,12 @@ class JobRunner:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, names: List[str], params: Dict[str, Any]) -> str:
+    def submit(self, names: List[str], params: Dict[str, Any],
+               benchmark_params: Optional[Dict[str, Dict[str, Any]]] = None,
+               ) -> str:
         apply_params(BenchConfig(), params)  # fail fast on bad params
+        for bp in (benchmark_params or {}).values():
+            apply_params(BenchConfig(), {**params, **bp})
         job_id = uuid.uuid4().hex[:12]
         with self._lock:
             self.jobs[job_id] = {
@@ -115,6 +120,7 @@ class JobRunner:
                 "status": "queued",
                 "benchmarks": list(names),
                 "params": dict(params),
+                "benchmark_params": dict(benchmark_params or {}),
                 "completed": 0,
                 "total": len(names),
                 "current": None,
@@ -155,13 +161,7 @@ class JobRunner:
             job["status"] = "running"
             names = list(job["benchmarks"])
             params = dict(job["params"])
-        try:
-            cfg = apply_params(BenchConfig(), params)
-        except ValueError as e:
-            with self._lock:
-                job["status"] = "error"
-                job["errors"].append(str(e))
-            return
+            per_bench = dict(job.get("benchmark_params") or {})
 
         from gpuaudiobench_tpu.harness.output import generate_json_results
         from gpuaudiobench_tpu.harness.runner import run_benchmark
@@ -173,6 +173,11 @@ class JobRunner:
             # One failing benchmark doesn't kill the suite
             # (main.swift:261-341; cli.py run loop).
             try:
+                # Per-benchmark form overrides layer over the globals
+                # (suite runs would otherwise silently drop them).
+                cfg = apply_params(
+                    BenchConfig(), {**params, **per_bench.get(name, {})}
+                )
                 bench = create_benchmark(name, cfg)
                 bench.setup()
                 result = run_benchmark(bench, cfg, verbose=False)
@@ -181,6 +186,8 @@ class JobRunner:
                 with self._lock:
                     job["results"].append(payload)
                     self.results.append(payload)
+                    del self.results[: max(0, len(self.results)
+                                           - self.MAX_RESULTS)]
             except Exception as e:  # noqa: BLE001 - suite resilience
                 with self._lock:
                     job["errors"].append(f"{name}: {e}")
@@ -361,7 +368,10 @@ def make_handler(runner: JobRunner, presets: PresetStore):
                     self._error(400, "no benchmarks given")
                     return
                 try:
-                    job_id = runner.submit(names, body.get("params") or {})
+                    job_id = runner.submit(
+                        names, body.get("params") or {},
+                        body.get("benchmark_params") or {},
+                    )
                 except ValueError as e:
                     self._error(400, str(e))
                     return

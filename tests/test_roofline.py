@@ -34,12 +34,23 @@ def test_roofline_metrics_math():
     assert roofline_metrics(cost, 0.0) is None
 
 
-def test_runner_attaches_roofline(small_cfg):
+def test_runner_roofline_gated_on_tpu(small_cfg, monkeypatch):
+    """%-of-peak is computed against hardcoded v5e peaks, so the runner
+    attaches the section only on a real TPU; CPU runs (this suite,
+    mesh_scaling) must NOT carry v5e fractions."""
     cfg = small_cfg.replace(device_timing=True, pipeline_depth=4,
                             saturated_reps=2)
     b = create_benchmark("gain", cfg)
     b.setup()
     result = run_benchmark(b, cfg, verbose=False)
+    assert "roofline" not in result.metadata  # CPU backend
+
+    from gpuaudiobench_tpu.utils import device as dev
+
+    monkeypatch.setattr(dev, "is_tpu", lambda: True)
+    b2 = create_benchmark("gain", cfg)
+    b2.setup()
+    result = run_benchmark(b2, cfg, verbose=False)
     rl = result.metadata.get("roofline")
     assert rl is not None
     # slope timing may clamp to 0 on a sub-resolution CPU body, in which

@@ -389,3 +389,26 @@ def test_jobs_queue_serially(ui_server):
     assert all(j["status"] == "done" and not j["errors"] for j in jobs)
     listing = _get_json(ui_server, "/api/jobs")["jobs"]
     assert {j["id"] for j in jobs} <= {j["id"] for j in listing}
+
+
+def test_suite_run_applies_benchmark_overrides(ui_server):
+    """Suite runs layer each benchmark's form overrides over the global
+    params (they used to be silently dropped)."""
+    code, resp = _post_json(
+        ui_server, "/api/run",
+        {"benchmarks": ["Conv1D", "gain"], "params": SMALL,
+         "benchmark_params": {"Conv1D": {"irLength": 192}}},
+    )
+    assert code == 202
+    job = _wait_job(ui_server, resp["job_id"])
+    assert job["status"] == "done", job["errors"]
+    conv = next(r for r in job["results"] if r["benchmark"] == "Conv1D")
+    assert conv["metadata"]["irLength"] == 192
+    # bad per-benchmark params fail fast at submit
+    code, resp = _post_json(
+        ui_server, "/api/run",
+        {"benchmarks": ["Conv1D"], "params": SMALL,
+         "benchmark_params": {"Conv1D": {"nope": 1}}},
+        expect_ok=False,
+    )
+    assert code == 400
