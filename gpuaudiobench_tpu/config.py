@@ -138,20 +138,37 @@ class BenchConfig:
 
 
 def matches_filter(name: str, patterns: Sequence[str]) -> bool:
-    """Metal-style benchmark filter matching (main.swift:213-250).
+    """Metal-style benchmark filter matching (main.swift:213-250),
+    three tiers per pattern token, any hit selects the benchmark:
 
-    Each pattern is either a /regex/ (case-insensitive, delimited by
-    slashes) or a case-insensitive substring. A name matches if any
-    pattern matches.
+      1. ``/regex/`` -- case-insensitive regex, slash-delimited
+         (main.swift:224-233); an invalid regex is reported and
+         ignored, as the reference does (it prints and skips).
+      2. exact -- case-insensitive whole-name equality
+         (caseInsensitiveCompare, main.swift:234).
+      3. substring -- case-insensitive containment (main.swift:236).
+
+    ``=token`` restricts a token to the exact tier only (an extension:
+    the reference's exact tier is subsumed by its substring tier, so
+    "gain" cannot select gain without also selecting GainStats there;
+    the prefix makes exact matching actually usable).
     """
     import re
 
     if not patterns:
         return True
     for pat in patterns:
-        if len(pat) >= 2 and pat.startswith("/") and pat.endswith("/"):
-            if re.search(pat[1:-1], name, flags=re.IGNORECASE):
+        if len(pat) > 2 and pat.startswith("/") and pat.endswith("/"):
+            try:
+                if re.search(pat[1:-1], name, flags=re.IGNORECASE):
+                    return True
+            except re.error as e:
+                print(f"Invalid regex pattern: {pat} -> {e}")
+        elif pat.startswith("=") and len(pat) > 1:
+            if pat[1:].lower() == name.lower():
                 return True
+        elif pat.lower() == name.lower():
+            return True
         elif pat.lower() in name.lower():
             return True
     return False

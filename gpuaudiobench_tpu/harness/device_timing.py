@@ -29,9 +29,15 @@ import time
 from typing import Callable, List, Optional
 
 
-def _device_plane_events(trace_dir: str) -> Optional[List[float]]:
-    """Durations (ms) of XLA module executions on device planes of the
-    newest xplane trace under ``trace_dir``; None if no device plane."""
+def _device_plane_events(trace_dir: str) -> Optional[List[List[float]]]:
+    """Durations (ms) of XLA module executions on each device plane of
+    the newest xplane trace under ``trace_dir``, one list per plane (in
+    chronological event order within a plane); None if no device plane.
+
+    Kept per-plane because under ``--dataParallel N`` the N devices each
+    run the same SPMD module CONCURRENTLY: flattening planes together
+    would let the caller sum parallel executions as if sequential.
+    """
     import jax
 
     files = sorted(glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True))
@@ -40,7 +46,7 @@ def _device_plane_events(trace_dir: str) -> Optional[List[float]]:
     pd = jax.profiler.ProfileData.from_serialized_xspace(
         open(files[-1], "rb").read()
     )
-    durations: List[float] = []
+    planes_out: List[List[float]] = []
     for plane in pd.planes:
         # TPU device planes are named like "/device:TPU:0 (...)".
         if not plane.name.startswith("/device:"):
@@ -49,12 +55,15 @@ def _device_plane_events(trace_dir: str) -> Optional[List[float]]:
             ln for ln in plane.lines if "XLA Modules" in (ln.name or "")
         ]
         lines = module_lines or list(plane.lines)
+        durations: List[float] = []
         for ln in lines:
             for ev in ln.events:
                 durations.append(ev.duration_ns / 1e6)
             if module_lines:
                 break
-    return durations or None
+        if durations:
+            planes_out.append(durations)
+    return planes_out or None
 
 
 def trace_device_times(
@@ -76,20 +85,33 @@ def trace_device_times(
                 body()
         finally:
             jax.profiler.stop_trace()
-        durations = _device_plane_events(trace_dir)
+        planes = _device_plane_events(trace_dir)
     except Exception:  # noqa: BLE001 - degrade to the slope method
         return None
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
-    if durations is None or len(durations) < n_runs:
+    if planes is None:
         return None
-    if len(durations) % n_runs == 0 and len(durations) > n_runs:
-        # Several module executions (or device planes) per iteration:
-        # chronological events group k-per-run; a run's device time is
-        # the SUM of its modules, not one of them.
-        k = len(durations) // n_runs
-        return [sum(durations[i * k:(i + 1) * k]) for i in range(n_runs)]
-    return durations[-n_runs:]
+
+    # Within ONE plane, chronological events group k-per-run when the
+    # iteration launches several modules; a run's device time on that
+    # plane is the SUM of its modules. ACROSS planes the executions are
+    # concurrent SPMD replicas (--dataParallel), so a run's device time
+    # is the MAX over planes, never a sum.
+    per_plane_runs: List[List[float]] = []
+    for durations in planes:
+        if len(durations) < n_runs:
+            continue
+        if len(durations) % n_runs == 0 and len(durations) > n_runs:
+            k = len(durations) // n_runs
+            per_plane_runs.append(
+                [sum(durations[i * k:(i + 1) * k]) for i in range(n_runs)]
+            )
+        else:
+            per_plane_runs.append(durations[-n_runs:])
+    if not per_plane_runs:
+        return None
+    return [max(run[i] for run in per_plane_runs) for i in range(n_runs)]
 
 
 def slope_device_times(
@@ -102,18 +124,19 @@ def slope_device_times(
     """Marginal per-block device time (ms) by pipeline-depth
     differencing of the benchmark's streaming body.
 
-    Built on streaming.measure_saturated (ONE chained-scan timing
-    harness in the codebase -- same jit/warm/real-D2H-read semantics):
-    each rep's wall(d) = per_block(d) * d, so
+    Built on streaming.measure_saturated_multi (ONE chained-scan timing
+    harness in the codebase -- same jit/warm/real-D2H-read semantics),
+    which interleaves the two depths WITHIN each rep so clock-frequency
+    or thermal drift between d1 and d2 samples cancels in the
+    difference: each rep's wall(d) = per_block(d) * d, so
     (wall(d2) - wall(d1)) / (d2 - d1) cancels fixed costs and leaves
     pure on-device per-block time. Clamped at 0 (timer noise on
     sub-floor bodies like NoOp).
     """
-    from gpuaudiobench_tpu.harness.streaming import measure_saturated
+    from gpuaudiobench_tpu.harness.streaming import measure_saturated_multi
 
     n = max(1, reps)
-    per1 = measure_saturated(step_fn, carry, d1, reps=n)
-    per2 = measure_saturated(step_fn, carry, d2, reps=n)
+    per1, per2 = measure_saturated_multi(step_fn, carry, [d1, d2], reps=n)
     return [
         max(0.0, (b2 * d2 - b1 * d1) / (d2 - d1))
         for b1, b2 in zip(per1, per2)

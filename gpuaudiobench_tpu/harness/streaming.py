@@ -87,3 +87,45 @@ def measure_saturated(
         np.asarray(chained(carry))
         latencies.append((time.perf_counter() - t0) / depth * 1000.0)
     return latencies
+
+
+def measure_saturated_multi(
+    step_fn: Callable,
+    carry,
+    depths: List[int],
+    reps: int = 5,
+) -> List[List[float]]:
+    """Per-block wall latencies (ms) for SEVERAL pipeline depths,
+    timed round-robin WITHIN each rep (d1, d2, d1, d2, ...).
+
+    Interleaving keeps the paired depths contemporaneous so that
+    clock-frequency or thermal drift over the measurement window
+    cancels in depth-differencing consumers (device_timing slope);
+    two back-to-back single-depth campaigns would not cancel drift.
+    Returns one latency list per depth, same order as ``depths``.
+    """
+    import jax
+    import numpy as np
+
+    def make_chained(depth):
+        @jax.jit
+        def chained(c):
+            def f(c, _):
+                return step_fn(c)
+
+            c, probes = jax.lax.scan(f, c, None, length=depth)
+            return probes
+
+        return chained
+
+    chains = [make_chained(d) for d in depths]
+    for ch in chains:  # compile + warm all depths before any timing
+        _ = np.asarray(ch(carry))
+
+    out: List[List[float]] = [[] for _ in depths]
+    for _ in range(max(1, reps)):
+        for i, (ch, d) in enumerate(zip(chains, depths)):
+            t0 = time.perf_counter()
+            np.asarray(ch(carry))
+            out[i].append((time.perf_counter() - t0) / d * 1000.0)
+    return out

@@ -66,9 +66,15 @@ class RndMemBenchmark(Benchmark):
         self.host_output = None
         self._impl = self.resolve_impl()
         if self._impl == "pallas":
+            import functools
+
             from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
 
-            self._gather = rndmem_gather_pallas
+            # Pass the addressable length so the kernel can verify the
+            # POOL_PAD tail slack it assumes actually exists.
+            self._gather = functools.partial(
+                rndmem_gather_pallas, logical_len=self.pool_elems
+            )
         else:
             self._gather = rndmem_gather
         self.iterate()

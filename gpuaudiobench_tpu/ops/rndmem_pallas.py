@@ -103,13 +103,29 @@ def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem,
     out_ref[...] = sel.reshape(TRACKS_PER_STEP * out_rows, 128)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("logical_len",))
 def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
-                         out_template: jax.Array):
+                         out_template: jax.Array, *,
+                         logical_len: int | None = None):
     """Same contract as rndmem_gather: returns (S, T) interleaved.
     See the module docstring for the supported-shape envelope and the
-    POOL_PAD requirement."""
+    POOL_PAD requirement.
+
+    ``logical_len`` is the addressable pool length (samples) BEFORE the
+    POOL_PAD tail slack was appended. A padded and an unpadded pool are
+    indistinguishable by shape alone, so callers that know the logical
+    length should pass it: the kernel then verifies at trace time that
+    the physical buffer really carries the slack its tail-unclamped
+    per-track DMAs rely on, instead of silently reading past the end of
+    HBM for playheads near the pool tail."""
     t, s = out_template.shape
+    if logical_len is not None and pool.shape[0] < logical_len + POOL_PAD:
+        raise ValueError(
+            f"rndmem_gather_pallas: pool has {pool.shape[0]} samples but "
+            f"needs logical_len + POOL_PAD = {logical_len + POOL_PAD} "
+            "(tail slack for unclamped per-track row DMAs); pad the pool "
+            "with POOL_PAD zeros as models/rndmem.py does"
+        )
     s_eff = max(128, s)
     if (
         s_eff % 128 != 0

@@ -63,13 +63,19 @@ def generate_test_pattern(n: int, pattern: str, seed: int = 42) -> np.ndarray:
     raise ValueError(f"unknown test pattern: {pattern}")
 
 
-_WINDOWS = ("rectangular", "hamming", "hann", "blackman")
+_WINDOWS = ("rectangular", "hamming", "hann", "blackman", "kaiser")
 
 
 def generate_impulse_response(
-    length: int, frequency: float, window: str = "hamming"
+    length: int, frequency: float, window: str = "hamming",
+    kaiser_beta: float = 8.0,
 ) -> np.ndarray:
-    """L1-normalized windowed-sinc lowpass IR (bench_utils.cu:247-295)."""
+    """L1-normalized windowed-sinc lowpass IR (bench_utils.cu:247-295;
+    Kaiser from the Metal generator's window set,
+    BenchmarkUtilities.swift:299-326 -- the reference ships a sinh
+    "simplified Kaiser (approximate)"; we use the standard
+    I0(beta*sqrt(1-x^2))/I0(beta) form, which the approximation
+    stands in for)."""
     if window not in _WINDOWS:
         raise ValueError(f"unknown window: {window}")
     i = np.arange(length, dtype=np.float64)
@@ -83,8 +89,12 @@ def generate_impulse_response(
         w = 0.54 - 0.46 * np.cos(2.0 * np.pi * n)
     elif window == "hann":
         w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n))
-    else:  # blackman
+    elif window == "blackman":
         w = 0.42 - 0.5 * np.cos(2.0 * np.pi * n) + 0.08 * np.cos(4.0 * np.pi * n)
+    else:  # kaiser
+        x = 2.0 * n - 1.0  # [-1, 1] across the window
+        w = np.i0(kaiser_beta * np.sqrt(np.maximum(0.0, 1.0 - x * x)))
+        w = w / np.i0(kaiser_beta)
     ir = (sinc * w).astype(np.float32)
     s = np.abs(ir).sum()
     if s > 0:

@@ -293,6 +293,32 @@ def make_handler(runner: JobRunner, presets: PresetStore):
             raw = self.rfile.read(n) if n else b"{}"
             return json.loads(raw or b"{}")
 
+        def _post_rejection(self) -> Optional[tuple]:
+            """Cross-origin / rebinding guard for state-changing routes.
+
+            Browsers can fire no-preflight cross-origin POSTs only with
+            simple content types (text/plain, form encodings), so
+            requiring application/json forces a CORS preflight -- which
+            this server never grants. Checking Host against loopback /
+            the bound address blocks DNS-rebinding, where an attacker
+            domain resolves to 127.0.0.1 and the browser sends its
+            hostname in Host. Returns (code, message) to reject, None
+            to allow."""
+            ctype = (self.headers.get("Content-Type") or "")
+            ctype = ctype.split(";")[0].strip().lower()
+            if ctype != "application/json":
+                return (415, "Content-Type must be application/json")
+            host = (self.headers.get("Host") or "").strip()
+            if host.startswith("["):  # [::1]:port
+                hostname = host.split("]")[0].lstrip("[")
+            else:
+                hostname = host.rsplit(":", 1)[0] if ":" in host else host
+            bound = self.server.server_address[0]
+            allowed = {"localhost", "127.0.0.1", "::1", bound}
+            if hostname.lower() not in allowed:
+                return (403, f"Host {hostname!r} not served here")
+            return None
+
         # -- routes -------------------------------------------------------
         def do_GET(self) -> None:  # noqa: N802 - http.server API
             url = urlparse(self.path)
@@ -347,6 +373,10 @@ def make_handler(runner: JobRunner, presets: PresetStore):
         def do_POST(self) -> None:  # noqa: N802 - http.server API
             url = urlparse(self.path)
             route = url.path.rstrip("/")
+            rej = self._post_rejection()
+            if rej is not None:
+                self._error(*rej)
+                return
             try:
                 body = self._body()
             except json.JSONDecodeError:
@@ -405,6 +435,14 @@ def serve(
     Port 0 binds an ephemeral port (tests)."""
     runner = JobRunner()
     presets = PresetStore(presets_path)
+    if host not in ("127.0.0.1", "localhost", "::1"):
+        import sys
+
+        print(
+            f"WARNING: binding {host} exposes an unauthenticated device-"
+            "job API beyond loopback; prefer an SSH tunnel to 127.0.0.1",
+            file=sys.stderr,
+        )
     httpd = ThreadingHTTPServer((host, port), make_handler(runner, presets))
     httpd.job_runner = runner  # type: ignore[attr-defined]
     return httpd

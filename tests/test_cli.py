@@ -66,6 +66,19 @@ def test_filter_matching():
     assert matches_filter("anything", [])
 
 
+def test_filter_exact_tier():
+    """Three-tier matching (main.swift:213-250): regex, exact
+    (case-insensitive equality), substring; =token is exact-only."""
+    assert matches_filter("gain", ["GAIN"])  # exact, case-insensitive
+    assert matches_filter("GainStats", ["gain"])  # substring tier
+    assert matches_filter("gain", ["=gain"])
+    assert not matches_filter("GainStats", ["=gain"])  # exact-only
+    assert not matches_filter("gain", ["=gai"])
+    # Invalid regex is reported + skipped, not fatal (main.swift:229-231).
+    assert not matches_filter("gain", ["/([/"])
+    assert matches_filter("gain", ["/([/", "gain"])
+
+
 def test_benchmark_filter_selects_multiple():
     _, names, err = parse_args(["--benchmarkFilter", "datacopy"])
     assert err is None

@@ -213,3 +213,25 @@ def test_test_patterns():
     assert np.abs(pink).max() <= 1.0
     imp = generate_test_pattern(8, "impulse")
     assert imp[0] == 1.0 and imp[1:].sum() == 0
+
+
+def test_kaiser_window_ir():
+    """Kaiser joins the window set (BenchmarkUtilities.swift:299-326);
+    standard I0 form: unity at center, symmetric, tapering to
+    1/I0(beta) at the edges, L1-normalized like every other window."""
+    from gpuaudiobench_tpu.utils.data import generate_impulse_response
+
+    ir = generate_impulse_response(101, 0.25, window="kaiser")
+    assert ir.shape == (101,) and ir.dtype == np.float32
+    assert abs(np.abs(ir).sum() - 1.0) < 1e-5  # L1-normalized
+    # Window shape checks on the raw window (reconstruct by dividing
+    # out the rectangular IR).
+    rect = generate_impulse_response(101, 0.25, window="rectangular")
+    assert np.abs(ir).max() > 0
+    # Beta controls edge suppression: larger beta -> relatively smaller
+    # edge taps than rectangular.
+    k_edge = abs(ir[0] / ir[50])
+    r_edge = abs(rect[0] / rect[50])
+    assert k_edge < r_edge * 0.1
+    with pytest.raises(ValueError):
+        generate_impulse_response(64, 0.25, window="nope")

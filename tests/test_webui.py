@@ -111,7 +111,8 @@ def _get_json(base, path):
 
 def _post_json(base, path, obj, expect_ok=True):
     req = urllib.request.Request(
-        base + path, data=json.dumps(obj).encode(), method="POST"
+        base + path, data=json.dumps(obj).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
     )
     try:
         with urllib.request.urlopen(req, timeout=30) as r:
@@ -412,3 +413,33 @@ def test_suite_run_applies_benchmark_overrides(ui_server):
         expect_ok=False,
     )
     assert code == 400
+
+
+def test_post_cross_origin_guard(ui_server):
+    """State-changing POSTs require application/json (forcing a CORS
+    preflight for cross-origin callers) and a loopback/bound Host
+    (blocking DNS rebinding) -- ADVICE r2 hardening."""
+    # Simple content type (what a no-preflight cross-origin POST can
+    # send) is rejected before any parsing.
+    req = urllib.request.Request(
+        ui_server + "/api/run",
+        data=json.dumps({"benchmarks": ["NoOp"]}).encode(),
+        method="POST", headers={"Content-Type": "text/plain"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 415
+    # A foreign Host header (DNS rebinding: attacker.example resolves
+    # to 127.0.0.1) is rejected even with the right content type.
+    req = urllib.request.Request(
+        ui_server + "/api/presets",
+        data=json.dumps({"benchmark": "gain", "name": "x"}).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json",
+                 "Host": "attacker.example"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 403
+    # GETs (read-only) are unaffected.
+    assert _get_json(ui_server, "/api/jobs") is not None
