@@ -39,7 +39,7 @@ def print_help() -> None:
     print("  --benchmarkFilter [pat]  Run all benchmarks matching substring or /regex/")
     print("                           (repeatable / comma separated)")
     print("  --category [name]        Run a suite category: transfer | basic | dsp")
-    print("                           | physical | memory")
+    print("                           | physical | memory | multichip | speedoflight")
     print("  --fs [rate]              Set sampling rate (default: 48000)")
     print("  --bufferSize [size]      Set buffer size (default: 512)")
     print("  --nTracks [count]        Set number of tracks (default: 128)")
@@ -70,6 +70,10 @@ def print_help() -> None:
     print("  --csvSchema [s]          cuda (default) | metal CSV column set")
     print("  --mesh [dp,tp,sp]        Device mesh for MultiChipSuite /")
     print("                           ICIBandwidth (default: 1,1,1)")
+    print("  --solMatmulDim [n]       SOL_MXU_* matmul dimension (default: 4096)")
+    print("  --solStreamMiB [n]       SOL_HBM stream size (default: 64)")
+    print("  --solFmaK [n]            SOL_VPU FMA passes (default: 512)")
+    print("  --solFmaMiB [n]          SOL_VPU working set (default: 8)")
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
     print("  --quiet                  Suppress progress output (results only)")
@@ -135,6 +139,10 @@ def parse_args(argv: List[str]):
         "--compilationCacheDir": ("compilation_cache_dir", str),
         "--csvSchema": ("csv_schema", str),
         "--mesh": ("mesh", str),
+        "--solFmaK": ("sol_fma_k", int),
+        "--solFmaMiB": ("sol_fma_mib", int),
+        "--solStreamMiB": ("sol_stream_mib", int),
+        "--solMatmulDim": ("sol_matmul_dim", int),
         "--seed": ("seed", int),
         "--latenciesFile": ("latencies_file", str),
     }

@@ -98,11 +98,26 @@ class BenchConfig:
     # mean_ms,stddev_ms,count).
     csv_schema: str = "cuda"
 
+    # speedoflight microbenchmarks (SOL_*): measured roofline
+    # denominators (tools/calibrate_peaks.py). Sizes chosen so compute
+    # (FMA/matmul) or HBM traffic (stream) dominates by >30x.
+    sol_fma_k: int = 512  # FMA passes per element (intensity k/4 FLOP/B)
+    sol_fma_mib: int = 8  # FMA working-set MiB (gridded in VMEM blocks)
+    sol_stream_mib: int = 64  # stream array MiB (>> 16 MiB VMEM)
+    # 4096 measured fastest on v5e (2048 = 186, 4096 = 192, 8192 =
+    # 183 TFLOP/s bf16): big enough to amortize pipeline fill, small
+    # enough to stay out of HBM-tiling overheads.
+    sol_matmul_dim: int = 4096  # square matmul dimension
+
     # Saturated/streaming pass: run this many blocks per executable
     # (lax.scan, state carried) and report marginal ms/block +
     # blocks/sec next to the round-trip stats. 0/1 = off.
+    # 20 reps so the saturated tier gets real percentiles (p95/p99 with
+    # the reference's truncated-index formula need n >= 20 to move off
+    # the max): the chip-meaningful tier deserves the same percentile
+    # discipline globals.cu:101-122 applies to round trips.
     pipeline_depth: int = 0
-    saturated_reps: int = 5
+    saturated_reps: int = 20
 
     def deadline_ms(self) -> float:
         """Real-time deadline: 1000*BUFSIZE/FS ms (cuda/globals.cu:55,89)."""

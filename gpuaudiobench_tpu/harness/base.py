@@ -195,6 +195,15 @@ class Benchmark:
         assuming perfect on-chip reuse (inputs + outputs + state)."""
         return None
 
+    def transfer_model(self) -> Dict[str, int]:
+        """Per-iteration host<->device traffic for the co-located
+        projection (utils/projection.py): bytes uploaded / downloaded
+        by one ``iterate()``. Default = the standard in/out buffer pair
+        (tracks x bufferSize f32 each way); benchmarks with resident
+        params or asymmetric IO override."""
+        n4 = self.total_elements() * 4
+        return {"h2d_bytes": n4, "d2h_bytes": n4}
+
     def cleanup(self) -> None:
         pass
 

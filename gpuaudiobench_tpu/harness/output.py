@@ -25,9 +25,16 @@ CSV_HEADER = (
     "p50_ms,p95_ms,p99_ms,threshold_ms,meets_deadline"
 )
 # Extension columns emitted when --pipelineDepth is active: marginal
-# per-block latency with the dispatch pipeline kept full, and its
-# reciprocal throughput. Blank for benchmarks without a streaming mode.
-CSV_SATURATED_COLS = ",saturated_p50_ms,blocks_per_sec"
+# per-block latency with the dispatch pipeline kept full (p50/p95/p99
+# over saturated_reps runs -- the reference's percentile discipline,
+# globals.cu:101-122, applied to the chip-meaningful tier), reciprocal
+# throughput, and a saturation-tier deadline verdict (p99 basis, like
+# the round-trip meets_deadline). Blank for benchmarks without a
+# streaming mode.
+CSV_SATURATED_COLS = (
+    ",saturated_p50_ms,saturated_p95_ms,saturated_p99_ms"
+    ",blocks_per_sec,saturated_meets_deadline"
+)
 
 
 def _csv_stats(latencies, cfg: BenchConfig):
@@ -88,11 +95,19 @@ def write_csv_results(result: BenchmarkResult, cfg: BenchConfig, filename: str) 
     saturated_mode = cfg.pipeline_depth > 1
     extra = ""
     if saturated_mode:
-        if result.saturated_statistics is not None:
-            sat_p50 = result.saturated_statistics.median
-            extra = f",{sat_p50:g},{1000.0 / sat_p50:g}" if sat_p50 > 0 else ",,"
+        if result.saturated_statistics is not None and \
+                result.saturated_statistics.median > 0:
+            svec_sat = sorted(result.saturated_latencies)
+            sat_p50 = csv_percentile(svec_sat, 0.50)
+            sat_p95 = csv_percentile(svec_sat, 0.95)
+            sat_p99 = csv_percentile(svec_sat, 0.99)
+            sat_meets = "true" if sat_p99 <= threshold else "false"
+            extra = (
+                f",{sat_p50:g},{sat_p95:g},{sat_p99:g}"
+                f",{1000.0 / sat_p50:g},{sat_meets}"
+            )
         else:
-            extra = ",,"
+            extra = ",,,,,"
     header = CSV_HEADER + (CSV_SATURATED_COLS if saturated_mode else "")
     write_header = _check_existing_header(filename, header)
     with open(filename, "a") as f:
@@ -160,15 +175,25 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
         }
     if result.saturated_statistics is not None:
         ss = result.saturated_statistics
-        sat_p50 = result.saturated_statistics.median
+        svec_sat = sorted(result.saturated_latencies)
+        sat_p50 = csv_percentile(svec_sat, 0.50)
+        sat_p95 = csv_percentile(svec_sat, 0.95)
+        sat_p99 = csv_percentile(svec_sat, 0.99)
+        sat_cv, sat_rating = stability_rating(result.saturated_latencies)
         out["saturated"] = {
             "pipeline_depth": result.pipeline_depth,
             "p50_ms": sat_p50,
+            "p95_ms": sat_p95,
+            "p99_ms": sat_p99,
             "mean_ms": ss.mean,
             "min_ms": ss.min_val,
             "blocks_per_sec": 1000.0 / sat_p50 if sat_p50 > 0 else 0.0,
             "reps": ss.count,
-            "meets_deadline": bool(sat_p50 <= cfg.deadline_ms()),
+            "cv_percent": sat_cv,
+            "stability": sat_rating,
+            # p99 basis: the same percentile discipline the round-trip
+            # meets_deadline applies (globals.cu:101-122).
+            "meets_deadline": bool(sat_p99 <= cfg.deadline_ms()),
         }
     out["performance"] = {
         "throughput_gbps": result.throughput_gbps,
@@ -262,6 +287,11 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
     else:
         print("OK: Measured latencies within threshold. Please consider a margin of safety.")
 
+    from gpuaudiobench_tpu.harness.statistics import stability_rating
+
+    cv, rating = stability_rating(result.latencies)
+    print(f"Run-to-run CV: {cv:.1f}% ({rating})")
+
     if result.device_statistics is not None:
         d = result.device_statistics
         method = f" [{result.device_timing_method}]" if result.device_timing_method else ""
@@ -271,12 +301,20 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
 
     if result.saturated_statistics is not None:
         ss = result.saturated_statistics
-        sat_p50 = result.saturated_statistics.median
-        verdict = "meets" if sat_p50 <= threshold else "MISSES"
+        svec_sat = sorted(result.saturated_latencies)
+        sat_p50 = csv_percentile(svec_sat, 0.50)
+        sat_p95 = csv_percentile(svec_sat, 0.95)
+        sat_p99 = csv_percentile(svec_sat, 0.99)
+        verdict = "meets" if sat_p99 <= threshold else "MISSES"
+        from gpuaudiobench_tpu.harness.statistics import stability_rating
+
+        sat_cv, sat_rating = stability_rating(result.saturated_latencies)
         print(
             f"Saturated (depth {result.pipeline_depth}): "
-            f"p50 {sat_p50:.3f} ms/block, min {ss.min_val:.3f}, "
-            f"{1000.0 / sat_p50:.1f} blocks/s ({verdict} deadline)"
+            f"p50 {sat_p50:.3f} p95 {sat_p95:.3f} p99 {sat_p99:.3f} "
+            f"ms/block, min {ss.min_val:.3f}, "
+            f"{1000.0 / sat_p50:.1f} blocks/s, CV {sat_cv:.1f}% "
+            f"({sat_rating}) ({verdict} deadline on p99)"
         )
 
     print("\nPerformance Metrics:")
@@ -295,6 +333,19 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
             f"Roofline [{rl['basis']}]: {flops_part}, "
             f"{rl['achieved_gbps']:.1f} GB/s HBM ({rl['hbm_pct_of_peak']:.1f}% "
             f"of peak) -> {rl['bound']}-bound"
+        )
+
+    proj = result.metadata.get("projection") if result.metadata else None
+    if proj:
+        verdict = (
+            "meets" if proj["projected_colocated_ms"] <= threshold
+            else "MISSES"
+        )
+        print(
+            f"Co-located projection: {proj['projected_colocated_ms']:.3f} ms "
+            f"(device {proj['device_ms']:.3f} + transfers "
+            f"{proj['transfer_ms']:.3f} @ PCIe-class + launch "
+            f"{proj['launch_ms']:.2f}) ({verdict} deadline)"
         )
 
     if result.deadline_miss_rate is not None:

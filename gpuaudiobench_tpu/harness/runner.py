@@ -174,10 +174,32 @@ def run_benchmark(
             # CPU-mesh runs (tests, mesh_scaling) skip the section
             # rather than print v5e fractions for a CPU.
             if block_ms > 0 and is_tpu():
-                rl = roofline_metrics(cost, block_ms)
+                from gpuaudiobench_tpu.utils.device import default_device
+
+                try:
+                    kind = default_device().device_kind
+                except Exception:  # noqa: BLE001 - identity is optional
+                    kind = None
+                rl = roofline_metrics(cost, block_ms, device_kind=kind)
                 if rl is not None:
                     rl["basis"] = basis
                     result.metadata["roofline"] = rl
+            # Co-located projection: what the full round trip would
+            # cost without the relay (device time + transfers at the
+            # reference's own measured PCIe-class rate). Quantifies
+            # every relay-dominated round-trip row.
+            if block_ms > 0 and is_tpu():
+                from gpuaudiobench_tpu.utils.projection import (
+                    projected_colocated,
+                )
+
+                tm = benchmark.transfer_model()
+                proj = projected_colocated(
+                    block_ms, tm["h2d_bytes"], tm["d2h_bytes"]
+                )
+                if proj is not None:
+                    proj["basis"] = basis
+                    result.metadata["projection"] = proj
         mem = benchmark.memory_report()
         if mem:
             result.metadata["memory"] = mem

@@ -104,3 +104,8 @@ class DataTransferBenchmark(Benchmark):
             "inputMiB": self.input_size * 4 / 2**20,
             "outputMiB": self.output_size * 4 / 2**20,
         }
+
+    def transfer_model(self):
+        """Asymmetric by construction: the mix IS the workload."""
+        return {"h2d_bytes": self.input_size * 4,
+                "d2h_bytes": self.output_size * 4}

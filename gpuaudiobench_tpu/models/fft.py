@@ -99,3 +99,8 @@ class FFTBenchmark(Benchmark):
 
     def metadata(self):
         return {"fftSize": self.fft_size, "bins": self.bins}
+
+    def transfer_model(self):
+        """Real frames up, (bins, re+im) spectra down."""
+        return {"h2d_bytes": self.track_count * self.fft_size * 4,
+                "d2h_bytes": self.track_count * self.bins * 2 * 4}

@@ -256,3 +256,10 @@ class ModalFilterBankBenchmark(Benchmark):
             # saturated pass synthesizes this many (zero-amp padded)
             md["streamModes"] = int(sm)
         return md
+
+    def transfer_model(self):
+        """Mode params and phasor state are HBM-resident (Metal
+        unified-memory parity); the round trip is dispatch + output
+        readback only."""
+        return {"h2d_bytes": 0,
+                "d2h_bytes": self.track_count * self.buffer_size * 4}

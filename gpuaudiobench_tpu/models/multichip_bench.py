@@ -198,13 +198,28 @@ class MultiChipSuiteBenchmark(Benchmark):
         }
 
     def metadata(self):
-        return {
+        md = {
             "mesh": {"dp": self.mesh_shape[0], "tp": self.mesh_shape[1],
                      "sp": self.mesh_shape[2]},
             "modes": int(self._args[1].shape[0]),
             "tracks": int(self._args[0].shape[0]),
             "samples": int(self._args[0].shape[1]),
         }
+        dp, tp, sp = self.mesh_shape
+        if tp > 1 or sp > 1:
+            from gpuaudiobench_tpu.parallel.ici_model import (
+                predict,
+                suite_collectives,
+            )
+
+            md["ici_model"] = predict(suite_collectives(
+                tracks_local=md["tracks"] // dp,
+                samples=md["samples"],
+                sp=sp, tp=tp,
+                modes=md["modes"],
+                ir_len=self._ir_len,
+            ))
+        return md
 
 
 class ICIBandwidthBenchmark(Benchmark):
@@ -311,8 +326,18 @@ class ICIBandwidthBenchmark(Benchmark):
         }
 
     def metadata(self):
-        return {
+        md = {
             "devices": self.n_devices,
             "chunkMiB": self.cfg.transfer_mib,
             "collectives": ["ppermute(ring)", "psum"],
         }
+        if self.n_devices > 1:
+            from gpuaudiobench_tpu.parallel.ici_model import (
+                ici_bandwidth_collectives,
+                predict,
+            )
+
+            md["ici_model"] = predict(ici_bandwidth_collectives(
+                self.chunk_elems * 4, self.n_devices
+            ))
+        return md

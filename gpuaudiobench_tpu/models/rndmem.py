@@ -143,3 +143,9 @@ class RndMemBenchmark(Benchmark):
             "minLoopLen": self.cfg.rndmem_min_loop,
             "maxLoopLen": self.cfg.rndmem_max_loop,
         }
+
+    def transfer_model(self):
+        """Pool is HBM-resident; per block only the int32 playheads go
+        up and the interleaved output comes down."""
+        return {"h2d_bytes": self.track_count * 4,
+                "d2h_bytes": self.track_count * self.buffer_size * 4}

@@ -29,6 +29,11 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
     )
     from gpuaudiobench_tpu.models.noop import NoOpBenchmark
     from gpuaudiobench_tpu.models.rndmem import RndMemBenchmark
+    from gpuaudiobench_tpu.models.speedoflight import (
+        SolHbmStreamBenchmark,
+        SolMxuBenchmark,
+        SolVpuFmaBenchmark,
+    )
 
     return {
         "NoOp": NoOpBenchmark,
@@ -52,6 +57,11 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "BiquadChain": BiquadChainBenchmark,
         "MultiChipSuite": MultiChipSuiteBenchmark,
         "ICIBandwidth": ICIBandwidthBenchmark,
+        # speedoflight: measured roofline denominators.
+        "SOL_VPU": SolVpuFmaBenchmark,
+        "SOL_HBM": SolHbmStreamBenchmark,
+        "SOL_MXU_bf16": lambda cfg: SolMxuBenchmark(cfg, "bf16"),
+        "SOL_MXU_f32": lambda cfg: SolMxuBenchmark(cfg, "f32"),
     }
 
 
@@ -79,7 +89,9 @@ BENCHMARK_NAMES: List[str] = [
 # Extensions: workloads present in the reference tree but unregistered
 # there (kernels_extra.metal), registered here for completeness.
 EXTENSION_NAMES: List[str] = ["BiquadChain", "MultiChipSuite",
-                              "ICIBandwidth"]
+                              "ICIBandwidth",
+                              "SOL_VPU", "SOL_HBM",
+                              "SOL_MXU_bf16", "SOL_MXU_f32"]
 
 # Suite categories (the WebGPU UI's five groups, webgpu/js/app.js:46-79).
 CATEGORIES = {
@@ -92,6 +104,9 @@ CATEGORIES = {
     "memory": ["RndMemRead"],
     # TPU extension: the multi-chip layer as runnable workloads.
     "multichip": ["MultiChipSuite", "ICIBandwidth"],
+    # TPU extension: measured roofline denominators
+    # (tools/calibrate_peaks.py persists their rates as the peaks).
+    "speedoflight": ["SOL_VPU", "SOL_HBM", "SOL_MXU_bf16", "SOL_MXU_f32"],
 }
 
 BENCHMARK_DESCRIPTIONS = {
@@ -115,6 +130,10 @@ BENCHMARK_DESCRIPTIONS = {
     "BiquadChain": "Serial 10-stage biquad cascade (extension)",
     "MultiChipSuite": "Sharded dp/tp/sp/pp pipeline over --mesh (extension)",
     "ICIBandwidth": "Interconnect ring ppermute + psum (extension)",
+    "SOL_VPU": "Speed-of-light: VPU f32 FMA throughput (measured peak)",
+    "SOL_HBM": "Speed-of-light: HBM stream bandwidth (measured peak)",
+    "SOL_MXU_bf16": "Speed-of-light: MXU bf16 matmul (measured peak)",
+    "SOL_MXU_f32": "Speed-of-light: delivered f32 matmul (measured peak)",
 }
 
 

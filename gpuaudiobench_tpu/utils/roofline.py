@@ -1,4 +1,4 @@
-"""Roofline / MFU accounting for TPU v5e.
+"""Roofline / MFU accounting with MEASURED peaks.
 
 Each benchmark declares an algorithmic cost model (FLOPs + minimum HBM
 bytes per block, plus which unit does the work); combined with the
@@ -8,26 +8,37 @@ this ms/block actually good for this chip?" -- the accounting the
 reference's GB/s throughput fields (cuda/bench_base.cu:110-115) gesture
 at, taken to %-of-peak.
 
-Peaks (TPU v5e, public spec sheet / jax-ml.github.io/scaling-book):
-  * MXU: 197 TFLOP/s bf16 (f32 inputs via MXU passes run lower; the
-    suite's only MXU op, Conv1D, runs f32 -> compare against the f32
-    MXU rate, ~1/4 of bf16).
-  * VPU (vector, f32): ~3.9 TFLOP/s -- 8x128-lane VPU at ~940 MHz with
-    4-way issue; an estimate (Google publishes no VPU number), used for
-    elementwise/recurrence workloads.
-  * HBM: 819 GB/s.
+The denominators come from the speedoflight microbenchmarks
+(models/speedoflight.py) run on the actual chip by
+``tools/calibrate_peaks.py``, which persists them to
+``measured_peaks.json`` next to this module. Spec-sheet numbers are
+only the fallback when no calibration for the current device kind
+exists -- they are estimates (Google publishes no VPU FLOP rate at
+all), and round 2 showed an estimate can sit BELOW what the chip
+delivers, producing nonsense >100%-of-peak claims. Every roofline dict
+carries ``peak_source`` so a consumer can tell which it got.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import functools
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
 
-V5E_PEAK = {
+# Spec-sheet / scaling-book fallback estimates (TPU v5e):
+#   * MXU: 197 TFLOP/s bf16; delivered f32 (multi-pass bf16) ~1/4.
+#   * VPU (vector, f32): ~3.9 TFLOP/s -- an ESTIMATE.
+#   * HBM: 819 GB/s.
+SPEC_PEAK = {
     "mxu_bf16_flops": 197e12,
     "mxu_f32_flops": 197e12 / 4,
     "vpu_f32_flops": 3.9e12,
     "hbm_bytes_per_sec": 819e9,
 }
+
+# Back-compat alias (round-2 name).
+V5E_PEAK = SPEC_PEAK
 
 UNIT_PEAK_KEY = {
     "mxu": "mxu_f32_flops",
@@ -35,17 +46,62 @@ UNIT_PEAK_KEY = {
     "vpu": "vpu_f32_flops",
 }
 
+MEASURED_PEAKS_PATH = os.path.join(
+    os.path.dirname(__file__), "measured_peaks.json"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _load_measured(path: str) -> Optional[Dict[str, Any]]:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if not isinstance(data.get("peaks"), dict):
+            return None
+        return data
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def resolve_peaks(
+    device_kind: Optional[str] = None, path: Optional[str] = None
+) -> Tuple[Dict[str, float], str]:
+    """(peaks, source) for the given device kind.
+
+    Uses the calibrated file when it exists and its device_kind matches
+    (or no kind was given); otherwise the spec estimates. Calibrated
+    values override spec per-key, so a partial calibration still
+    improves the keys it measured.
+    """
+    measured = _load_measured(path or MEASURED_PEAKS_PATH)
+    if measured is not None:
+        kind = measured.get("device_kind")
+        if device_kind is None or kind is None or kind == device_kind:
+            peaks = dict(SPEC_PEAK)
+            peaks.update(
+                {k: float(v) for k, v in measured["peaks"].items()
+                 if k in SPEC_PEAK}
+            )
+            stamp = measured.get("measured_at", "")
+            return peaks, f"measured({kind or 'unknown'}{', ' + stamp if stamp else ''})"
+    return dict(SPEC_PEAK), "spec-estimate"
+
 
 def roofline_metrics(
-    cost: Dict[str, Any], device_ms: float
+    cost: Dict[str, Any],
+    device_ms: float,
+    device_kind: Optional[str] = None,
 ) -> Optional[Dict[str, Any]]:
     """Achieved rates vs peak for one block.
 
     ``cost``: {"flops": N, "hbm_bytes": N, "unit": "vpu"|"mxu"|"none",
     optional "note"}. ``device_ms``: measured on-device block time.
+    ``device_kind``: PJRT device kind string used to select calibrated
+    peaks (None = accept whatever calibration is shipped).
     """
     if device_ms <= 0:
         return None
+    peaks, source = resolve_peaks(device_kind)
     sec = device_ms / 1e3
     flops = float(cost.get("flops", 0))
     hbm_bytes = float(cost.get("hbm_bytes", 0))
@@ -56,12 +112,13 @@ def roofline_metrics(
         "hbm_bytes_per_block": hbm_bytes,
         "achieved_gflops": flops / sec / 1e9,
         "achieved_gbps": hbm_bytes / sec / 1e9,
-        "hbm_pct_of_peak": 100.0 * (hbm_bytes / sec) / V5E_PEAK["hbm_bytes_per_sec"],
+        "hbm_pct_of_peak": 100.0 * (hbm_bytes / sec) / peaks["hbm_bytes_per_sec"],
         "unit": unit,
+        "peak_source": source,
     }
     peak_key = UNIT_PEAK_KEY.get(unit)
     if peak_key and flops > 0:
-        out["flops_pct_of_peak"] = 100.0 * (flops / sec) / V5E_PEAK[peak_key]
+        out["flops_pct_of_peak"] = 100.0 * (flops / sec) / peaks[peak_key]
         # Which wall is closer: the workload is X-bound.
         out["bound"] = (
             "compute" if out["flops_pct_of_peak"] >= out["hbm_pct_of_peak"]

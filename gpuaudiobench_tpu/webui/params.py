@@ -219,6 +219,33 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "(CUDA 2000; Metal used 1024)",
             ),
         ]
+    if name == "SOL_VPU":
+        return [
+            slider(
+                "solFmaK", "FMA Passes", 8, 4096, d.sol_fma_k, 8, "",
+                "Chained FMA passes per element (arithmetic intensity)",
+            ),
+            slider(
+                "solFmaMiB", "Working Set", 1, 64, d.sol_fma_mib, 1, "MiB",
+                "f32 array size, gridded through VMEM",
+            ),
+        ]
+    if name == "SOL_HBM":
+        return [
+            select(
+                "solStreamMiB", "Stream Size", d.sol_stream_mib,
+                _opts([16, 64, 256]),
+                "Array MiB per read+write pass (must dwarf 16 MiB VMEM)",
+            ),
+        ]
+    if name.startswith("SOL_MXU"):
+        return [
+            select(
+                "solMatmulDim", "Matmul Dimension", d.sol_matmul_dim,
+                _opts([1024, 2048, 4096]),
+                "Square matmul size (d^3 MACs)",
+            ),
+        ]
     if name in ("MultiChipSuite", "ICIBandwidth"):
         return [
             select(
@@ -252,6 +279,10 @@ _FIELD_MAP = {
     "maxLoop": ("rndmem_max_loop", int),
     "fdtdPerTrackReceivers": ("fdtd_per_track_receivers", bool),
     "mesh": ("mesh", str),
+    "solFmaK": ("sol_fma_k", int),
+    "solFmaMiB": ("sol_fma_mib", int),
+    "solStreamMiB": ("sol_stream_mib", int),
+    "solMatmulDim": ("sol_matmul_dim", int),
     "dataParallel": ("data_parallel", int),
     "seed": ("seed", int),
     "fs": ("fs", int),

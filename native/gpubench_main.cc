@@ -31,6 +31,8 @@ const char* kValueFlags[] = {
     "--dataParallel", "--modalModes",       "--pipelineDepth",
     "--dwgMinLen",    "--dwgMaxLen",
     "--captureDir",   "--csvSchema",       "--mesh",
+    "--solFmaK",      "--solFmaMiB",       "--solStreamMiB",
+    "--solMatmulDim",
     "--compilationCacheDir",
 };
 

@@ -37,6 +37,10 @@ def small_cfg():
         rndmem_pool_mb=8,
         write_latencies=False,
         device_timing=False,
+        sol_fma_k=16,
+        sol_fma_mib=1,
+        sol_stream_mib=1,
+        sol_matmul_dim=128,
     )
 
 

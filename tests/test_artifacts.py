@@ -1,0 +1,95 @@
+"""Shipped results artifacts stay in sync (VERDICT r2 weak #1 / next
+#2): every RESULTS_r*.md generated block must match its JSON source,
+and CSVs regenerated from a JSON must round-trip the converter."""
+
+import glob
+import importlib.util
+import json
+import os
+
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+DOCS = os.path.join(ROOT, "docs")
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(ROOT, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _sentinel_docs():
+    out = []
+    for md in sorted(glob.glob(os.path.join(DOCS, "RESULTS_r*.md"))):
+        if "generated:" in open(md).read():
+            out.append(md)
+    return out
+
+
+def test_sentinel_docs_exist():
+    """At least the retrofitted r2 doc carries generated blocks."""
+    assert _sentinel_docs(), "no RESULTS_r*.md has generated blocks"
+
+
+@pytest.mark.parametrize("md", _sentinel_docs(),
+                         ids=[os.path.basename(p) for p in _sentinel_docs()])
+def test_results_md_matches_json(md):
+    """The GainStats-0.104-vs-0.151 class of drift is structurally
+    impossible: generated md tables are byte-identical to a re-render
+    from the shipped JSON artifact."""
+    render = _load_tool("render_results")
+    drift = render.process(md, check=True)
+    assert drift == [], drift
+
+
+def test_json_to_csv_roundtrip(tmp_path):
+    """The CSV derivation is faithful: derived columns match the JSON's
+    statistics for the shipped r2 artifact."""
+    conv = _load_tool("json_to_csv")
+    src = os.path.join(DOCS, "RESULTS_r2_tpu_v5e.json")
+    results = json.load(open(src))
+    csv_text = conv.convert(results)
+    lines = csv_text.strip().split("\n")
+    assert len(lines) == len(results) + 1
+    header = lines[0].split(",")
+    for r, line in zip(results, lines[1:]):
+        row = dict(zip(header, line.split(",")))
+        assert row["benchmark"] == r["benchmark"]
+        assert float(row["p50_ms"]) == pytest.approx(
+            r["statistics"]["p50_ms"], rel=1e-5
+        )
+        assert float(row["p99_ms"]) == pytest.approx(
+            r["statistics"]["p99_ms"], rel=1e-5
+        )
+        meets = row["meets_deadline"] == "true"
+        assert meets == r["deadline"]["meets_deadline"]
+        sat = r.get("saturated")
+        if sat:
+            assert float(row["saturated_p50_ms"]) == pytest.approx(
+                sat["p50_ms"], rel=1e-5
+            )
+        else:
+            assert row["saturated_p50_ms"] == ""
+
+
+def test_csv_artifact_matches_json_artifact():
+    """Shipped CSV and JSON artifacts describe the SAME run for every
+    suffix that has both in the single-sourced (r3+) era."""
+    conv = _load_tool("json_to_csv")
+    checked = 0
+    for jp in sorted(glob.glob(os.path.join(DOCS, "RESULTS_r*_tpu_v5e.json"))):
+        suffix = os.path.basename(jp).split("_")[1]
+        if suffix == "r2":  # pre-single-sourcing era: known separate runs
+            continue
+        cp = jp.replace(".json", ".csv")
+        if not os.path.exists(cp):
+            continue
+        derived = conv.convert(json.load(open(jp)))
+        assert open(cp).read() == derived, f"{cp} drifted from {jp}"
+        checked += 1
+    # r3+ artifacts appear once regen_artifacts.sh runs on hardware;
+    # until then this test only pins the invariant.

@@ -272,3 +272,82 @@ def test_multichip_rejects_unfoldable_modes(small_cfg):
     )
     with pytest.raises(ValueError, match="divisible by 32"):
         b.setup()
+
+
+# --- analytic ICI model (parallel/ici_model.py, VERDICT r2 #7) ----------
+
+
+def test_ici_collective_formulas():
+    from gpuaudiobench_tpu.parallel.ici_model import V5E_ICI, collective_ms
+
+    # Single-axis: free.
+    assert collective_ms("psum", 10**9, 1) == 0.0
+    # ppermute: bandwidth term + one hop of latency.
+    bw = V5E_ICI["link_bytes_per_sec_per_dir"]
+    ms = collective_ms("ppermute", 45_000_000, 4)
+    assert ms == pytest.approx(45e6 / bw * 1e3 + 1e-3)
+    # psum = 2x all_gather at the same volume.
+    ag = collective_ms("all_gather", 10**8, 8)
+    assert collective_ms("psum", 10**8, 8) == pytest.approx(2 * ag)
+    assert collective_ms("reduce_scatter", 10**8, 8) == pytest.approx(ag)
+    # Monotone in bytes; (n-1)/n volume factor grows with n.
+    assert collective_ms("all_gather", 2 * 10**8, 8) > ag
+    assert collective_ms("all_gather", 10**8, 16) > ag
+    with pytest.raises(ValueError):
+        collective_ms("all2all", 1, 2)
+
+
+def test_suite_collective_inventory_scales_with_mesh():
+    """Model SHAPE assertions (the part a CPU mesh can check): halo
+    bytes scale with the IR tail, sp work appears only when sp>1, pp
+    handoffs only when tp>1."""
+    from gpuaudiobench_tpu.parallel.ici_model import suite_collectives
+
+    none = suite_collectives(16, 256, sp=1, tp=1, modes=1024, ir_len=33)
+    assert none == []  # degenerate mesh: no collectives at all
+
+    sp2 = suite_collectives(16, 256, sp=2, tp=1, modes=1024, ir_len=33)
+    assert {c["kind"] for c in sp2} == {"all_gather", "ppermute"}
+    halo = next(c for c in sp2 if "halo" in c["label"])
+    assert halo["bytes"] == 16 * 32 * 4  # (L-1) tail per track
+    halo65 = next(
+        c for c in suite_collectives(16, 256, sp=2, tp=1, modes=1024,
+                                     ir_len=65)
+        if "halo" in c["label"]
+    )
+    assert halo65["bytes"] == 2 * halo["bytes"]  # scales with IR tail
+
+    tp4 = suite_collectives(16, 256, sp=1, tp=4, modes=1024, ir_len=33)
+    kinds = [c["kind"] for c in tp4]
+    assert "psum" in kinds and "ppermute" in kinds  # cascade handoffs
+    pp = next(c for c in tp4 if "pp handoffs" in c["label"])
+    # 2 microbatches x (tp-1) hops of half the track block each.
+    assert pp["bytes"] == (16 // 2) * 256 * 4 * 2 * 3
+
+
+def test_mesh_benchmarks_attach_ici_model(mesh8):
+    """Metadata carries the prediction exactly when ICI is exercised."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = BenchConfig(buffer_size=256, n_tracks=16, n_runs=1, warmup=0,
+                      transfer_mib=1, mesh="1,2,2",
+                      write_latencies=False, device_timing=False)
+    b = create_benchmark("MultiChipSuite", cfg)
+    b.setup()
+    md = b.metadata()
+    model = md["ici_model"]
+    assert model["predicted_total_ms"] > 0
+    assert all(c["predicted_ms"] >= 0 for c in model["collectives"])
+    assert "upper bound" in model["assumptions"]
+
+    cfg1 = cfg.replace(mesh="1,1,1")
+    b1 = create_benchmark("MultiChipSuite", cfg1)
+    b1.setup()
+    assert "ici_model" not in b1.metadata()  # single chip: no ICI story
+
+    bi = create_benchmark("ICIBandwidth", cfg.replace(mesh="2,2,1"))
+    bi.setup()
+    mi = bi.metadata()["ici_model"]
+    ring = next(c for c in mi["collectives"] if c["kind"] == "ppermute")
+    assert ring["bytes"] == 1024 * 1024  # --transferMiB 1 chunk

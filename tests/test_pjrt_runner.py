@@ -72,3 +72,87 @@ def test_exporter_writes_program_and_spec(tmp_path):
     spec = (tmp_path / "gain.spec").read_text()
     assert "f32 128 512" in spec
     assert (tmp_path / "compile_options.pb").stat().st_size > 0
+
+
+MOCK = REPO / "native" / "build" / "libpjrt_mock.so"
+
+
+def _build_mock():
+    if MOCK.exists():
+        return True
+    r = subprocess.run(
+        ["make", "pjrt_mock"], cwd=REPO / "native",
+        capture_output=True, text=True,
+    )
+    return r.returncode == 0
+
+
+def _lcg_checksum(n=64, seed=42):
+    """The runner's documented seeded LCG (pjrt_runner.cc NextRand),
+    through the gain program (2x) over the first n output elements."""
+    state = seed
+    total = 0.0
+    import numpy as np
+
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        v = np.float32(2.0 * ((state >> 33) & 0xFFFFFF) / 16777216.0 - 1.0)
+        total += float(np.float32(2.0) * v)
+    return total
+
+
+def test_runner_executes_against_mock_plugin(runner, tmp_path):
+    """Hardware-free end-to-end regression of the no-Python path
+    (VERDICT r2 next #4): export the gain StableHLO, dlopen the
+    loopback plugin, compile, upload seeded inputs, execute N timed
+    runs, read back, and verify the printed checksum against the same
+    LCG the runner seeds. Exercises every branch in pjrt_runner.cc.
+    (jaxlib here bundles no CPU PJRT .so -- its CPU backend lives
+    inside the Python extension -- hence the mock.)"""
+    if not _build_mock():
+        pytest.skip("pjrt_mock build unavailable (no pjrt_c_api.h?)")
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export_stablehlo.py"),
+         "--out", str(tmp_path), "gain"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    r = subprocess.run(
+        [runner, "--plugin", str(MOCK),
+         "--program", str(tmp_path / "gain.stablehlo.mlir"),
+         "--spec", str(tmp_path / "gain.spec"),
+         "--compile-options", str(tmp_path / "compile_options.pb"),
+         "--runs", "5",
+         "--opt", "topology=mock:1x1x1", "--opt", "session_id=ci"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = r.stdout
+    assert "PJRT C API v" in out
+    assert "devices: 1 addressable" in out
+    assert "inputs: 1 uploaded, outputs: 1" in out
+    assert "runs: 5" in out
+    import re
+
+    m = re.search(r"checksum (-?\d+\.\d+)", out)
+    assert m, out
+    assert abs(float(m.group(1)) - _lcg_checksum()) < 1e-3
+
+
+def test_mock_plugin_rejects_wrong_program(runner, tmp_path):
+    """The mock must never fake semantics it does not implement: a
+    program without a multiply is rejected at compile time."""
+    if not _build_mock():
+        pytest.skip("pjrt_mock build unavailable")
+    prog = tmp_path / "p.mlir"
+    prog.write_text("module { func.func @main() { return } }")
+    spec = tmp_path / "p.spec"
+    spec.write_text("f32 4 4\n")
+    r = subprocess.run(
+        [runner, "--plugin", str(MOCK), "--program", str(prog),
+         "--spec", str(spec)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1
+    assert "only the multiply" in r.stderr

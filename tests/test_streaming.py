@@ -12,6 +12,7 @@ STREAMING = [
     "NoOp", "gain", "GainStats", "IIRFilter", "Conv1D", "Conv1D_accel",
     "FFT1D", "ModalFilterBank", "DWG1DNaive", "DWG1DAccel", "FDTD3D",
     "RndMemRead", "BiquadChain", "MultiChipSuite", "ICIBandwidth",
+    "SOL_VPU", "SOL_HBM", "SOL_MXU_bf16", "SOL_MXU_f32",
 ]
 NON_STREAMING = ["datacopy0199", "datacopy2080", "datacopy5050",
                  "datacopy8020", "datacopy9901"]
@@ -78,13 +79,19 @@ def test_csv_saturated_columns(small_cfg, tmp_path):
         write_csv_results(result, cfg, path)
     lines = open(path).read().strip().split("\n")
     header = lines[0].split(",")
-    assert header[-2:] == ["saturated_p50_ms", "blocks_per_sec"]
+    assert header[-5:] == [
+        "saturated_p50_ms", "saturated_p95_ms", "saturated_p99_ms",
+        "blocks_per_sec", "saturated_meets_deadline",
+    ]
     gain_row = lines[1].split(",")
     assert len(gain_row) == len(header)
-    assert float(gain_row[-2]) > 0 and float(gain_row[-1]) > 0
+    assert float(gain_row[-5]) > 0 and float(gain_row[-2]) > 0
+    # Percentiles are ordered (truncated-index formula, globals.cu:86-88)
+    assert float(gain_row[-5]) <= float(gain_row[-4]) <= float(gain_row[-3])
+    assert gain_row[-1] in ("true", "false")
     dc_row = lines[2].split(",")  # no streaming mode: blank fields
     assert len(dc_row) == len(header)
-    assert dc_row[-2] == "" and dc_row[-1] == ""
+    assert all(dc_row[i] == "" for i in range(-5, 0))
 
 
 def test_json_saturated_section(small_cfg):
@@ -99,6 +106,12 @@ def test_json_saturated_section(small_cfg):
     assert sat["pipeline_depth"] == 4
     assert sat["p50_ms"] > 0
     assert sat["blocks_per_sec"] == pytest.approx(1000.0 / sat["p50_ms"])
+    # r3: the saturated tier carries the reference's full percentile +
+    # stability discipline (globals.cu:101-122; Statistics.js CV bands).
+    assert sat["p50_ms"] <= sat["p95_ms"] <= sat["p99_ms"]
+    assert sat["stability"] in ("excellent", "good", "fair", "poor", "n/a")
+    assert isinstance(sat["meets_deadline"], bool)
+    assert sat["cv_percent"] >= 0
 
 
 def test_barrier_chain_runs_every_block():

@@ -4,7 +4,11 @@ Runs MultiChipSuite and ICIBandwidth over a ladder of mesh shapes on
 whatever devices are available (the 8-device virtual CPU mesh on this
 rig -- functional/partitioning validation numbers, NOT ICI performance;
 on a real pod the same command produces real scaling curves) and writes
-a markdown table.
+a markdown table with the ANALYTIC v5e prediction next to each row
+(parallel/ici_model.py): a CPU-mesh p50 answers "does it partition and
+validate"; the predicted column answers "what should a real v5e pod
+do", giving a future multi-chip run a concrete number to confirm or
+refute (VERDICT r2 next #7).
 
 Usage:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
@@ -21,7 +25,7 @@ ICI_MESHES = ["1,1,1", "2,1,1", "2,2,1", "2,2,2"]
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "docs/RESULTS_r2_mesh.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "docs/RESULTS_r3_mesh.md"
     import jax
 
     from gpuaudiobench_tpu.config import BenchConfig
@@ -34,11 +38,15 @@ def main() -> int:
         "# Mesh scaling (multi-chip layer)",
         "",
         f"Platform: {platform}, {n_dev} device(s). On a virtual CPU mesh",
-        "these are FUNCTIONAL numbers (partitioning + collectives compile",
-        "and validate); absolute times do not model ICI.",
+        "the p50 column is FUNCTIONAL (partitioning + collectives compile",
+        "and validate); absolute times do not model ICI. The predicted",
+        "column is the analytic v5e ICI collective cost",
+        "(parallel/ici_model.py: ring algorithms at 45 GB/s/link/dir,",
+        "1 us/hop, no compute overlap -- an upper bound on collective",
+        "time a real pod run can test).",
         "",
-        "| Benchmark | mesh dp,tp,sp | p50 ms | validation |",
-        "|---|---|---:|---|",
+        "| Benchmark | mesh dp,tp,sp | p50 ms | predicted v5e ICI ms | collectives | validation |",
+        "|---|---|---:|---:|---|---|",
     ]
     for name, meshes in (("MultiChipSuite", SUITE_MESHES),
                          ("ICIBandwidth", ICI_MESHES)):
@@ -58,8 +66,18 @@ def main() -> int:
             r = run_benchmark(b, cfg, verbose=False)
             ok = "pass" if (r.validation is None or r.validation.passed) \
                 else "FAIL"
+            ici = (r.metadata or {}).get("ici_model")
+            if ici:
+                pred = f"{ici['predicted_total_ms']:.3f}"
+                kinds = ", ".join(
+                    f"{c['kind']}({c['bytes'] / 1024:.0f}KiB/n={c['axis_n']})"
+                    for c in ici["collectives"]
+                )
+            else:
+                pred, kinds = "0 (no ICI)", "—"
             lines.append(
-                f"| {name} | {mesh} | {r.statistics.median:.2f} | {ok} |"
+                f"| {name} | {mesh} | {r.statistics.median:.2f} | "
+                f"{pred} | {kinds} | {ok} |"
             )
             print(lines[-1])
     with open(out_path, "w") as f:
