@@ -64,8 +64,8 @@ def _label(r: dict) -> str:
 
 def render_suite(results: list) -> str:
     lines = [
-        "| Benchmark | device ms [xplane] | saturated ms/block | blocks/s | max err |",
-        "|---|---:|---:|---:|---:|",
+        "| Benchmark | device ms [xplane] | saturated ms/block | blocks/s | stability (CV) | max err |",
+        "|---|---:|---:|---:|---|---:|",
     ]
     for r in results:
         d = r.get("device_statistics") or {}
@@ -74,12 +74,21 @@ def render_suite(results: list) -> str:
         if sat:
             sat_ms = f"{sat['p50_ms']:.3f}"
             bps = f"{sat['blocks_per_sec']:.0f}"
+            # Variance of the tier the row headlines: saturated when
+            # present, else the (round-trip) statistics tier -- the
+            # datacopy rows' round-trip variance stops being silent.
+            cv, rating = sat.get("cv_percent"), sat.get("stability")
         else:
             sat_ms, bps = "n/a (transfer-bound)", "—"
+            cv, rating = None, None
+        if cv is None:
+            cv = r["statistics"].get("cv_percent")
+            rating = r["statistics"].get("stability")
+        cv_s = f"{rating} ({cv:.0f}%)" if cv is not None else "—"
         err = r.get("validation", {}).get("max_error", 0.0)
         err_s = "0" if err == 0 else f"{err:.3g}"
         lines.append(
-            f"| {_label(r)} | {dev_ms} | {sat_ms} | {bps} | {err_s} |"
+            f"| {_label(r)} | {dev_ms} | {sat_ms} | {bps} | {cv_s} | {err_s} |"
         )
     return "\n".join(lines)
 

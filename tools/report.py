@@ -130,6 +130,22 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
         sat = r.get("saturated")
         dev_cell = f"{dev['median_ms']:.4f}" if dev else "&mdash;"
         sat_cell = f"{sat['p50_ms']:.3f}" if sat else "&mdash;"
+        md_all = r.get("metadata") or {}
+        rl_row = md_all.get("roofline")
+        if rl_row:
+            pct_v = rl_row.get("flops_pct_of_peak")
+            peak_cell = (
+                f"{pct_v:.1f}% {html.escape(rl_row.get('unit', ''))}"
+                if pct_v is not None
+                else f"{rl_row.get('hbm_pct_of_peak', 0):.1f}% hbm"
+            )
+        else:
+            peak_cell = "&mdash;"
+        proj_row = md_all.get("projection")
+        proj_cell = (
+            f"{proj_row['projected_colocated_ms']:.3f}" if proj_row
+            else "&mdash;"
+        )
         rows.append(
             "<tr>"
             f"<td>{name}</td>"
@@ -138,6 +154,8 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
             f"<td>{stats.get('p99_ms', 0):.3f}</td>"
             f"<td>{dev_cell}</td>"
             f"<td>{sat_cell}</td>"
+            f"<td>{peak_cell}</td>"
+            f"<td>{proj_cell}</td>"
             f"<td>{deadline.get('threshold_ms', 0):.3f}</td>"
             f"<td>{badge}</td>"
             f"<td>{vbadge}</td>"
@@ -173,6 +191,14 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
                    if pct is not None else "")
                 + f", {rl['achieved_gbps']:.1f} GB/s HBM "
                 + f"({rl['hbm_pct_of_peak']:.1f}%) &rarr; {rl['bound']}-bound"
+                + f" [peaks: {html.escape(rl.get('peak_source', 'spec-estimate'))}]"
+            )
+        proj = meta.pop("projection", None)
+        if proj:
+            bits.append(
+                f"co-located projection {proj['projected_colocated_ms']:.3f} ms "
+                f"(device {proj['device_ms']:.4f} + transfers "
+                f"{proj['transfer_ms']:.3f} @ PCIe-class)"
             )
         dev_str = " &middot; ".join(bits)
         cards.append(
@@ -185,7 +211,8 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
         "style='border-collapse:collapse;font-size:13px'>"
         "<tr style='background:#eef2f6'>"
         "<th>benchmark</th><th>p50</th><th>p95</th><th>p99</th>"
-        "<th>device ms</th><th>saturated ms/blk</th><th>deadline</th>"
+        "<th>device ms</th><th>saturated ms/blk</th>"
+        "<th>% of peak</th><th>projected ms</th><th>deadline</th>"
         "<th>status</th><th>validation</th><th>GB/s</th></tr>"
         + "".join(rows) + "</table>"
     )
