@@ -112,12 +112,14 @@ class BenchConfig:
     # Saturated/streaming pass: run this many blocks per executable
     # (lax.scan, state carried) and report marginal ms/block +
     # blocks/sec next to the round-trip stats. 0/1 = off.
-    # 20 reps so the saturated tier gets real percentiles (p95/p99 with
-    # the reference's truncated-index formula need n >= 20 to move off
-    # the max): the chip-meaningful tier deserves the same percentile
-    # discipline globals.cu:101-122 applies to round trips.
+    # 21 reps so the saturated tier gets the reference's percentile
+    # discipline (globals.cu:101-122) with p95 actually distinct from
+    # the max (truncated-index formula: int(21*0.95)=19 < 20; at
+    # n=20 both p95 and p99 collapse to the max). p99 still equals the
+    # max below n=100 -- exactly as it does in the reference's own
+    # default nRuns=100 round-trip stats (int(100*0.99)=99 = last).
     pipeline_depth: int = 0
-    saturated_reps: int = 20
+    saturated_reps: int = 21
 
     def deadline_ms(self) -> float:
         """Real-time deadline: 1000*BUFSIZE/FS ms (cuda/globals.cu:55,89)."""
@@ -160,13 +162,15 @@ def matches_filter(name: str, patterns: Sequence[str]) -> bool:
          (main.swift:224-233); an invalid regex is reported and
          ignored, as the reference does (it prints and skips).
       2. exact -- case-insensitive whole-name equality
-         (caseInsensitiveCompare, main.swift:234).
+         (caseInsensitiveCompare, main.swift:234). In the reference
+         this tier is subsumed by the substring tier (equality implies
+         containment), so it needs no separate branch here; ``=token``
+         below is what makes exactness observable.
       3. substring -- case-insensitive containment (main.swift:236).
 
     ``=token`` restricts a token to the exact tier only (an extension:
-    the reference's exact tier is subsumed by its substring tier, so
-    "gain" cannot select gain without also selecting GainStats there;
-    the prefix makes exact matching actually usable).
+    without it "gain" cannot select gain without also selecting
+    GainStats).
     """
     import re
 
@@ -182,8 +186,6 @@ def matches_filter(name: str, patterns: Sequence[str]) -> bool:
         elif pat.startswith("=") and len(pat) > 1:
             if pat[1:].lower() == name.lower():
                 return True
-        elif pat.lower() == name.lower():
-            return True
         elif pat.lower() in name.lower():
             return True
     return False

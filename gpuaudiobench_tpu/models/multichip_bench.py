@@ -216,7 +216,6 @@ class MultiChipSuiteBenchmark(Benchmark):
                 tracks_local=md["tracks"] // dp,
                 samples=md["samples"],
                 sp=sp, tp=tp,
-                modes=md["modes"],
                 ir_len=self._ir_len,
             ))
         return md

@@ -244,6 +244,12 @@ class SolMxuBenchmark(_SolBenchmark):
     def total_elements(self) -> int:
         return self.cfg.sol_matmul_dim ** 2
 
+    def transfer_model(self):
+        """iterate() uploads BOTH operands and reads one output back."""
+        d = self.cfg.sol_matmul_dim
+        in_bytes = 2 if self.dtype == "bf16" else 4
+        return {"h2d_bytes": 2 * d * d * in_bytes, "d2h_bytes": d * d * 4}
+
     def bytes_processed(self) -> int:
         d = self.cfg.sol_matmul_dim
         in_bytes = 2 if self.dtype == "bf16" else 4

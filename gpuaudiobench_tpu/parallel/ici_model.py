@@ -12,9 +12,9 @@ instead of a shrug.
 Model (standard ring algorithms, the ones XLA emits on a torus axis;
 cf. the public scaling book, jax-ml.github.io/scaling-book/sharding):
 
-* v5e: 2D torus, 4 ICI links/chip, ~45 GB/s per link per direction
-  (public v5e spec: 1600 Gbps aggregate = 4 x 400 Gbps bidirectional).
-  A 1-axis ring can drive one link pair, both directions.
+* v5e: 2D torus, 4 ICI links/chip, 45 GB/s per link per direction
+  (the public scaling book's v5e one-way ICI figure). A 1-axis ring
+  can drive one link pair, both directions.
 * ppermute (ring hop): every device ships B bytes one hop in parallel
   -> B / bw_dir + hop latency.
 * all_gather of a V-byte logical array over n devices: ring, both
@@ -36,8 +36,8 @@ V5E_ICI = {
     "link_bytes_per_sec_per_dir": 45e9,
     "links_per_chip": 4,
     "hop_latency_us": 1.0,
-    "source": "v5e 2D torus, 4x400 Gbps bidirectional links "
-              "(scaling-book numbers)",
+    "source": "v5e 2D torus, 45 GB/s per link per direction "
+              "(scaling-book one-way ICI figure)",
 }
 
 
@@ -91,13 +91,14 @@ def suite_collectives(
     samples: int,
     sp: int,
     tp: int,
-    modes: int,
     ir_len: int,
     n_micro: int = 2,
 ) -> List[Dict[str, Any]]:
     """Collective inventory of one MultiChipSuite step
     (parallel/multichip.py make_suite_step), with the byte counts the
-    shardings imply. tracks_local = tracks / dp."""
+    shardings imply. tracks_local = tracks / dp. The modal psum moves
+    the (32, S/sp) MIX, not the mode banks, so mode count does not
+    appear: partial banks stay chip-local by construction."""
     t, s = tracks_local, samples
     out: List[Dict[str, Any]] = []
     # x all_gather over sp at entry (sample shards -> full S per chip).

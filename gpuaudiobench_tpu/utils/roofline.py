@@ -68,15 +68,17 @@ def resolve_peaks(
 ) -> Tuple[Dict[str, float], str]:
     """(peaks, source) for the given device kind.
 
-    Uses the calibrated file when it exists and its device_kind matches
-    (or no kind was given); otherwise the spec estimates. Calibrated
-    values override spec per-key, so a partial calibration still
-    improves the keys it measured.
+    Uses the calibrated file only when it exists AND its device_kind
+    matches the requested one; otherwise the spec estimates. A None
+    device_kind (caller doesn't know the chip) deliberately does NOT
+    accept the calibration: another chip's measured peaks are wronger
+    than a labeled estimate. Calibrated values override spec per-key,
+    so a partial calibration still improves the keys it measured.
     """
     measured = _load_measured(path or MEASURED_PEAKS_PATH)
-    if measured is not None:
+    if measured is not None and device_kind is not None:
         kind = measured.get("device_kind")
-        if device_kind is None or kind is None or kind == device_kind:
+        if kind == device_kind:
             peaks = dict(SPEC_PEAK)
             peaks.update(
                 {k: float(v) for k, v in measured["peaks"].items()

@@ -308,14 +308,21 @@ def make_handler(runner: JobRunner, presets: PresetStore):
             ctype = ctype.split(";")[0].strip().lower()
             if ctype != "application/json":
                 return (415, "Content-Type must be application/json")
+            # Host check only makes sense for a loopback bind (where
+            # rebinding is the sole route in): a remote client of an
+            # explicit 0.0.0.0 bind legitimately sends the machine's
+            # IP in Host, which the server cannot enumerate -- the
+            # operator accepted exposure at bind time (serve() warns).
+            bound = self.server.server_address[0]
+            if bound not in ("127.0.0.1", "::1"):
+                return None
             host = (self.headers.get("Host") or "").strip()
             if host.startswith("["):  # [::1]:port
                 hostname = host.split("]")[0].lstrip("[")
             else:
                 hostname = host.rsplit(":", 1)[0] if ":" in host else host
-            bound = self.server.server_address[0]
-            allowed = {"localhost", "127.0.0.1", "::1", bound}
-            if hostname.lower() not in allowed:
+            if hostname.lower() not in {"localhost", "127.0.0.1", "::1",
+                                        bound}:
                 return (403, f"Host {hostname!r} not served here")
             return None
 

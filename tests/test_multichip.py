@@ -303,21 +303,20 @@ def test_suite_collective_inventory_scales_with_mesh():
     handoffs only when tp>1."""
     from gpuaudiobench_tpu.parallel.ici_model import suite_collectives
 
-    none = suite_collectives(16, 256, sp=1, tp=1, modes=1024, ir_len=33)
+    none = suite_collectives(16, 256, sp=1, tp=1, ir_len=33)
     assert none == []  # degenerate mesh: no collectives at all
 
-    sp2 = suite_collectives(16, 256, sp=2, tp=1, modes=1024, ir_len=33)
+    sp2 = suite_collectives(16, 256, sp=2, tp=1, ir_len=33)
     assert {c["kind"] for c in sp2} == {"all_gather", "ppermute"}
     halo = next(c for c in sp2 if "halo" in c["label"])
     assert halo["bytes"] == 16 * 32 * 4  # (L-1) tail per track
     halo65 = next(
-        c for c in suite_collectives(16, 256, sp=2, tp=1, modes=1024,
-                                     ir_len=65)
+        c for c in suite_collectives(16, 256, sp=2, tp=1, ir_len=65)
         if "halo" in c["label"]
     )
     assert halo65["bytes"] == 2 * halo["bytes"]  # scales with IR tail
 
-    tp4 = suite_collectives(16, 256, sp=1, tp=4, modes=1024, ir_len=33)
+    tp4 = suite_collectives(16, 256, sp=1, tp=4, ir_len=33)
     kinds = [c["kind"] for c in tp4]
     assert "psum" in kinds and "ppermute" in kinds  # cascade handoffs
     pp = next(c for c in tp4 if "pp handoffs" in c["label"])
