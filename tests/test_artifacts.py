@@ -97,3 +97,57 @@ def test_csv_artifact_matches_json_artifact():
         checked += 1
     # r3+ artifacts appear once regen_artifacts.sh runs on hardware;
     # until then this test only pins the invariant.
+
+
+def _synthetic_result():
+    return {
+        "benchmark": "gain",
+        "configuration": {"fs": 48000, "bufferSize": 512, "nTracks": 128,
+                          "nRuns": 3},
+        "statistics": {"min_ms": 1.0, "max_ms": 3.0, "avg_ms": 2.0,
+                       "p50_ms": 2.0, "p95_ms": 3.0, "p99_ms": 3.0,
+                       "cv_percent": 4.2, "stability": "excellent"},
+        "deadline": {"threshold_ms": 10.667, "meets_deadline": True},
+        "device_statistics": {"median_ms": 0.0013},
+        "saturated": {"p50_ms": 0.11, "p95_ms": 0.12, "p99_ms": 0.13,
+                      "blocks_per_sec": 9090.9, "cv_percent": 2.0,
+                      "stability": "excellent", "meets_deadline": True},
+        "validation": {"max_error": 0.0},
+        "metadata": {
+            "roofline": {"basis": "device:xplane", "achieved_gflops": 50.0,
+                         "flops_pct_of_peak": 1.1, "unit": "vpu",
+                         "achieved_gbps": 396.0, "hbm_pct_of_peak": 60.0,
+                         "bound": "bandwidth",
+                         "peak_source": "measured(TPU v5 lite, 2026-08-17)"},
+            "projection": {"device_ms": 0.0013, "transfer_ms": 0.048,
+                           "launch_ms": 0.02,
+                           "projected_colocated_ms": 0.069},
+        },
+    }
+
+
+def test_renderers_on_synthetic_result():
+    """render_suite/roofline/projection produce the documented columns
+    for a fully-populated result (protects the r3 render before the
+    hardware artifact exists)."""
+    render = _load_tool("render_results")
+    r = _synthetic_result()
+
+    suite = render.render_suite([r])
+    assert "| gain | 0.0013 | 0.110 | 9091 | excellent (2%) | 0 |" in suite
+
+    roof = render.render_roofline([r])
+    assert "1.1% (vpu)" in roof
+    assert "measured(TPU v5 lite" in roof
+
+    proj = render.render_projection([r])
+    assert "**0.069**" in proj and "meets" in proj
+
+    # A transfer-bound row (no saturated tier) falls back to the
+    # round-trip CV and renders blanks, not crashes.
+    r2 = _synthetic_result()
+    r2["benchmark"] = "datacopy5050"
+    del r2["saturated"]
+    suite2 = render.render_suite([r2])
+    assert "n/a (transfer-bound)" in suite2
+    assert "excellent (4%)" in suite2
