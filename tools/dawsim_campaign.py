@@ -16,6 +16,12 @@ Usage: python tools/dawsim_campaign.py [output.md]
 
 from __future__ import annotations
 
+# Runnable from any cwd: `python tools/<name>.py`
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import sys
 
 from gpuaudiobench_tpu.config import BenchConfig

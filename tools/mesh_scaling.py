@@ -17,6 +17,12 @@ Usage:
 
 from __future__ import annotations
 
+# Runnable from any cwd: `python tools/<name>.py`
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import sys
 
 SUITE_MESHES = ["1,1,1", "2,1,1", "1,2,1", "1,1,2", "2,2,1", "2,2,2",
