@@ -151,3 +151,40 @@ def test_renderers_on_synthetic_result():
     suite2 = render.render_suite([r2])
     assert "n/a (transfer-bound)" in suite2
     assert "excellent (4%)" in suite2
+
+
+def test_compare_runs_tool(tmp_path):
+    """A/B suite comparison (tools/compare_runs.py): noise-aware
+    verdicts, gating only on the chip-meaningful tiers."""
+    comp = _load_tool("compare_runs")
+
+    def result(name, dev, sat, rt, sat_cv=2.0):
+        return {"benchmark": name,
+                "device_statistics": {"median_ms": dev},
+                "saturated": {"p50_ms": sat, "cv_percent": sat_cv},
+                "statistics": {"p50_ms": rt, "cv_percent": 10.0}}
+
+    old = [result("gain", 0.0013, 0.10, 40.0),
+           result("IIRFilter", 0.005, 0.11, 41.0)]
+    # gain regresses 50% on saturated; IIR wobbles within its CV.
+    new = [result("gain", 0.0013, 0.15, 40.0),
+           result("IIRFilter", 0.005, 0.112, 44.0)]
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    rows, gating = comp.compare(str(po), str(pn))
+    verdicts = {(r[0], r[1]): r[5] for r in rows}
+    assert verdicts[("gain", "saturated")] == "REGRESSED"
+    assert verdicts[("IIRFilter", "saturated")] == "same"
+    # round-trip +7.3% sits inside the 10% round-trip CV -> same.
+    assert verdicts[("IIRFilter", "roundtrip")] == "same"
+    assert gating == [("gain", "saturated", pytest.approx(50.0))]
+    assert comp.main([str(po), str(pn)]) == 1  # gating regression
+    assert comp.main([str(po), str(po)]) == 0
+
+    # Shipped artifacts: r2 -> r3 must carry no gating regressions.
+    r2 = os.path.join(DOCS, "RESULTS_r2_tpu_v5e.json")
+    r3 = os.path.join(DOCS, "RESULTS_r3_tpu_v5e.json")
+    if os.path.exists(r2) and os.path.exists(r3):
+        _, gating = comp.compare(r2, r3)
+        assert gating == [], gating

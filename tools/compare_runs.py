@@ -1,0 +1,130 @@
+"""Regression comparison of two suite JSON artifacts.
+
+The WebGPU Statistics module's A/B compare
+(webgpu/js/core/Statistics.js compare) applied at suite scale: given
+two harness JSON artifacts (e.g. RESULTS_r2_tpu_v5e.json vs
+RESULTS_r3_tpu_v5e.json, or the same file before/after a kernel
+change), report the per-benchmark delta on each timing tier with a
+noise-aware verdict -- a delta only counts as a regression/improvement
+when it exceeds what the two runs' own run-to-run variation (CV)
+explains, so a noisy tier (relay round trips) doesn't page anyone.
+
+Tiers compared per benchmark, when both runs carry them:
+  * device  -- device_statistics.median_ms (chip truth)
+  * saturated -- saturated.p50_ms (throughput)
+  * roundtrip -- statistics.p50_ms (deployment-path)
+
+Exit code 1 when any REGRESSED verdict is emitted on the device or
+saturated tier (the two chip-meaningful tiers); the round-trip tier is
+reported but never gates (relay-dominated on this rig).
+
+Usage:
+  python tools/compare_runs.py OLD.json NEW.json [--threshold-pct 5]
+"""
+
+from __future__ import annotations
+
+# Runnable from any cwd: `python tools/<name>.py`
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import argparse  # noqa: E402
+import json  # noqa: E402
+
+TIERS = (
+    # (name, extractor, cv extractor, gates exit code)
+    ("device",
+     lambda r: (r.get("device_statistics") or {}).get("median_ms"),
+     lambda r: None,  # no per-tier CV recorded; uses threshold only
+     True),
+    ("saturated",
+     lambda r: (r.get("saturated") or {}).get("p50_ms"),
+     lambda r: (r.get("saturated") or {}).get("cv_percent"),
+     True),
+    ("roundtrip",
+     lambda r: (r.get("statistics") or {}).get("p50_ms"),
+     lambda r: (r.get("statistics") or {}).get("cv_percent"),
+     False),
+)
+
+
+def _index(path: str):
+    data = json.load(open(path))
+    if isinstance(data, dict):
+        data = [data]
+    return {r["benchmark"]: r for r in data}
+
+
+def verdict(old: float, new: float, noise_pct: float) -> tuple:
+    """(delta_pct, verdict). delta > 0 means NEW is slower. A change
+    within the runs' own variation band is 'same'."""
+    if not old or not new:
+        return 0.0, "n/a"
+    delta = (new - old) / old * 100.0
+    if abs(delta) <= noise_pct:
+        return delta, "same"
+    return delta, ("REGRESSED" if delta > 0 else "improved")
+
+
+def compare(old_path: str, new_path: str, threshold_pct: float = 5.0):
+    """Returns (rows, gating_regressions). Each row:
+    (benchmark, tier, old, new, delta_pct, verdict)."""
+    old_idx, new_idx = _index(old_path), _index(new_path)
+    rows, gating = [], []
+    for name, old_r in old_idx.items():
+        new_r = new_idx.get(name)
+        if new_r is None:
+            rows.append((name, "-", None, None, 0.0, "missing in new"))
+            continue
+        for tier, get, get_cv, gates in TIERS:
+            ov, nv = get(old_r), get(new_r)
+            if ov is None or nv is None:
+                continue
+            # Noise band: the larger of the threshold and both runs'
+            # own CVs (a tier that wobbles 12% run-to-run cannot
+            # evidence an 8% regression).
+            cvs = [c for c in (get_cv(old_r), get_cv(new_r))
+                   if c is not None]
+            noise = max([threshold_pct] + cvs)
+            d, v = verdict(ov, nv, noise)
+            rows.append((name, tier, ov, nv, d, v))
+            if gates and v == "REGRESSED":
+                gating.append((name, tier, d))
+    for name in new_idx:
+        if name not in old_idx:
+            rows.append((name, "-", None, None, 0.0, "new benchmark"))
+    return rows, gating
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old_json")
+    ap.add_argument("new_json")
+    ap.add_argument("--threshold-pct", type=float, default=5.0,
+                    help="minimum noise band (default 5%%)")
+    ap.add_argument("--all", action="store_true",
+                    help="print 'same' rows too")
+    args = ap.parse_args(argv)
+    rows, gating = compare(args.old_json, args.new_json,
+                           args.threshold_pct)
+    print(f"{'benchmark':<28} {'tier':<10} {'old ms':>10} {'new ms':>10} "
+          f"{'delta':>8}  verdict")
+    for name, tier, ov, nv, d, v in rows:
+        if v == "same" and not args.all:
+            continue
+        ov_s = f"{ov:.4f}" if ov is not None else "—"
+        nv_s = f"{nv:.4f}" if nv is not None else "—"
+        print(f"{name:<28} {tier:<10} {ov_s:>10} {nv_s:>10} "
+              f"{d:>+7.1f}%  {v}")
+    n_same = sum(1 for r in rows if r[5] == "same")
+    print(f"\n{len(rows)} comparisons: {n_same} within noise, "
+          f"{sum(1 for r in rows if r[5] == 'improved')} improved, "
+          f"{sum(1 for r in rows if r[5] == 'REGRESSED')} regressed "
+          f"({len(gating)} on gating tiers)")
+    return 1 if gating else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
