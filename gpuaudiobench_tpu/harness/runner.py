@@ -27,8 +27,22 @@ def run_benchmark(
     benchmark: Benchmark,
     cfg: Optional[BenchConfig] = None,
     verbose: bool = True,
+    progress_cb=None,
 ) -> BenchmarkResult:
+    """``progress_cb``, when given, is called with a phase string at
+    each stage boundary ("warmup", "timed", "device-timing",
+    "saturated", "validate") -- the interactive UI surfaces it so a
+    multi-minute stage (xplane trace collection on a relay rig) reads
+    as progress, not a hang."""
     cfg = cfg or benchmark.cfg
+
+    def phase(name: str) -> None:
+        if progress_cb is not None:
+            try:
+                progress_cb(name)
+            except Exception:  # noqa: BLE001 - progress is best-effort
+                pass
+
     if cfg.compilation_cache:
         from gpuaudiobench_tpu.utils.device import enable_compilation_cache
 
@@ -62,6 +76,7 @@ def run_benchmark(
     )
     with capture:
         # Warmup (bench_base.cu:70-81); iteration 1 also pays jit compile.
+        phase("warmup")
         if cfg.warmup > 0:
             if verbose:
                 print(f"Running {cfg.warmup} warmup iterations...")
@@ -75,6 +90,7 @@ def run_benchmark(
                 print("Warmup complete, starting timed iterations...")
 
         # Timed iterations (bench_base.cu:89-94).
+        phase("timed")
         latencies = []
         if daw is not None:
             daw.reset()
@@ -94,6 +110,7 @@ def run_benchmark(
         # pipeline-slope time where the runtime forwards no device trace
         # (harness/device_timing.py).
         if cfg.device_timing and benchmark.supports_device_timing():
+            phase("device-timing")
             from gpuaudiobench_tpu.harness.device_timing import (
                 measure_device_times,
             )
@@ -110,6 +127,7 @@ def run_benchmark(
         # relay/RPC-backed runtimes where single-block round trips sit
         # on a synchronization floor.
         if cfg.pipeline_depth > 1:
+            phase("saturated")
             body = benchmark.stream_body()
             if body is None:
                 if verbose:
@@ -141,6 +159,7 @@ def run_benchmark(
                 latencies, cfg.buffer_size, cfg.fs
             )
 
+        phase("validate")
         result.validation = benchmark.validate()
         result.metadata = benchmark.metadata()
 

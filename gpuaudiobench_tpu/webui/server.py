@@ -124,6 +124,7 @@ class JobRunner:
                 "completed": 0,
                 "total": len(names),
                 "current": None,
+                "phase": None,
                 "results": [],
                 "errors": [],
                 "submitted_at": time.time(),
@@ -170,6 +171,15 @@ class JobRunner:
         for name in names:
             with self._lock:
                 job["current"] = name
+                job["phase"] = "setup"
+
+            def set_phase(p: str) -> None:
+                # Stage-boundary progress (runner progress_cb): a
+                # multi-minute xplane collection on a relay rig reads
+                # as "device-timing", not a hang.
+                with self._lock:
+                    job["phase"] = p
+
             # One failing benchmark doesn't kill the suite
             # (main.swift:261-341; cli.py run loop).
             try:
@@ -180,7 +190,8 @@ class JobRunner:
                 )
                 bench = create_benchmark(name, cfg)
                 bench.setup()
-                result = run_benchmark(bench, cfg, verbose=False)
+                result = run_benchmark(bench, cfg, verbose=False,
+                                       progress_cb=set_phase)
                 payload = generate_json_results(result, cfg)
                 bench.cleanup()
                 with self._lock:
@@ -196,6 +207,7 @@ class JobRunner:
                     job["completed"] += 1
         with self._lock:
             job["current"] = None
+            job["phase"] = None
             job["status"] = "done"
             job["finished_at"] = time.time()
             done = [jid for jid, j in self.jobs.items()

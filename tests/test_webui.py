@@ -443,3 +443,31 @@ def test_post_cross_origin_guard(ui_server):
     assert ei.value.code == 403
     # GETs (read-only) are unaffected.
     assert _get_json(ui_server, "/api/jobs") is not None
+
+
+def test_job_reports_phase(ui_server):
+    """Job status carries the runner's stage-boundary phase (r3: the
+    device-timing pass can take minutes on a relay; the UI shows which
+    stage is running instead of an opaque 'running')."""
+    code, resp = _post_json(
+        ui_server, "/api/run",
+        {"benchmarks": ["gain"], "params": dict(SMALL, nRuns=50)},
+    )
+    assert code == 202
+    phases = set()
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        job = _get_json(ui_server, f"/api/job?id={resp['job_id']}")
+        if job.get("phase"):
+            phases.add(job["phase"])
+        if job["status"] in ("done", "error"):
+            break
+        time.sleep(0.02)
+    assert job["status"] == "done"
+    assert job["phase"] is None  # cleared at completion
+    # At least one mid-run phase observed (tiny runs may blow through
+    # some stages between polls; "timed"/"validate" are the long ones
+    # at nRuns=50 on CPU).
+    assert phases, "no phase ever surfaced"
+    assert phases <= {"setup", "warmup", "timed", "device-timing",
+                      "saturated", "validate"}
