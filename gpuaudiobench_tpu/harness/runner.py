@@ -76,8 +76,8 @@ def run_benchmark(
     )
     with capture:
         # Warmup (bench_base.cu:70-81); iteration 1 also pays jit compile.
-        phase("warmup")
         if cfg.warmup > 0:
+            phase("warmup")
             if verbose:
                 print(f"Running {cfg.warmup} warmup iterations...")
             for i in range(cfg.warmup):
@@ -127,7 +127,6 @@ def run_benchmark(
         # relay/RPC-backed runtimes where single-block round trips sit
         # on a synchronization floor.
         if cfg.pipeline_depth > 1:
-            phase("saturated")
             body = benchmark.stream_body()
             if body is None:
                 if verbose:
@@ -136,6 +135,7 @@ def run_benchmark(
                         "(round-trip is the workload); skipping saturated pass."
                     )
             else:
+                phase("saturated")
                 from gpuaudiobench_tpu.harness.streaming import measure_saturated
 
                 step_fn, carry = body

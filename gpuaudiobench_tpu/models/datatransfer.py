@@ -91,7 +91,9 @@ class DataTransferBenchmark(Benchmark):
         # past the measured HBM peak (r3 review).
         copied = min(self.input_size, self.output_size)
         return {
-            "flops": 2 * self.output_size,  # sin synth beyond the copy
+            # sin synth runs only BEYOND the copied portion (zero when
+            # out <= in: the synth branch is dead-code-eliminated).
+            "flops": 2 * max(0, self.output_size - copied),
             "hbm_bytes": (copied + self.output_size) * 4,
             "unit": "vpu",
             "note": "measured path is host<->HBM, not HBM<->VMEM",

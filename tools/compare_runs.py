@@ -24,20 +24,19 @@ Usage:
 
 from __future__ import annotations
 
-# Runnable from any cwd: `python tools/<name>.py`
-import os as _os
-import sys as _sys
+import argparse
+import json
 
-_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
-
-import argparse  # noqa: E402
-import json  # noqa: E402
+# Device medians are microsecond-scale xplane readings whose single
+# timer tick can exceed any percentage band; deltas below this absolute
+# floor are never significant on that tier.
+DEVICE_ABS_FLOOR_MS = 0.001
 
 TIERS = (
     # (name, extractor, cv extractor, gates exit code)
     ("device",
      lambda r: (r.get("device_statistics") or {}).get("median_ms"),
-     lambda r: None,  # no per-tier CV recorded; uses threshold only
+     lambda r: None,  # no per-tier CV recorded; abs floor applies
      True),
     ("saturated",
      lambda r: (r.get("saturated") or {}).get("p50_ms"),
@@ -57,13 +56,15 @@ def _index(path: str):
     return {r["benchmark"]: r for r in data}
 
 
-def verdict(old: float, new: float, noise_pct: float) -> tuple:
+def verdict(old: float, new: float, noise_pct: float,
+            abs_floor: float = 0.0) -> tuple:
     """(delta_pct, verdict). delta > 0 means NEW is slower. A change
-    within the runs' own variation band is 'same'."""
+    within the runs' own variation band -- or below the tier's
+    absolute resolution floor -- is 'same'."""
     if not old or not new:
         return 0.0, "n/a"
     delta = (new - old) / old * 100.0
-    if abs(delta) <= noise_pct:
+    if abs(delta) <= noise_pct or abs(new - old) <= abs_floor:
         return delta, "same"
     return delta, ("REGRESSED" if delta > 0 else "improved")
 
@@ -78,6 +79,19 @@ def compare(old_path: str, new_path: str, threshold_pct: float = 5.0):
         if new_r is None:
             rows.append((name, "-", None, None, 0.0, "missing in new"))
             continue
+        # Same-workload guard: a latency delta between runs of
+        # different shapes (nTracks, bufferSize, pool sizes...) is not
+        # a regression, it is a different benchmark. Flag, don't gate.
+        oc = old_r.get("configuration") or {}
+        nc = new_r.get("configuration") or {}
+        diff_keys = sorted(
+            k for k in set(oc) | set(nc)
+            if k != "nRuns" and oc.get(k) != nc.get(k)
+        )
+        if diff_keys:
+            rows.append((name, "-", None, None, 0.0,
+                         f"config mismatch ({', '.join(diff_keys)})"))
+            continue
         for tier, get, get_cv, gates in TIERS:
             ov, nv = get(old_r), get(new_r)
             if ov is None or nv is None:
@@ -88,7 +102,8 @@ def compare(old_path: str, new_path: str, threshold_pct: float = 5.0):
             cvs = [c for c in (get_cv(old_r), get_cv(new_r))
                    if c is not None]
             noise = max([threshold_pct] + cvs)
-            d, v = verdict(ov, nv, noise)
+            floor = DEVICE_ABS_FLOOR_MS if tier == "device" else 0.0
+            d, v = verdict(ov, nv, noise, abs_floor=floor)
             rows.append((name, tier, ov, nv, d, v))
             if gates and v == "REGRESSED":
                 gating.append((name, tier, d))

@@ -16,11 +16,7 @@ Usage: python tools/dawsim_campaign.py [output.md]
 
 from __future__ import annotations
 
-# Runnable from any cwd: `python tools/<name>.py`
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
 import sys
 
@@ -60,7 +56,7 @@ def run_one(name: str, overrides: dict, mode: str):
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "docs/RESULTS_r2_dawsim.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "docs/RESULTS_r3_dawsim.md"
     lines = [
         "# DAW-sim pacing campaign (TPU v5e via axon relay)",
         "",

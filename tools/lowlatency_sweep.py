@@ -11,11 +11,7 @@ Usage: python tools/lowlatency_sweep.py [output.md]
 
 from __future__ import annotations
 
-# Runnable from any cwd: `python tools/<name>.py`
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
 import sys
 
@@ -34,7 +30,7 @@ WORKLOADS = [
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "docs/RESULTS_r2_lowlatency.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "docs/RESULTS_r3_lowlatency.md"
     from gpuaudiobench_tpu.config import BenchConfig
     from gpuaudiobench_tpu.harness.runner import run_benchmark
     from gpuaudiobench_tpu.registry import create_benchmark

@@ -17,11 +17,7 @@ Usage:
 
 from __future__ import annotations
 
-# Runnable from any cwd: `python tools/<name>.py`
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
 import sys
 
