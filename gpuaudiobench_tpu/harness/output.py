@@ -194,6 +194,10 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
             # p99 basis: the same percentile discipline the round-trip
             # meets_deadline applies (globals.cu:101-122).
             "meets_deadline": bool(sat_p99 <= cfg.deadline_ms()),
+            # Raw per-rep values (the round-trip tier already ships
+            # raw_latencies_ms): lets a reader attribute a poor CV to
+            # one relay-stall outlier vs genuine spread.
+            "raw_ms": [round(v, 6) for v in result.saturated_latencies],
         }
     out["performance"] = {
         "throughput_gbps": result.throughput_gbps,
