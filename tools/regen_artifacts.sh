@@ -29,4 +29,9 @@ if [ -f "docs/RESULTS_${SUF}.md" ]; then
     python tools/render_results.py "docs/RESULTS_${SUF}.md"
 fi
 python tools/report.py "$JSON" -o "docs/report_${SUF}.html"
+# Self-verify: the doc tables must re-render byte-identically from the
+# JSON just written (the same check tests/test_artifacts.py enforces).
+if [ -f "docs/RESULTS_${SUF}.md" ]; then
+    python tools/render_results.py --check "docs/RESULTS_${SUF}.md"
+fi
 echo "artifacts: $CSV $JSON docs/report_${SUF}.html (one run, derived)"
