@@ -350,3 +350,52 @@ def test_mesh_benchmarks_attach_ici_model(mesh8):
     mi = bi.metadata()["ici_model"]
     ring = next(c for c in mi["collectives"] if c["kind"] == "ppermute")
     assert ring["bytes"] == 1024 * 1024  # --transferMiB 1 chunk
+
+
+@pytest.mark.parametrize("shape", [(1, 2, 2), (1, 1, 2), (1, 4, 1)])
+def test_ici_inventory_matches_compiled_hlo(mesh8, shape):
+    """The analytic model's collective inventory is checked against the
+    collectives XLA ACTUALLY emits: compile the suite step on a virtual
+    mesh and count all-gather / all-reduce / collective-permute ops in
+    the optimized HLO.
+
+    Notes from the measured correspondence: XLA also emits DEGENERATE
+    collectives over singleton axes (group size 1, zero ICI cost) that
+    the model rightly omits, and it can fold the pp microbatch hops
+    into fewer static ops than the model's per-hop byte accounting --
+    so non-degenerate axes assert LOWER bounds, and the exact
+    correspondence is pinned for the (1,2,2) mesh where it holds
+    op-for-op (2 AG, 2 AR, 1 halo + n_micro*(tp-1) = 3 CP)."""
+    import jax
+
+    from gpuaudiobench_tpu.models.multichip_bench import build_mesh
+    from gpuaudiobench_tpu.parallel.ici_model import suite_collectives
+    from gpuaudiobench_tpu.parallel.multichip import (
+        make_suite_step,
+        suite_step_example_args,
+    )
+
+    dp, tp, sp = shape
+    if dp * tp * sp > len(jax.devices()):
+        pytest.skip("needs more virtual devices")
+    mesh = build_mesh(shape, ("dp", "tp", "sp"))
+    args = suite_step_example_args(mesh, tracks=16, samples=256,
+                                   modes=32 * tp * 8,
+                                   ir_len=33, seed=42)
+    hlo = jax.jit(make_suite_step(mesh)).lower(*args).compile().as_text()
+    counts = {op: hlo.count(f" {op}(") + hlo.count(f" {op}-start(")
+              for op in ("all-gather", "all-reduce", "collective-permute")}
+
+    inv = suite_collectives(16 // dp, 256, sp=sp, tp=tp, ir_len=33)
+    want_ag = sum(1 for c in inv if c["kind"] == "all_gather")
+    want_ar = sum(1 for c in inv if c["kind"] == "psum")
+    want_halo = sum(1 for c in inv if c["kind"] == "ppermute"
+                    and "halo" in c["label"])
+    # Lower bounds: every modeled collective must exist in the HLO.
+    assert counts["all-gather"] >= want_ag, (counts, inv)
+    assert counts["all-reduce"] >= want_ar, (counts, inv)
+    want_cp = want_halo + (tp - 1 if tp > 1 else 0)
+    assert counts["collective-permute"] >= want_cp, (counts, inv)
+    if shape == (1, 2, 2):  # measured exact op-for-op correspondence
+        assert counts == {"all-gather": 2, "all-reduce": 2,
+                          "collective-permute": 3}, counts
