@@ -366,8 +366,6 @@ def test_ici_inventory_matches_compiled_hlo(mesh8, shape):
     so non-degenerate axes assert LOWER bounds, and the exact
     correspondence is pinned for the (1,2,2) mesh where it holds
     op-for-op (2 AG, 2 AR, 1 halo + n_micro*(tp-1) = 3 CP)."""
-    import jax
-
     from gpuaudiobench_tpu.models.multichip_bench import build_mesh
     from gpuaudiobench_tpu.parallel.ici_model import suite_collectives
     from gpuaudiobench_tpu.parallel.multichip import (
