@@ -66,6 +66,8 @@ def print_help() -> None:
     print("                           (default: min(1024*nTracks, 1M))")
     print("  --pipelineDepth [n]      Also measure saturated throughput:")
     print("                           n blocks per executable, state carried")
+    print("  --saturatedReps [n]      Saturated-tier repetitions (default: 21;")
+    print("                           use >=101 for a true p99)")
     print("  --captureDir [dir]       Profiler trace directory for --capture")
     print("  --csvSchema [s]          cuda (default) | metal CSV column set")
     print("  --mesh [dp,tp,sp]        Device mesh for MultiChipSuite /")
@@ -135,6 +137,7 @@ def parse_args(argv: List[str]):
         "--dwgMinLen": ("dwg_min_length", int),
         "--dwgMaxLen": ("dwg_max_length", int),
         "--pipelineDepth": ("pipeline_depth", int),
+        "--saturatedReps": ("saturated_reps", int),
         "--captureDir": ("capture_dir", str),
         "--compilationCacheDir": ("compilation_cache_dir", str),
         "--csvSchema": ("csv_schema", str),

@@ -113,6 +113,11 @@ def global_params() -> List[Dict[str, Any]]:
             "Saturated pass: blocks chained per executable "
             "(0 = round-trip timing only)",
         ),
+        slider(
+            "saturatedReps", "Saturated Reps", 5, 201, d.saturated_reps, 2,
+            "reps",
+            "Saturated-tier repetitions (>=101 gives a true p99)",
+        ),
         select(
             "impl",
             "Kernel Implementation",
@@ -265,6 +270,7 @@ _FIELD_MAP = {
     "warmup": ("warmup", int),
     "verification": ("verification", str),
     "pipelineDepth": ("pipeline_depth", int),
+    "saturatedReps": ("saturated_reps", int),
     "impl": ("impl", str),
     "dawsim": ("dawsim", bool),
     "deviceTiming": ("device_timing", bool),

@@ -29,6 +29,7 @@ const char* kValueFlags[] = {
     "--convEdgeMode", "--poolMiB",          "--seed",       "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",
     "--dataParallel", "--modalModes",       "--pipelineDepth",
+    "--saturatedReps",
     "--dwgMinLen",    "--dwgMaxLen",
     "--captureDir",   "--csvSchema",       "--mesh",
     "--solFmaK",      "--solFmaMiB",       "--solStreamMiB",
