@@ -23,15 +23,21 @@ from typing import Callable, List, Tuple
 
 
 def probe(y) -> "jax.Array":  # noqa: F821 - lazy jax import
-    """Tiny per-block residue: 1 element of the (possibly pytree) output.
+    """Tiny per-block residue: mean |value| of the (possibly pytree)
+    output block, shape (1,).
 
-    The scan stacks these, keeping every block live at negligible
-    stacking cost.
+    The scan stacks these, keeping every output element live (a single
+    fused reduction per block -- negligible next to any workload) and
+    giving soaks a state-integrity signal that tracks the WHOLE block.
+    An earlier version sliced element [0] instead; for DWG that sample
+    is structurally zero (at n=0 the walk position 0 never equals the
+    3L/4 output tap), which read as a dead probe on a live string.
     """
     import jax
+    import jax.numpy as jnp
 
-    leaf = jax.tree_util.tree_leaves(y)[0]
-    return leaf.ravel()[:1]
+    leaves = jax.tree_util.tree_leaves(y)
+    return jnp.mean(jnp.abs(leaves[0])).reshape(1)
 
 
 def barrier_chain(fn: Callable, *inputs) -> Tuple[Callable, tuple]:

@@ -19,6 +19,21 @@ ringing across blocks (writePos stays 0; each block re-walks positions
 time-dependent -- validation here runs the NumPy reference once per
 performed iteration and compares the LAST block, so the carried-state
 behavior is what actually gets validated.
+
+Known reference quirk, reproduced faithfully: the OUTPUT of this
+benchmark is structurally zero. In the reference kernel
+(bench_dwg.cu:30-57) each sample touches only the cell pair
+(fwd[c], bwd[(c+L/2) % L]) at c = (writePos+n) % L, and the
+cross-reflection writes stay within that pair -- the position space
+decomposes into closed 2-cycles that never exchange energy. Input is
+injected into the c == inputTap pair, the output is read from the
+c == outputTap pair (3L/4 != L/4), so the out-tap pair stays
+identically zero forever while the in-tap pair rings at its
+injection/damping equilibrium. Every FLOP still executes (the work is
+data-independent), so the TIMING is a valid waveguide-update cost;
+correctness is evidenced by the rails comparison (which carries real
+energy), not the all-zero output, and soak integrity (tools/soak.py)
+probes the carry RMS for the same reason.
 """
 
 from __future__ import annotations

@@ -178,9 +178,35 @@ def test_compare_runs_tool(tmp_path):
     assert verdicts[("IIRFilter", "saturated")] == "same"
     # round-trip +7.3% sits inside the 10% round-trip CV -> same.
     assert verdicts[("IIRFilter", "roundtrip")] == "same"
+    # gain's +50% exceeds WALL_DRIFT_CEILING_PCT, so it gates even
+    # though its device tier is unchanged (host-path problem class).
     assert gating == [("gain", "saturated", pytest.approx(50.0))]
     assert comp.main([str(po), str(pn)]) == 1  # gating regression
     assert comp.main([str(po), str(po)]) == 0
+
+    # Saturated slowdown WITHIN the relay-drift ceiling + device tier
+    # 'same' -> non-gating wall-drift (the device tier is the witness
+    # that the chip ran the identical executable at the same speed).
+    drift = [result("gain", 0.0013, 0.115, 40.0)]  # +15%, device same
+    pd = tmp_path / "drift.json"
+    pd.write_text(json.dumps(drift))
+    rows, gating = comp.compare(str(po), str(pd))
+    verdicts = {(r[0], r[1]): r[5] for r in rows}
+    assert verdicts[("gain", "saturated")] == "wall-drift"
+    assert gating == []
+    # --strict-wall restores unconditional saturated gating.
+    rows, gating = comp.compare(str(po), str(pd), strict_wall=True)
+    assert gating == [("gain", "saturated", pytest.approx(15.0))]
+    # Without a device tier there is no witness: still gates.
+    nodev_old = [{"benchmark": "gain",
+                  "saturated": {"p50_ms": 0.10, "cv_percent": 2.0}}]
+    nodev_new = [{"benchmark": "gain",
+                  "saturated": {"p50_ms": 0.115, "cv_percent": 2.0}}]
+    pno, pnn = tmp_path / "nodev_old.json", tmp_path / "nodev_new.json"
+    pno.write_text(json.dumps(nodev_old))
+    pnn.write_text(json.dumps(nodev_new))
+    _, gating = comp.compare(str(pno), str(pnn))
+    assert gating == [("gain", "saturated", pytest.approx(15.0))]
 
     # Shipped artifacts: r2 -> r3 must carry no gating regressions.
     r2 = os.path.join(DOCS, "RESULTS_r2_tpu_v5e.json")

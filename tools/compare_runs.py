@@ -18,8 +18,26 @@ Exit code 1 when any REGRESSED verdict is emitted on the device or
 saturated tier (the two chip-meaningful tiers); the round-trip tier is
 reported but never gates (relay-dominated on this rig).
 
+Saturated-tier cross-check: within-run CV understates the saturated
+tier's between-run variation on a relay rig -- reps inside one run
+share the relay's throughput state, so same-code archived runs have
+been observed 10-19% apart on this tier while their xplane device
+medians agreed to <1%. A saturated slowdown with the SAME benchmark's
+device tier unchanged therefore cannot be a chip regression (the
+executable is identical); it is downgraded to a non-gating
+'wall-drift' verdict. The downgrade is bounded: beyond
+WALL_DRIFT_CEILING_PCT (25%, ~1.3x the worst same-code drift observed
+in the archived artifacts) a device-same wall jump is bigger than
+relay drift explains -- likely a real host/dispatch-path problem --
+and gates anyway. The device tier is the corroborating witness:
+saturated also still gates whenever the device tier is missing or
+regressed. On co-located hardware (or to audit host-side dispatch-path
+changes, which a device-same cross-check would mask) pass
+--strict-wall to restore unconditional saturated gating.
+
 Usage:
   python tools/compare_runs.py OLD.json NEW.json [--threshold-pct 5]
+                               [--strict-wall]
 """
 
 from __future__ import annotations
@@ -31,6 +49,11 @@ import json
 # timer tick can exceed any percentage band; deltas below this absolute
 # floor are never significant on that tier.
 DEVICE_ABS_FLOOR_MS = 0.001
+
+# Largest saturated-tier delta attributable to relay throughput drift
+# between same-code runs (docstring: observed max 19%, +margin).
+# Device-same wall regressions beyond this gate regardless.
+WALL_DRIFT_CEILING_PCT = 25.0
 
 TIERS = (
     # (name, extractor, cv extractor, gates exit code)
@@ -69,7 +92,8 @@ def verdict(old: float, new: float, noise_pct: float,
     return delta, ("REGRESSED" if delta > 0 else "improved")
 
 
-def compare(old_path: str, new_path: str, threshold_pct: float = 5.0):
+def compare(old_path: str, new_path: str, threshold_pct: float = 5.0,
+            strict_wall: bool = False):
     """Returns (rows, gating_regressions). Each row:
     (benchmark, tier, old, new, delta_pct, verdict)."""
     old_idx, new_idx = _index(old_path), _index(new_path)
@@ -92,6 +116,7 @@ def compare(old_path: str, new_path: str, threshold_pct: float = 5.0):
             rows.append((name, "-", None, None, 0.0,
                          f"config mismatch ({', '.join(diff_keys)})"))
             continue
+        tier_verdicts = {}
         for tier, get, get_cv, gates in TIERS:
             ov, nv = get(old_r), get(new_r)
             if ov is None or nv is None:
@@ -104,6 +129,15 @@ def compare(old_path: str, new_path: str, threshold_pct: float = 5.0):
             noise = max([threshold_pct] + cvs)
             floor = DEVICE_ABS_FLOOR_MS if tier == "device" else 0.0
             d, v = verdict(ov, nv, noise, abs_floor=floor)
+            # Cross-check (docstring): a saturated REGRESSED whose
+            # device tier measured 'same' is relay wall drift -- the
+            # chip ran the identical executable at the same speed.
+            if (tier == "saturated" and v == "REGRESSED"
+                    and not strict_wall
+                    and d <= WALL_DRIFT_CEILING_PCT
+                    and tier_verdicts.get("device") == "same"):
+                v = "wall-drift"
+            tier_verdicts[tier] = v
             rows.append((name, tier, ov, nv, d, v))
             if gates and v == "REGRESSED":
                 gating.append((name, tier, d))
@@ -121,9 +155,13 @@ def main(argv=None) -> int:
                     help="minimum noise band (default 5%%)")
     ap.add_argument("--all", action="store_true",
                     help="print 'same' rows too")
+    ap.add_argument("--strict-wall", action="store_true",
+                    help="gate saturated regressions even when the "
+                         "device tier is unchanged (co-located rigs)")
     args = ap.parse_args(argv)
     rows, gating = compare(args.old_json, args.new_json,
-                           args.threshold_pct)
+                           args.threshold_pct,
+                           strict_wall=args.strict_wall)
     print(f"{'benchmark':<28} {'tier':<10} {'old ms':>10} {'new ms':>10} "
           f"{'delta':>8}  verdict")
     for name, tier, ov, nv, d, v in rows:
