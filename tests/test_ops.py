@@ -192,7 +192,37 @@ def test_dwg(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
-def test_rndmem(rng):
+def test_dwg_output_structurally_zero(rng):
+    """Reference quirk, pinned (models/dwg.py docstring): the walk
+    scheme of bench_dwg.cu:30-57 confines energy to closed
+    (fwd[c], bwd[c+L/2]) cell pairs; injection lands in the L/4 pair,
+    the output reads the disjoint 3L/4 pair, so the output is exactly
+    zero for EVERY block while the rails ring. If this assertion ever
+    fires, the kernel's update order stopped matching the reference."""
+    from gpuaudiobench_tpu.models.dwg import dwg_reference
+
+    g_count, s, max_len = 8, 64, 48
+    lengths = (8 + rng.integers(0, 40, g_count)).astype(np.int32)
+    in_taps = (lengths // 4).astype(np.int32)
+    out_taps = (3 * lengths // 4).astype(np.int32)
+    gains = (0.5 + rng.random(g_count, dtype=np.float32)).astype(np.float32)
+    refl = np.full(g_count, 0.99, np.float32)
+    damp = np.full(g_count, 0.9999, np.float32)
+    x = (rng.random(s, dtype=np.float32) * 2 - 1).astype(np.float32)
+    fwd = np.zeros((g_count, max_len), np.float32)
+    bwd = np.zeros((g_count, max_len), np.float32)
+    for _ in range(5):  # carried rails across blocks, like the harness
+        out, fwd, bwd = dwg_reference(
+            x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp
+        )
+        assert np.all(out == 0.0)
+    # ...but the rails carry real energy (the correctness evidence the
+    # validation actually relies on).
+    assert np.abs(fwd).max() > 0 and np.abs(bwd).max() > 0
+    # The closed-2-cycle argument: out-tap pair cells stay exactly 0
+    # when the taps differ (they do for every L >= 8: 3L/4 != L/4).
+    rows = np.arange(g_count)
+    assert np.all(fwd[rows, out_taps] == 0.0)
     pool = rng.random(1000, dtype=np.float32)
     ph = np.array([0, 100, 500, 900], np.int32)
     template = np.zeros((4, 16), np.float32)
