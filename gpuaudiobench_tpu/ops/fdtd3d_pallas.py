@@ -157,42 +157,37 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
     interior_b = valid & ~edge
     boundary_b = valid & edge
 
-    def vmask(a, lo_ok, hi):
-        return k1 * (lo_ok & hi).astype(jnp.float32)
-
-    in_yz = (y_i < n) & (z_i < n)
-    in_xz = (x_i < n) & (z_i < n)
-    in_xy = (x_i < n) & (y_i < n)
-    fmx = vmask(x_i, (x_i >= 1) & (x_i <= n - 1), in_yz)
-    fmy = vmask(y_i, (y_i >= 1) & (y_i <= n - 1), in_xz)
-    fmz = vmask(z_i, (z_i >= 1) & (z_i <= n - 1), in_xy)
-    # masks at the +1 staggered position of each axis
-    fmx_up = vmask(x_i, (x_i + 1 >= 1) & (x_i + 1 <= n - 1), in_yz)
-    fmy_up = vmask(y_i, (y_i + 1 >= 1) & (y_i + 1 <= n - 1), in_xz)
-    fmz_up = vmask(z_i, (z_i + 1 >= 1) & (z_i + 1 <= n - 1), in_xy)
-
     src_mask = ((x_i == sx) & (y_i == sy) & (z_i == sz)).astype(jnp.float32)
 
     p_scale = jnp.where(boundary_b, absorb, jnp.float32(1.0))
     k2m = k2 * interior_b.astype(jnp.float32)
-    # Merged-mask form: expanding the six (p_neighbor - p) differences
-    # and collecting the -p terms into one coefficient turns the update
-    # into   div' = div + fmsum*p - sum_i fm_i * p_i,
-    # six neighbor FMAs + one center FMA instead of six sub/mul pairs --
-    # the substep is VPU-issue-bound (every op is a full pass over the
-    # 53x2809 field), so fewer passes is directly faster:
-    # measured 4.34 -> 3.39 ms/block on v5e (2.70 with the unrolled
-    # loops below). Same algebra, reassociated;
-    # equivalence-tested against the field-form kernel.
-    fmsum = fmx + fmx_up + fmy + fmy_up + fmz + fmz_up
+    # Round-2 history: the first div-form kernel kept the staggered
+    # per-axis masks as six premultiplied fm fields and ran
+    #   div' = div + fmsum*p - sum_i fm_i * p_i
+    # (seven mask-FMA passes; 4.34 -> 3.39 -> 2.70 ms with unrolling).
+    # Homogeneous-interior form (round 3): div only ever feeds p through k2m,
+    # which is zero outside interior cells, and an interior cell's six
+    # neighbors are always valid cells with all staggered masks == k1
+    # (roll wrap-around only lands on edge/padded lanes). So on every
+    # cell that matters the masked update IS the unmasked one:
+    #   div' = div + 6*k1*p - k1*(sum of 6 neighbors)
+    # -- five adds and two FMAs with NO mask-field operands, instead of
+    # seven mask-FMA passes each streaming a 582 KiB mask from VMEM.
+    # div accumulates bounded junk on non-interior cells (linear, never
+    # fed back); the block wrapper re-masks it once per block.
+    c6 = jnp.float32(6.0) * k1
+
+    def substep_hom(p, div):
+        s = _shift_up(p) + _shift_down(p)
+        s = s + (_roll_lanes(p, -PAD_N) + _roll_lanes(p, PAD_N))
+        s = s + (_roll_lanes(p, -1) + _roll_lanes(p, 1))
+        div = (div + c6 * p) - k1 * s
+        p = p * p_scale - k2m * div
+        return p, div
 
     def substep(_, fields):
         p, div = fields
-        s = fmx_up * _shift_up(p) + fmx * _shift_down(p)
-        s = s + fmy_up * _roll_lanes(p, -PAD_N) + fmy * _roll_lanes(p, PAD_N)
-        s = s + fmz_up * _roll_lanes(p, -1) + fmz * _roll_lanes(p, 1)
-        div = div + fmsum * p - s
-        p = p * p_scale - k2m * div
+        p, div = substep_hom(p, div)
         return (p, div)
 
     # Receiver tap: the cell index is static, so read it directly
@@ -221,7 +216,11 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
 
     p, div = jax.lax.fori_loop(0, buffer_size // unroll, chunk, fields0)
     p_out[...] = p
-    div_out[...] = div
+    # Re-mask the carried div once per block: the homogeneous substep
+    # accumulates bounded junk on non-interior cells (never read back),
+    # and this single pass per 512 samples keeps the carried state
+    # bounded over indefinite streaming.
+    div_out[...] = div * interior_b.astype(jnp.float32)
 
 
 def _pack(a3):

@@ -133,6 +133,12 @@ def main() -> int:
     rms = np.array([r[3] for r in rows])
     srms = np.array([r[4] for r in rows])
     misses = int((per_block > deadline_ms).sum())
+    # Thermal/clock drift over the soak, endpoint-noise-robust: median
+    # of the first vs last W per-second averages (a single slow host
+    # second at either end must not dominate the headline).
+    win = max(1, min(10, seconds // 4))
+    drift_pct = (np.median(per_block[-win:])
+                 / np.median(per_block[:win]) - 1) * 100
     lines = [
         f"# Sustained-load soak (TPU v5e): {name} "
         f"({tracks} tracks), continuous",
@@ -152,8 +158,8 @@ def main() -> int:
         f"{np.percentile(per_block, 95):.4f} / {per_block.max():.4f} |",
         f"| seconds over the {deadline_ms:.3f} ms/block deadline | "
         f"{misses} |",
-        f"| first->last second drift | "
-        f"{(per_block[-1] / per_block[0] - 1) * 100:+.2f}% |",
+        f"| drift, median of first {win} s -> last {win} s | "
+        f"{drift_pct:+.2f}% |",
         f"| probe RMS first / last (output liveness) | "
         f"{rms[0]:.4g} / {rms[-1]:.4g} |",
         f"| state RMS first / last (carry integrity) | "
@@ -167,7 +173,12 @@ def main() -> int:
             f"every {reexcite_every} s |")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"written: {out_path}")
+    csv_path = out_path.rsplit(".", 1)[0] + ".csv"
+    with open(csv_path, "w") as f:
+        f.write("second,wall_ms,ms_per_block,probe_rms,state_rms\n")
+        for sec, wall, pb, r, sr in rows:
+            f.write(f"{sec},{wall:.4f},{pb:.6f},{r:.6g},{sr:.6g}\n")
+    print(f"written: {out_path} + {csv_path}")
     return 0
 
 
