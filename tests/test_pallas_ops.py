@@ -299,6 +299,15 @@ def test_fdtd_div_form_matches_field_form(rng):
                 x, *(np.asarray(f) for f in dfields)
             )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+        # Streaming contract of the homogeneous-interior substep: the
+        # junk it accumulates on non-interior cells must be re-masked
+        # away at every block boundary (carried div == 0 off-interior),
+        # or indefinite streaming would grow the carry without bound.
+        div = np.asarray(dfields[1])
+        n = div.shape[0]
+        interior = np.zeros_like(div, dtype=bool)
+        interior[1:n - 1, 1:n - 1, 1:n - 1] = True
+        assert np.all(div[~interior] == 0.0)
     # carried pressure fields agree too
     np.testing.assert_allclose(
         np.asarray(dfields[0]), np.asarray(fields[0]), atol=1e-6
