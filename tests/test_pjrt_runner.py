@@ -74,6 +74,27 @@ def test_exporter_writes_program_and_spec(tmp_path):
     assert (tmp_path / "compile_options.pb").stat().st_size > 0
 
 
+def test_exporter_serializes_pallas_flagships(tmp_path):
+    """The streaming-modal and FDTD div-form Mosaic kernels export as
+    stablehlo.custom_call(tpu_custom_call) portable modules, so
+    pjrt_runner drives the EXACT kernels the harness benchmarks."""
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export_stablehlo.py"),
+         "--out", str(tmp_path), "modal_pallas", "fdtd3d_pallas"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    modal = (tmp_path / "modal_pallas.stablehlo.mlir").read_text()
+    assert "tpu_custom_call" in modal  # the Mosaic kernel, not a rewrite
+    assert "1048576xf32" in modal  # headline 1M-mode shape
+    assert "f32 1048576" in (tmp_path / "modal_pallas.spec").read_text()
+    fdtd = (tmp_path / "fdtd3d_pallas.stablehlo.mlir").read_text()
+    assert "tpu_custom_call" in fdtd
+    assert "52x52x52xf32" in fdtd
+    assert "f32 52 52 52" in (tmp_path / "fdtd3d_pallas.spec").read_text()
+
+
 MOCK = REPO / "native" / "build" / "libpjrt_mock.so"
 
 

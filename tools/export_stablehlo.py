@@ -26,8 +26,11 @@ import numpy as np
 def _programs(cfg):
     import jax.numpy as jnp
 
+    from gpuaudiobench_tpu.ops import fdtd3d as FC
+    from gpuaudiobench_tpu.ops import modal_pallas as mp
     from gpuaudiobench_tpu.ops.conv import conv1d_direct
     from gpuaudiobench_tpu.ops.elementwise import gain_op
+    from gpuaudiobench_tpu.ops.fdtd3d_pallas import fdtd3d_block_pallas_div
     from gpuaudiobench_tpu.ops.iir import iir_biquad_xla
     from gpuaudiobench_tpu.ops.modal import modal_bank_xla
 
@@ -40,8 +43,26 @@ def _programs(cfg):
         return jax.ShapeDtypeStruct(shape, f32)
 
     modes = 1024 * t
+    # Flagship Pallas programs: the streaming-modal Mosaic kernel at the
+    # headline 1M-mode/32-output shape and the FDTD divergence-form
+    # kernel. Both serialize as stablehlo.custom_call(tpu_custom_call)
+    # with the Mosaic payload embedded, so pjrt_runner executes the
+    # EXACT kernels the Python harness benchmarks -- no interpreter.
+    hmodes = 1024 * 1024  # the headline 1M-mode shape, not cfg.n_tracks
+    mtile = mp.stream_tile(hmodes, 32)
+    n = FC.GRID_N
 
     return {
+        "modal_pallas": (
+            lambda cw, sw, re, im: mp.modal_folded_step(
+                cw, sw, re, im, s, 32, mtile
+            ),
+            [shaped(hmodes)] * 4,
+        ),
+        "fdtd3d_pallas": (
+            lambda x, p, d: fdtd3d_block_pallas_div(x, p, d),
+            [shaped(128, s), shaped(n, n, n), shaped(n, n, n)],
+        ),
         "gain": (
             lambda x: gain_op(x, 2.0),
             [shaped(t, s)],
