@@ -36,6 +36,19 @@ MODE_TILE = 65536  # modes per grid step: (512 sublanes, 128 lanes).
 # 131072 exceeds the 16 MB scoped-VMEM budget.
 
 
+def _sample_unroll(buffer_size: int) -> int:
+    """Largest sample-loop unroll <= 128 dividing the buffer. Swept on
+    v5e (1M modes, 512-sample buffer, chained-scan ms/block): 16 ->
+    1.325, 32 -> 1.332, 64 -> 1.282, 128 -> 1.252, 256 -> 1.255,
+    512 (full) -> 2.208 (the whole-buffer contrib concat thrashes).
+    All unrolls are bit-exact vs each other (the rotation chain is the
+    same op order per mode)."""
+    for u in (128, 64, 32, 16, 8, 4, 2):
+        if buffer_size % u == 0:
+            return u
+    return 1
+
+
 def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
                   out_ref, re_out_ref, im_out_ref,
                   *, buffer_size: int, output_tracks: int):
@@ -48,7 +61,7 @@ def _modal_kernel(cos_ref, sin_ref, re_ref, im_ref,
     cos_w = cos_ref[:, :]
     sin_w = sin_ref[:, :]
     folds = 128 // output_tracks  # 128 % output_tracks == 0 (caller checks)
-    unroll = 16 if buffer_size % 16 == 0 else (8 if buffer_size % 8 == 0 else 1)
+    unroll = _sample_unroll(buffer_size)
 
     def fold(new_re):
         # mode -> track fold: flat index f = r*128 + lane, and since
@@ -112,7 +125,7 @@ def _modal_kernel_res(eps_ref, y_ref, q_ref,
 
     eps = eps_ref[:, :]
     folds = 128 // output_tracks
-    unroll = 16 if buffer_size % 16 == 0 else (8 if buffer_size % 8 == 0 else 1)
+    unroll = _sample_unroll(buffer_size)
 
     def fold(s):
         row = s.sum(axis=0, keepdims=True)  # (1, 128), full width
