@@ -209,7 +209,10 @@ def _iir_cascade_kernel_systolic(x_ref, c_ref, z_ref, y_ref, zout_ref,
     # every stage dead (live = 0) so states freeze, and the write guard
     # caps the output window.
     total = s + k - 1
-    unroll = 8
+    # Swept on v5e (10 stages, 128 trk, 4096-block chained scan):
+    # unroll 8 -> 21.4 us/block, 16 -> 18.3, 32 -> 17.0, 64 -> 16.5;
+    # bit-exact at every setting (same per-step op order).
+    unroll = 64
     padded = -(-total // unroll) * unroll
 
     def chunk(i, carry):
