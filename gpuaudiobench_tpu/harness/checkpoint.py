@@ -1,0 +1,124 @@
+"""Streaming-state checkpoint/resume.
+
+Every stateful benchmark streams through a carried pytree (IIR z, DWG
+rails, modal phasors, FDTD fields, RndMem playheads -- see
+``stream_body``).  A long-running synthesis service needs that carry to
+survive process restarts: this module persists it as a plain ``.npz``
+(one array per leaf plus a JSON header) and restores it against a
+template carry from a fresh ``stream_body()`` call.
+
+Deliberately dependency-free (NumPy only, no pickle): the tree
+STRUCTURE is never serialized -- ``load_stream_state`` flattens the
+template the benchmark just built and refuses to restore unless every
+leaf's shape and dtype match, so a checkpoint can never smuggle a
+mismatched or malicious structure into a run.  (The reference has no
+analog; its runs are one-shot batch processes.  This is the
+streaming-harness extension of its result-artifact discipline,
+cuda/globals.cu:69-122.)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+FORMAT = "tpuaudiobench-stream-state-v1"
+
+
+def save_stream_state(
+    path: str,
+    carry: Any,
+    *,
+    benchmark: str = "",
+    extra: Optional[Dict[str, Any]] = None,
+) -> int:
+    """Persist a streaming carry pytree to ``path`` (.npz).
+
+    Returns the number of leaves written.  Device arrays are pulled to
+    host; leaf order is the ``jax.tree_util`` flatten order, which is
+    deterministic for a fixed carry structure.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(carry)
+    header = {
+        "format": FORMAT,
+        "benchmark": benchmark,
+        "n_leaves": len(leaves),
+        "saved_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "leaves": [
+            {"shape": list(np.shape(leaf)),
+             "dtype": str(np.asarray(leaf).dtype)}
+            for leaf in leaves
+        ],
+    }
+    if extra:
+        header["extra"] = extra
+    arrays = {f"leaf_{i:04d}": np.asarray(leaf)
+              for i, leaf in enumerate(leaves)}
+    arrays["header"] = np.frombuffer(
+        json.dumps(header).encode("utf-8"), dtype=np.uint8
+    )
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+    return len(leaves)
+
+
+def read_header(path: str) -> Dict[str, Any]:
+    with np.load(path) as z:
+        header = json.loads(bytes(z["header"]).decode("utf-8"))
+    if header.get("format") != FORMAT:
+        raise ValueError(
+            f"{path}: not a {FORMAT} checkpoint "
+            f"(format={header.get('format')!r})"
+        )
+    return header
+
+
+def load_stream_state(
+    path: str,
+    template: Any,
+    *,
+    benchmark: str = "",
+) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a carry saved by :func:`save_stream_state`.
+
+    ``template`` is the carry a fresh ``stream_body()`` just returned:
+    its tree structure is the contract.  Every leaf's shape and dtype
+    must match the checkpoint exactly, and when both sides name a
+    benchmark they must agree -- resuming ModalFilterBank state into a
+    DWG run fails loudly, not numerically.
+
+    Returns ``(carry, header)``.
+    """
+    import jax
+
+    header = read_header(path)
+    if benchmark and header.get("benchmark") and \
+            header["benchmark"] != benchmark:
+        raise ValueError(
+            f"{path}: checkpoint is for benchmark "
+            f"{header['benchmark']!r}, not {benchmark!r}"
+        )
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    if header["n_leaves"] != len(leaves):
+        raise ValueError(
+            f"{path}: checkpoint has {header['n_leaves']} leaves, "
+            f"template has {len(leaves)}"
+        )
+    with np.load(path) as z:
+        restored = []
+        for i, tmpl in enumerate(leaves):
+            arr = z[f"leaf_{i:04d}"]
+            want_shape = tuple(np.shape(tmpl))
+            want_dtype = np.asarray(tmpl).dtype
+            if arr.shape != want_shape or arr.dtype != want_dtype:
+                raise ValueError(
+                    f"{path}: leaf {i} is {arr.dtype}{list(arr.shape)}, "
+                    f"template wants {want_dtype}{list(want_shape)}"
+                )
+            restored.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, restored), header

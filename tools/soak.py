@@ -28,9 +28,16 @@ INITIAL carry into every floating-point state leaf every N seconds
 pluck, useful to confirm the state responds to new energy mid-soak.
 
 Usage: python tools/soak.py [seconds] [output.md] [benchmark] [tracks]
-                            [reexcite_every]
+                            [reexcite_every] [--checkpoint PATH]
+                            [--resume]
        (defaults: 60s, docs/RESULTS_r2_soak.md, ModalFilterBank, 1024,
         0 = never re-excite)
+
+``--checkpoint PATH`` saves the streaming carry every 30 soak seconds
+and at the end (harness/checkpoint.py, .npz); with ``--resume`` the
+soak restores the carry from PATH first -- a kill mid-soak loses at
+most 30 s of state evolution, and a synthesis service restart
+continues the same strings/phasors/fields instead of silence.
 """
 
 from __future__ import annotations
@@ -42,11 +49,24 @@ import time
 
 
 def main() -> int:
-    seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "docs/RESULTS_r3_soak.md"
-    name = sys.argv[3] if len(sys.argv) > 3 else "ModalFilterBank"
-    tracks = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
-    reexcite_every = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    argv = list(sys.argv[1:])
+    ckpt_path = None
+    resume = False
+    if "--resume" in argv:
+        argv.remove("--resume")
+        resume = True
+    if "--checkpoint" in argv:
+        i = argv.index("--checkpoint")
+        ckpt_path = argv[i + 1]
+        del argv[i:i + 2]
+    if resume and not ckpt_path:
+        print("--resume requires --checkpoint PATH")
+        return 1
+    seconds = int(argv[0]) if len(argv) > 0 else 60
+    out_path = argv[1] if len(argv) > 1 else "docs/RESULTS_r3_soak.md"
+    name = argv[2] if len(argv) > 2 else "ModalFilterBank"
+    tracks = int(argv[3]) if len(argv) > 3 else 1024
+    reexcite_every = int(argv[4]) if len(argv) > 4 else 0
 
     import jax
     import numpy as np
@@ -81,6 +101,13 @@ def main() -> int:
         print(f"{name} has no streaming mode; nothing to soak")
         return 1
     carry0 = carry  # initial state, kept for re-excitation
+    if resume:
+        from gpuaudiobench_tpu.harness.checkpoint import load_stream_state
+
+        carry, hdr = load_stream_state(ckpt_path, carry, benchmark=name)
+        print(f"resumed carry from {ckpt_path} "
+              f"(saved {hdr.get('saved_at')}, "
+              f"{hdr.get('extra', {}).get('soak_seconds', '?')} soak s)")
 
     def reexcite(c):
         import jax.numpy as jnp
@@ -124,6 +151,15 @@ def main() -> int:
         rms = float(np.sqrt(np.mean(probes_h.astype(np.float64) ** 2)))
         srms = float(state_rms(carry))  # outside the timed region
         rows.append((sec, wall, per_block, rms, srms))
+        if ckpt_path and (sec % 30 == 29 or sec == seconds - 1):
+            from gpuaudiobench_tpu.harness.checkpoint import (
+                save_stream_state,
+            )
+
+            save_stream_state(  # outside the timed region
+                ckpt_path, carry, benchmark=name,
+                extra={"soak_seconds": sec + 1, "tracks": tracks},
+            )
         if sec % 10 == 0 or per_block > deadline_ms:
             print(f"  t={sec:4d}s wall={wall:8.2f} ms "
                   f"({per_block:.3f} ms/block) probe_rms={rms:.4g} "
