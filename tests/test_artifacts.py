@@ -197,6 +197,18 @@ def test_compare_runs_tool(tmp_path):
     # --strict-wall restores unconditional saturated gating.
     rows, gating = comp.compare(str(po), str(pd), strict_wall=True)
     assert gating == [("gain", "saturated", pytest.approx(15.0))]
+    # Device tier IMPROVED is an equally valid witness (a kernel that
+    # got faster on-chip cannot have slowed the wall): within the
+    # ceiling, the saturated slowdown is wall drift, not a regression.
+    # (device delta must clear the 1 us absolute floor: 5 -> 3 us)
+    faster = [result("IIRFilter", 0.003, 0.1265, 41.0)]  # sat +15%
+    pf = tmp_path / "faster.json"
+    pf.write_text(json.dumps(faster))
+    rows, gating = comp.compare(str(po), str(pf))
+    verdicts = {(r[0], r[1]): r[5] for r in rows}
+    assert verdicts[("IIRFilter", "device")] == "improved"
+    assert verdicts[("IIRFilter", "saturated")] == "wall-drift"
+    assert gating == []
     # Without a device tier there is no witness: still gates.
     nodev_old = [{"benchmark": "gain",
                   "saturated": {"p50_ms": 0.10, "cv_percent": 2.0}}]

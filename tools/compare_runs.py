@@ -130,12 +130,15 @@ def compare(old_path: str, new_path: str, threshold_pct: float = 5.0,
             floor = DEVICE_ABS_FLOOR_MS if tier == "device" else 0.0
             d, v = verdict(ov, nv, noise, abs_floor=floor)
             # Cross-check (docstring): a saturated REGRESSED whose
-            # device tier measured 'same' is relay wall drift -- the
-            # chip ran the identical executable at the same speed.
+            # device tier measured 'same' -- or 'improved': a kernel
+            # that got FASTER on-chip cannot have made the wall tier
+            # slower, so the wall jump is relay state either way -- is
+            # relay wall drift.
             if (tier == "saturated" and v == "REGRESSED"
                     and not strict_wall
                     and d <= WALL_DRIFT_CEILING_PCT
-                    and tier_verdicts.get("device") == "same"):
+                    and tier_verdicts.get("device") in ("same",
+                                                        "improved")):
                 v = "wall-drift"
             tier_verdicts[tier] = v
             rows.append((name, tier, ov, nv, d, v))
