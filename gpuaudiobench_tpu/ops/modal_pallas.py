@@ -37,14 +37,17 @@ MODE_TILE = 65536  # modes per grid step: (512 sublanes, 128 lanes).
 
 
 def _sample_unroll(buffer_size: int) -> int:
-    """Largest sample-loop unroll <= 128 dividing the buffer. Swept on
-    v5e (1M modes, 512-sample buffer, chained-scan ms/block): 16 ->
-    1.325, 32 -> 1.332, 64 -> 1.282, 128 -> 1.252, 256 -> 1.255,
-    512 (full) -> 2.208 (the whole-buffer contrib concat thrashes).
-    All unrolls are bit-exact vs each other (the rotation chain is the
-    same op order per mode)."""
+    """Largest sample-loop unroll <= min(128, S/2) dividing the
+    buffer. Swept on v5e (1M modes, chained-scan ms/block): at S=512,
+    16 -> 1.325, 32 -> 1.332, 64 -> 1.282, 128 -> 1.252, 256 -> 1.255,
+    512 (full) -> 2.208; the full-buffer collapse reproduces at every
+    size (S=64: u64 0.392 vs u32 0.308; S=128: u128 0.617 vs u64
+    0.423) -- the whole-buffer contrib concat thrashes -- hence the
+    S/2 cap. All unrolls are bit-exact vs each other (the rotation
+    chain is the same op order per mode)."""
+    cap = min(128, max(1, buffer_size // 2))
     for u in (128, 64, 32, 16, 8, 4, 2):
-        if buffer_size % u == 0:
+        if u <= cap and buffer_size % u == 0:
             return u
     return 1
 

@@ -316,14 +316,19 @@ def test_fdtd_div_form_matches_field_form(rng):
 
 def test_modal_sample_unroll_divides():
     """_sample_unroll must return a divisor of the buffer (the kernel
-    indexes out_ref at ng*unroll without a tail loop) and cap at 128
-    (the measured sweet spot; full-buffer unroll regresses)."""
+    indexes out_ref at ng*unroll without a tail loop) capped at
+    min(128, S/2) -- full-buffer unroll measurably regresses at every
+    size (whole-buffer contrib concat)."""
     from gpuaudiobench_tpu.ops.modal_pallas import _sample_unroll
 
     for s in (32, 48, 64, 100, 128, 256, 512, 4096):
         u = _sample_unroll(s)
         assert s % u == 0 and 1 <= u <= 128
+        assert u < s or s <= 2  # never the full buffer
     assert _sample_unroll(512) == 128
+    assert _sample_unroll(256) == 128
+    assert _sample_unroll(128) == 64
+    assert _sample_unroll(64) == 32
     assert _sample_unroll(48) == 16
     assert _sample_unroll(100) == 4
     assert _sample_unroll(7) == 1
