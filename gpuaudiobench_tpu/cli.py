@@ -64,6 +64,8 @@ def print_help() -> None:
     print("                           (CUDA default 100-2000; Metal used 64-1024)")
     print("  --modalModes [n]         ModalFilterBank mode count")
     print("                           (default: min(1024*nTracks, 1M))")
+    print("  --modalRenorm            Streaming: renormalize phasor magnitudes")
+    print("                           every block (off = reference parity)")
     print("  --pipelineDepth [n]      Also measure saturated throughput:")
     print("                           n blocks per executable, state carried")
     print("  --saturatedReps [n]      Saturated-tier repetitions (default: 21;")
@@ -170,6 +172,8 @@ def parse_args(argv: List[str]):
             updates["device_timing"] = False
         elif arg == "--fdtdPerTrackReceivers":
             updates["fdtd_per_track_receivers"] = True
+        elif arg == "--modalRenorm":
+            updates["modal_renorm"] = True
         elif arg == "--category":
             v = need_value(arg)
             if v is None:

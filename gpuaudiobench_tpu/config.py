@@ -64,6 +64,14 @@ class BenchConfig:
     dwg_max_length: int = 2000
     # ModalFilterBank: None = min(1024*nTracks, 1M) (ModalFilterBankBenchmark.swift:20).
     modal_num_modes: Optional[int] = None
+    # Streaming-only: renormalize each mode's phasor magnitude to its
+    # initial value every block (~5 ops/mode vs the rotation's ~3000 --
+    # <0.2% cost). The reference never renormalizes (bench_modal.cu),
+    # so the default matches its (measured) exponential amplitude
+    # drift: x185 state RMS over 1 hour of audio
+    # (docs/RESULTS_r3_soak_modal_1h.md). Off for benchmark parity;
+    # on for indefinite production synthesis.
+    modal_renorm: bool = False
     # FDTD3D: give each track its own receiver cell (WebGPU parity,
     # webgpu/js/benchmarks/FDTD3DBenchmark.js:57-67); default is the
     # CUDA/Metal single broadcast receiver.

@@ -31,6 +31,33 @@ from gpuaudiobench_tpu.utils import device as dev
 NUM_MODE_PARAMS = 8
 
 
+def _renorm_wrap(step, re0, im0):
+    """Streaming-only magnitude renormalization (cfg.modal_renorm).
+
+    The f32 phasor rotation is not exactly unitary: round-off compounds
+    exponentially (~x1.0015 per second of audio; measured x185 state
+    RMS over 1 hour, docs/RESULTS_r3_soak_modal_1h.md), faithful to the
+    reference which never renormalizes (bench_modal.cu). This wrapper
+    rescales each mode's phasor back to its INITIAL magnitude after
+    every block -- phase (the musical content) is untouched, and the
+    ~5 ops/mode cost is <0.2% of the rotation work -- making indefinite
+    streaming drift-free.
+    """
+    import jax.numpy as jnp
+
+    mag0 = jnp.sqrt(re0 * re0 + im0 * im0)
+    tiny = jnp.float32(1e-30)
+
+    def renorm_step(carry):
+        (re, im), out = step(carry)
+        mag = jnp.sqrt(re * re + im * im)
+        scale = jnp.where(mag0 > 0, mag0 / jnp.maximum(mag, tiny),
+                          jnp.float32(1.0))
+        return (re * scale, im * scale), out
+
+    return renorm_step
+
+
 def modal_reference(
     amp: np.ndarray,
     cos_w: np.ndarray,
@@ -191,6 +218,9 @@ class ModalFilterBankBenchmark(Benchmark):
 
                 cos_p = padded(d["cos_w"], 1.0)
                 sin_p = padded(d["sin_w"])
+                re0 = padded(d["amp"] * d["state_re"])
+                im0 = padded(d["amp"] * d["state_im"])
+
                 def step(carry):
                     re, im = carry
                     out_sn, re2, im2 = mp.modal_folded_step(
@@ -198,10 +228,9 @@ class ModalFilterBankBenchmark(Benchmark):
                     )
                     return (re2, im2), probe(out_sn)
 
-                return step, (
-                    padded(d["amp"] * d["state_re"]),
-                    padded(d["amp"] * d["state_im"]),
-                )
+                if self.cfg.modal_renorm:
+                    step = _renorm_wrap(step, re0, im0)
+                return step, (re0, im0)
 
         from gpuaudiobench_tpu.ops.modal import modal_bank_xla
 
@@ -212,6 +241,8 @@ class ModalFilterBankBenchmark(Benchmark):
             )
             return (re2, im2), probe(out)
 
+        if self.cfg.modal_renorm:
+            step = _renorm_wrap(step, d["state_re"], d["state_im"])
         return step, (d["state_re"], d["state_im"])
 
     def validate(self) -> ValidationData:

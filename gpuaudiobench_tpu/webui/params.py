@@ -183,6 +183,12 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "Resonant modes in the bank; 0 = auto "
                 "(min(1024*nTracks, 1M), ModalFilterBankBenchmark.swift:20)",
             ),
+            switch(
+                "modalRenorm", "Renormalize phasors (streaming)", False,
+                "Pin each mode's magnitude to its initial value every "
+                "block; off = reference parity (its f32 rotation drifts "
+                "x185 over 1 h of audio)",
+            ),
         ]
     if name == "RndMemRead":
         return [
@@ -278,6 +284,7 @@ _FIELD_MAP = {
     "irLength": ("ir_length", int),
     "convEdgeMode": ("conv_edge_mode", str),
     "modalModes": ("modal_num_modes", int),
+    "modalRenorm": ("modal_renorm", bool),
     "dwgMinLen": ("dwg_min_length", int),
     "dwgMaxLen": ("dwg_max_length", int),
     "poolMiB": ("rndmem_pool_mb", int),

@@ -40,6 +40,7 @@ const char* kValueFlags[] = {
 const char* kBoolFlags[] = {
     "--help", "--list", "--json", "--dawsim", "--capture", "--no-device-timing",
     "--fdtdPerTrackReceivers", "--quiet", "--no-compilationCache",
+    "--modalRenorm",
 };
 
 bool IsValueFlag(const char* arg) {

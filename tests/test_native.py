@@ -136,7 +136,7 @@ def test_native_flag_tables_match_cli():
     py_value |= {"--benchmarkFilter", "--category"}
     py_bool = {"--help", "--list", "--json", "--dawsim", "--capture",
                "--no-device-timing", "--fdtdPerTrackReceivers", "--quiet",
-               "--no-compilationCache"}
+               "--no-compilationCache", "--modalRenorm"}
 
     assert native_value == py_value, (
         f"native kValueFlags out of sync: missing={py_value - native_value} "

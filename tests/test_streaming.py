@@ -131,3 +131,43 @@ def test_barrier_chain_runs_every_block():
     step, carry = barrier_chain(fn, jnp.ones((4, 4), jnp.float32))
     lat = measure_saturated(step, carry, depth=5, reps=1)
     assert len(lat) == 1
+
+
+def test_modal_renorm_streaming(small_cfg):
+    """cfg.modal_renorm keeps every mode's phasor magnitude pinned to
+    its initial value across blocks while phases advance identically:
+    outputs match the non-renorm stream to rotation-grade tolerance
+    over a few blocks, and the carried state magnitude is exactly
+    bounded (no drift) instead of the reference's compounding
+    round-off."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def run(renorm, n_blocks=16):
+        cfg = small_cfg.replace(n_tracks=8, modal_renorm=renorm)
+        b = create_benchmark("ModalFilterBank", cfg)
+        b.setup()
+        step, carry = b.stream_body()
+        outs = []
+        for _ in range(n_blocks):
+            carry, out = step(carry)
+            outs.append(np.asarray(out))
+        re, im = carry
+        return np.stack(outs), np.asarray(re), np.asarray(im)
+
+    out_ref, re_ref, im_ref = run(False)
+    out_rn, re_rn, im_rn = run(True)
+    # Same music: probes agree to rotation-grade tolerance.
+    np.testing.assert_allclose(out_rn, out_ref, rtol=0, atol=1e-4)
+    # Magnitude is pinned: |state| equals the initial magnitudes.
+    cfg = small_cfg.replace(n_tracks=8, modal_renorm=True)
+    b = create_benchmark("ModalFilterBank", cfg)
+    b.setup()
+    _, (re0, im0) = b.stream_body()
+    mag0 = np.sqrt(np.asarray(re0) ** 2 + np.asarray(im0) ** 2)
+    mag = np.sqrt(re_rn**2 + im_rn**2)
+    np.testing.assert_allclose(mag, mag0, rtol=1e-5, atol=1e-7)
+    # Default (off) really is off: bit-identical to the plain run.
+    out_ref2, re2, _ = run(False)
+    np.testing.assert_array_equal(out_ref2, out_ref)
+    np.testing.assert_array_equal(re2, re_ref)

@@ -29,7 +29,7 @@ pluck, useful to confirm the state responds to new energy mid-soak.
 
 Usage: python tools/soak.py [seconds] [output.md] [benchmark] [tracks]
                             [reexcite_every] [--checkpoint PATH]
-                            [--resume]
+                            [--resume] [--renorm]
        (defaults: 60s, docs/RESULTS_r2_soak.md, ModalFilterBank, 1024,
         0 = never re-excite)
 
@@ -59,6 +59,10 @@ def main() -> int:
         i = argv.index("--checkpoint")
         ckpt_path = argv[i + 1]
         del argv[i:i + 2]
+    renorm = False
+    if "--renorm" in argv:
+        argv.remove("--renorm")
+        renorm = True
     if resume and not ckpt_path:
         print("--resume requires --checkpoint PATH")
         return 1
@@ -79,7 +83,7 @@ def main() -> int:
     cfg = BenchConfig(
         n_tracks=tracks,
         n_runs=1, warmup=1, write_latencies=False, device_timing=False,
-        verification="none",
+        verification="none", modal_renorm=renorm,
     )
     bench = create_benchmark(name, cfg)
     bench.setup()
@@ -207,6 +211,9 @@ def main() -> int:
         lines.append(
             f"| re-excitation (0.5x initial state into float leaves) | "
             f"every {reexcite_every} s |")
+    if renorm:
+        lines.append(
+            "| phasor magnitude renorm (--modalRenorm) | every block |")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     csv_path = out_path.rsplit(".", 1)[0] + ".csv"
