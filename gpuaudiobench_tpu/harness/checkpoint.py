@@ -20,6 +20,7 @@ cuda/globals.cu:69-122.)
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -38,38 +39,57 @@ def save_stream_state(
     """Persist a streaming carry pytree to ``path`` (.npz).
 
     Returns the number of leaves written.  Device arrays are pulled to
-    host; leaf order is the ``jax.tree_util`` flatten order, which is
-    deterministic for a fixed carry structure.
+    host ONCE (the header is derived from the same host copies); leaf
+    order is the ``jax.tree_util`` flatten order, which is
+    deterministic for a fixed carry structure.  The write is atomic
+    (temp file + ``os.replace``): a crash mid-save leaves the previous
+    checkpoint intact instead of a truncated zip.
     """
     import jax
 
-    leaves = jax.tree_util.tree_leaves(carry)
+    host = [np.asarray(leaf)  # one D2H per leaf
+            for leaf in jax.tree_util.tree_leaves(carry)]
     header = {
         "format": FORMAT,
         "benchmark": benchmark,
-        "n_leaves": len(leaves),
+        "n_leaves": len(host),
         "saved_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "leaves": [
-            {"shape": list(np.shape(leaf)),
-             "dtype": str(np.asarray(leaf).dtype)}
-            for leaf in leaves
+            {"shape": list(leaf.shape), "dtype": str(leaf.dtype)}
+            for leaf in host
         ],
     }
     if extra:
         header["extra"] = extra
-    arrays = {f"leaf_{i:04d}": np.asarray(leaf)
-              for i, leaf in enumerate(leaves)}
+    arrays = {f"leaf_{i:04d}": leaf for i, leaf in enumerate(host)}
     arrays["header"] = np.frombuffer(
         json.dumps(header).encode("utf-8"), dtype=np.uint8
     )
-    with open(path, "wb") as f:
-        np.savez(f, **arrays)
-    return len(leaves)
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return len(host)
 
 
 def read_header(path: str) -> Dict[str, Any]:
-    with np.load(path) as z:
-        header = json.loads(bytes(z["header"]).decode("utf-8"))
+    try:
+        with np.load(path) as z:
+            if "header" not in z.files:
+                raise ValueError(f"{path}: no checkpoint header")
+            raw = bytes(z["header"])
+    except ValueError:
+        raise
+    except Exception as e:  # BadZipFile, FileNotFoundError, ...
+        raise ValueError(f"{path}: unreadable checkpoint ({e})") from e
+    try:
+        header = json.loads(raw.decode("utf-8"))
+    except Exception as e:
+        raise ValueError(f"{path}: corrupt checkpoint header ({e})") from e
     if header.get("format") != FORMAT:
         raise ValueError(
             f"{path}: not a {FORMAT} checkpoint "
@@ -90,7 +110,10 @@ def load_stream_state(
     its tree structure is the contract.  Every leaf's shape and dtype
     must match the checkpoint exactly, and when both sides name a
     benchmark they must agree -- resuming ModalFilterBank state into a
-    DWG run fails loudly, not numerically.
+    DWG run fails loudly, not numerically.  Restored leaves inherit
+    the template leaf's device placement and sharding (a resumed
+    multi-device soak runs the SAME layout a fresh one would, not a
+    host-array default).
 
     Returns ``(carry, header)``.
     """
@@ -112,13 +135,20 @@ def load_stream_state(
     with np.load(path) as z:
         restored = []
         for i, tmpl in enumerate(leaves):
-            arr = z[f"leaf_{i:04d}"]
+            key = f"leaf_{i:04d}"
+            if key not in z.files:
+                raise ValueError(f"{path}: missing array {key}")
+            arr = z[key]
             want_shape = tuple(np.shape(tmpl))
-            want_dtype = np.asarray(tmpl).dtype
+            want_dtype = np.dtype(getattr(tmpl, "dtype", None)
+                                  or np.asarray(tmpl).dtype)
             if arr.shape != want_shape or arr.dtype != want_dtype:
                 raise ValueError(
                     f"{path}: leaf {i} is {arr.dtype}{list(arr.shape)}, "
                     f"template wants {want_dtype}{list(want_shape)}"
                 )
+            sharding = getattr(tmpl, "sharding", None)
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
             restored.append(arr)
     return jax.tree_util.tree_unflatten(treedef, restored), header

@@ -209,10 +209,15 @@ def _iir_cascade_kernel_systolic(x_ref, c_ref, z_ref, y_ref, zout_ref,
     # every stage dead (live = 0) so states freeze, and the write guard
     # caps the output window.
     total = s + k - 1
-    # Swept on v5e (10 stages, 128 trk, 4096-block chained scan):
-    # unroll 8 -> 21.4 us/block, 16 -> 18.3, 32 -> 17.0, 64 -> 16.5;
-    # bit-exact at every setting (same per-step op order).
+    # Swept on v5e at S=512 (10 stages, 128 trk, 4096-block chained
+    # scan): unroll 8 -> 21.4 us/block, 16 -> 18.3, 32 -> 17.0,
+    # 64 -> 16.5; bit-exact at every setting (same per-step op order).
+    # Small (low-latency) blocks cap the unroll so dead pad steps stay
+    # <= 25% of the real work: at S=32/k=10 (total 41) a flat 64 would
+    # pad 56% dead steps; 16 pads 17%.
     unroll = 64
+    while unroll > 8 and (-total % unroll) * 4 > total:
+        unroll //= 2
     padded = -(-total // unroll) * unroll
 
     def chunk(i, carry):

@@ -197,9 +197,10 @@ def test_compare_runs_tool(tmp_path):
     # --strict-wall restores unconditional saturated gating.
     rows, gating = comp.compare(str(po), str(pd), strict_wall=True)
     assert gating == [("gain", "saturated", pytest.approx(15.0))]
-    # Device tier IMPROVED is an equally valid witness (a kernel that
-    # got faster on-chip cannot have slowed the wall): within the
-    # ceiling, the saturated slowdown is wall drift, not a regression.
+    # Device tier IMPROVED is NOT a wall-drift witness: an improved
+    # device means the code changed, and a change can add
+    # streaming-only work the device tier never sees (--modalRenorm
+    # is such a case), so the saturated regression must still gate.
     # (device delta must clear the 1 us absolute floor: 5 -> 3 us)
     faster = [result("IIRFilter", 0.003, 0.1265, 41.0)]  # sat +15%
     pf = tmp_path / "faster.json"
@@ -207,8 +208,8 @@ def test_compare_runs_tool(tmp_path):
     rows, gating = comp.compare(str(po), str(pf))
     verdicts = {(r[0], r[1]): r[5] for r in rows}
     assert verdicts[("IIRFilter", "device")] == "improved"
-    assert verdicts[("IIRFilter", "saturated")] == "wall-drift"
-    assert gating == []
+    assert verdicts[("IIRFilter", "saturated")] == "REGRESSED"
+    assert gating == [("IIRFilter", "saturated", pytest.approx(15.0))]
     # Without a device tier there is no witness: still gates.
     nodev_old = [{"benchmark": "gain",
                   "saturated": {"p50_ms": 0.10, "cv_percent": 2.0}}]

@@ -80,3 +80,60 @@ def test_not_a_checkpoint_rejected(tmp_path):
     np.savez(path, header=np.frombuffer(b'{"format": "x"}', np.uint8))
     with pytest.raises(ValueError, match="format"):
         read_header(path)
+
+
+def test_truncated_checkpoint_rejected(tmp_path, small_cfg):
+    """A crash-truncated file surfaces as ValueError (not BadZipFile),
+    and the atomic write means a failed save never truncates an
+    existing checkpoint in place."""
+    cfg = small_cfg.replace(n_tracks=8)
+    _, carry = _stream("IIRFilter", cfg)
+    path = str(tmp_path / "state.npz")
+    save_stream_state(path, carry, benchmark="IIRFilter")
+    good = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(good[: len(good) // 2])  # simulate torn write
+    with pytest.raises(ValueError, match="unreadable"):
+        read_header(path)
+    # no stray temp file after a clean save
+    save_stream_state(path, carry, benchmark="IIRFilter")
+    assert not (tmp_path / "state.npz.tmp").exists()
+
+
+def test_lying_header_rejected(tmp_path, small_cfg):
+    """A header whose n_leaves matches the template but whose arrays
+    are missing fails with ValueError, not KeyError."""
+    import json
+
+    cfg = small_cfg.replace(n_tracks=8)
+    _, carry = _stream("IIRFilter", cfg)
+    import jax
+
+    n = len(jax.tree_util.tree_leaves(carry))
+    header = {"format": "tpuaudiobench-stream-state-v1",
+              "benchmark": "IIRFilter", "n_leaves": n, "leaves": []}
+    path = str(tmp_path / "lying.npz")
+    np.savez(path, header=np.frombuffer(
+        json.dumps(header).encode(), np.uint8))
+    _, template = _stream("IIRFilter", cfg)
+    with pytest.raises(ValueError, match="missing array"):
+        load_stream_state(path, template, benchmark="IIRFilter")
+
+
+def test_restore_preserves_device_placement(tmp_path, small_cfg):
+    """Restored leaves are jax arrays carrying the template's
+    sharding, so a resumed stream compiles against the same layout."""
+    import jax
+
+    cfg = small_cfg.replace(n_tracks=8)
+    _, carry = _stream("ModalFilterBank", cfg)
+    path = str(tmp_path / "state.npz")
+    save_stream_state(path, carry, benchmark="ModalFilterBank")
+    _, template = _stream("ModalFilterBank", cfg)
+    restored, _ = load_stream_state(path, template,
+                                    benchmark="ModalFilterBank")
+    for t, r in zip(jax.tree_util.tree_leaves(template),
+                    jax.tree_util.tree_leaves(restored)):
+        if hasattr(t, "sharding"):
+            assert hasattr(r, "sharding")
+            assert r.sharding.is_equivalent_to(t.sharding, t.ndim)

@@ -130,15 +130,18 @@ def compare(old_path: str, new_path: str, threshold_pct: float = 5.0,
             floor = DEVICE_ABS_FLOOR_MS if tier == "device" else 0.0
             d, v = verdict(ov, nv, noise, abs_floor=floor)
             # Cross-check (docstring): a saturated REGRESSED whose
-            # device tier measured 'same' -- or 'improved': a kernel
-            # that got FASTER on-chip cannot have made the wall tier
-            # slower, so the wall jump is relay state either way -- is
-            # relay wall drift.
+            # device tier measured 'same' is relay wall drift -- the
+            # chip ran the identical executable at the same speed.
+            # 'improved' deliberately does NOT qualify: an improved
+            # device tier means the code changed, and a change can
+            # speed the round-trip module while adding streaming-only
+            # work the device tier never sees (--modalRenorm is
+            # exactly such a case), so a wall regression there must
+            # gate and be explained by a human.
             if (tier == "saturated" and v == "REGRESSED"
                     and not strict_wall
                     and d <= WALL_DRIFT_CEILING_PCT
-                    and tier_verdicts.get("device") in ("same",
-                                                        "improved")):
+                    and tier_verdicts.get("device") == "same"):
                 v = "wall-drift"
             tier_verdicts[tier] = v
             rows.append((name, tier, ov, nv, d, v))

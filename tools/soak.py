@@ -57,6 +57,9 @@ def main() -> int:
         resume = True
     if "--checkpoint" in argv:
         i = argv.index("--checkpoint")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("--checkpoint requires a PATH argument")
+            return 1
         ckpt_path = argv[i + 1]
         del argv[i:i + 2]
     renorm = False
@@ -71,6 +74,15 @@ def main() -> int:
     name = argv[2] if len(argv) > 2 else "ModalFilterBank"
     tracks = int(argv[3]) if len(argv) > 3 else 1024
     reexcite_every = int(argv[4]) if len(argv) > 4 else 0
+    if renorm and reexcite_every:
+        # Renorm pins magnitudes to their initial values, so it would
+        # cancel the re-excitation's injected amplitude one block
+        # later -- the probe would (correctly but uselessly) read the
+        # state as unresponsive. Semantically incompatible; fail fast.
+        print("--renorm and reexcite_every are mutually exclusive: "
+              "renorm pins magnitudes to their INITIAL values and "
+              "would erase the injected energy on the next block")
+        return 1
 
     import jax
     import numpy as np
@@ -216,7 +228,11 @@ def main() -> int:
             "| phasor magnitude renorm (--modalRenorm) | every block |")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    csv_path = out_path.rsplit(".", 1)[0] + ".csv"
+    import os
+
+    csv_path = os.path.splitext(out_path)[0] + ".csv"
+    if csv_path == out_path:  # extensionless out_path
+        csv_path = out_path + ".csv"
     with open(csv_path, "w") as f:
         f.write("second,wall_ms,ms_per_block,probe_rms,state_rms\n")
         for sec, wall, pb, r, sr in rows:
