@@ -56,7 +56,22 @@ MIX_FACTOR = 0.5  # benchmark_constants.cuh WAVEGUIDE_MIX_FACTOR
 def dwg_reference(x, fwd, bwd, lengths, in_taps, out_taps, gains, refl, damp):
     """Float32 one-block golden, vectorized over waveguides
     (bench_dwg.cu:356-399); returns (out, fwd', bwd') so repeated calls
-    reproduce the reference's carried-rails evolution."""
+    reproduce the reference's carried-rails evolution.
+
+    Structural property of the reference's update (faithfully kept
+    here, pinned by test_ops.py::test_dwg_output_structurally_zero):
+    sample n reads AND writes the same cell pair
+    ``(fwd[p], bwd[(p + L//2) % L])`` with ``p = n % L``
+    (bench_dwg.cu:372-390 -- writePos is set once to 0,
+    bench_dwg.cu:338, and never advanced), so each pair is a closed
+    2-cell oscillator: energy injected at the input-tap pair
+    (p = L/4) can never reach the output-tap pair (p = 3L/4), and the
+    summed tap OUTPUT is identically zero for every waveguide,
+    forever.  The benchmark's real signal lives in the rails -- which
+    is why ``validate()`` compares the carried rails against the
+    golden's, not just the (vacuously matching) output block, and why
+    soak liveness for DWG is state RMS, not output-probe RMS.
+    """
     fwd = fwd.copy()
     bwd = bwd.copy()
     g = fwd.shape[0]

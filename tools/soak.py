@@ -226,6 +226,17 @@ def main() -> int:
     if renorm:
         lines.append(
             "| phasor magnitude renorm (--modalRenorm) | every block |")
+    if name.startswith("DWG") and rms.max() == 0.0:
+        lines += [
+            "",
+            "Probe RMS 0 is STRUCTURAL for DWG, not a dead stream: the",
+            "reference's update reads and writes the same cell pair per",
+            "sample (bench_dwg.cu:372-390, writePos never advances), so",
+            "the output-tap cells form a closed zero-energy system and",
+            "the tap output is identically zero by construction (see",
+            "models/dwg.py dwg_reference docstring; test-pinned).",
+            "Liveness for DWG is the state-RMS row above.",
+        ]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     import os
