@@ -30,7 +30,11 @@ BASELINE_PC_P50_MS = 3.168  # BASELINE.md: Modal 1M modes, RTX 4070 p50
 PIPELINE_DEPTH = 512
 
 
-def main() -> int:
+def main(n_tracks: int = 1024, n_runs: int = 30, warmup: int = 5,
+         pipeline_depth: int = PIPELINE_DEPTH) -> int:
+    # Keyword knobs exist ONLY so tests can run the same code path at toy
+    # sizes (tests/test_cli_integration.py); the driver always runs the
+    # defaults = the headline 1M-mode configuration.
     import numpy as np
 
     from gpuaudiobench_tpu.config import BenchConfig
@@ -38,14 +42,14 @@ def main() -> int:
     from gpuaudiobench_tpu.registry import create_benchmark
 
     cfg = BenchConfig(
-        n_tracks=1024,  # modes = min(1024*1024, 1M) = 1M
+        n_tracks=n_tracks,  # modes = min(n_tracks*1024, 1M); default 1M
         buffer_size=512,
-        n_runs=30,
-        warmup=5,
+        n_runs=n_runs,
+        warmup=warmup,
         write_latencies=False,
         device_timing=False,
         verification="spot",
-        pipeline_depth=PIPELINE_DEPTH,  # harness saturated/streaming pass
+        pipeline_depth=pipeline_depth,  # harness saturated/streaming pass
     )
     bench = create_benchmark("ModalFilterBank", cfg)
     bench.setup()
@@ -74,7 +78,14 @@ def main() -> int:
     # Saturated throughput from the harness streaming pass: PIPELINE_DEPTH
     # consecutive blocks in ONE executable with phasor state carried across
     # blocks (harness/streaming.py), amortizing per-dispatch RPC overhead.
+    # value = MIN over the saturated reps (each rep is already a mean over
+    # PIPELINE_DEPTH blocks): on this relay rig the wall tier drifts 5-19%
+    # between runs while the device tier holds <1%, so min-of-means is the
+    # estimator of the CHIP's sustained rate least contaminated by relay
+    # state -- and it is what BENCH_r01/r02 recorded, keeping the series
+    # comparable. The rep-median ships alongside for full disclosure.
     per_block = result.saturated_statistics.min_val
+    sat_p50 = result.saturated_statistics.median
 
     print(
         json.dumps(
@@ -84,6 +95,7 @@ def main() -> int:
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_PC_P50_MS / per_block, 3),
                 "blocks_per_sec_per_chip": round(1000.0 / per_block, 1),
+                "saturated_rep_p50_ms": round(sat_p50, 4),
                 "roundtrip_p50_ms": round(result.statistics.median, 3),
                 "roundtrip_p99_ms": round(result.statistics.p99, 3),
                 "validation": "passed",

@@ -74,3 +74,42 @@ def test_csv_and_report_pipeline(tmp_path):
     )
     assert r2.returncode == 0
     assert "GainStats" in r2.stdout
+
+
+def test_bench_py_json_schema():
+    """bench.py is the artifact the round driver executes; a schema break
+    there is invisible to the suite's own tests. Run its exact code path
+    at toy size (8k modes, depth 4) and check the one-JSON-line contract:
+    every field the driver and BENCH_r*.json history rely on, finite and
+    sane. In-process call (not subprocess) so the conftest's 8-device
+    CPU mesh config applies and nothing touches the TPU tunnel."""
+    import importlib
+    import io
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    try:
+        bench_mod = importlib.import_module("bench")
+    finally:
+        _sys.path.pop(0)
+    buf = io.StringIO()
+    old = _sys.stdout
+    _sys.stdout = buf
+    try:
+        rc = bench_mod.main(n_tracks=8, n_runs=3, warmup=1,
+                            pipeline_depth=4)
+    finally:
+        _sys.stdout = old
+    assert rc == 0
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {lines}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "modal_1M_block_ms"
+    assert rec["unit"] == "ms"
+    assert rec["validation"] == "passed"
+    for key in ("value", "vs_baseline", "blocks_per_sec_per_chip",
+                "saturated_rep_p50_ms", "roundtrip_p50_ms",
+                "roundtrip_p99_ms"):
+        assert isinstance(rec[key], (int, float)) and rec[key] > 0, key
+    # min-of-reps can never exceed the rep median
+    assert rec["value"] <= rec["saturated_rep_p50_ms"] * 1.0000001
