@@ -34,3 +34,23 @@ def test_streaming_synth_example(tmp_path):
     assert rms > 0.01, "rendered audio is silent"
     # the mid-render state checkpoint is left next to the wav
     assert (tmp_path / "bell.state.npz").exists()
+
+
+def test_multichip_synth_example(tmp_path):
+    out = tmp_path / "bell8.wav"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "examples/multichip_synth.py",
+         "--seconds", "0.5", "--modes", "512", "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "sharded over 8 device(s)" in r.stdout
+    assert "matches single-device render: True" in r.stdout
+    with wave.open(str(out)) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01
