@@ -54,3 +54,21 @@ def test_multichip_synth_example(tmp_path):
     with wave.open(str(out)) as w:
         pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01
+
+
+def test_room_impulse_example(tmp_path):
+    out = tmp_path / "rir.wav"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "examples/room_impulse.py",
+         "--seconds", "0.2", "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "stable" in r.stdout and "UNSTABLE" not in r.stdout
+    with wave.open(str(out)) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    # an impulse response must actually arrive and ring
+    assert np.abs(pcm).max() > 1000
