@@ -78,6 +78,7 @@ def print_help() -> None:
     print("  --solStreamMiB [n]       SOL_HBM stream size (default: 64)")
     print("  --solFmaK [n]            SOL_VPU FMA passes (default: 512)")
     print("  --solFmaMiB [n]          SOL_VPU working set (default: 8)")
+    print("  --solVmemMiB [n]         SOL_VMEM block size (default: 2)")
     print("  --seed [n]               Test-data seed (default: 42)")
     print("  --no-device-timing       Skip the device-only timing pass")
     print("  --quiet                  Suppress progress output (results only)")
@@ -146,6 +147,7 @@ def parse_args(argv: List[str]):
         "--mesh": ("mesh", str),
         "--solFmaK": ("sol_fma_k", int),
         "--solFmaMiB": ("sol_fma_mib", int),
+        "--solVmemMiB": ("sol_vmem_mib", int),
         "--solStreamMiB": ("sol_stream_mib", int),
         "--solMatmulDim": ("sol_matmul_dim", int),
         "--seed": ("seed", int),

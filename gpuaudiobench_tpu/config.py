@@ -112,6 +112,11 @@ class BenchConfig:
     sol_fma_k: int = 512  # FMA passes per element (intensity k/4 FLOP/B)
     sol_fma_mib: int = 8  # FMA working-set MiB (gridded in VMEM blocks)
     sol_stream_mib: int = 64  # stream array MiB (>> 16 MiB VMEM)
+    # VMEM pass-rate block: must exceed the vector register file by far
+    # (so every fori pass round-trips VMEM) yet stay comfortably inside
+    # VMEM alongside its output copy. FDTD's carried fields are ~1.4
+    # MiB; 2 MiB measures the same regime.
+    sol_vmem_mib: int = 2
     # 4096 measured fastest on v5e (2048 = 186, 4096 = 192, 8192 =
     # 183 TFLOP/s bf16): big enough to amortize pipeline fill, small
     # enough to stay out of HBM-tiling overheads.

@@ -180,11 +180,21 @@ class FDTD3DBenchmark(Benchmark):
         cells = n ** 3
         substeps = s * op.STEPS_PER_SAMPLE
         fields_bytes = (cells + 3 * (n + 1) * n * n) * 4
+        # VMEM traffic FLOOR: the divergence-form kernel carries two
+        # full fields in the packed (PAD_N, PAD_N^2) layout; even with
+        # perfect fusion each substep must read and write both at least
+        # once (neighbor taps are intra-vreg rolls/shifts on top of the
+        # same read). The kernel's real wall is this SRAM stream, not
+        # FMA issue -- SOL_VMEM measures the denominator.
+        packed = (n + 1) ** 3
+        vmem_floor = substeps * packed * 2 * 2 * 4  # 2 fields, r+w, f32
         return {
             "flops": 20 * cells * substeps,  # 3x 2pt grads + 7pt div + scales
             "hbm_bytes": 2 * fields_bytes + self.track_count * s * 4 * 2,
+            "vmem_bytes": vmem_floor,
             "unit": "vpu",
-            "note": "fields VMEM-resident across the whole block",
+            "note": "fields VMEM-resident across the whole block; "
+                    "vmem_bytes is the perfect-fusion traffic floor",
         }
 
     def metadata(self):

@@ -1,8 +1,9 @@
 """speedoflight category: on-chip measurement of the roofline peaks.
 
-Four microbenchmarks whose *achieved rates ARE the denominators* for
+Five microbenchmarks whose *achieved rates ARE the denominators* for
 every %-of-peak number the suite reports (utils/roofline.py): VPU f32
-FMA, HBM stream, MXU bf16 matmul, delivered-f32 matmul. They run
+FMA, VMEM round-trip pass rate, HBM stream, MXU bf16 matmul,
+delivered-f32 matmul. They run
 through the exact same harness as every workload benchmark (warmup,
 timed round trips, xplane device timing, saturated pass, validation
 against a closed-form or BLAS golden), so the calibration numbers carry
@@ -117,6 +118,74 @@ class SolVpuFmaBenchmark(_SolBenchmark):
 
     def metadata(self) -> Dict[str, Any]:
         return {"fmaK": self.k, "workingSetMiB": self.cfg.sol_fma_mib}
+
+
+class SolVmemBenchmark(_SolBenchmark):
+    """VMEM round-trip pass rate: the SOL_VPU chain with the loop carry
+    forced through VMEM every pass (ops/speedoflight.fma_vmem_pallas --
+    one un-unrolled fori_loop over a multi-MiB block). Each pass moves
+    8 bytes/element through VMEM; the achieved byte rate is the ceiling
+    for full-field stencil kernels (FDTD) whose state exceeds the
+    register file. Same closed-form golden as SOL_VPU."""
+
+    name = "SOL_VMEM"
+    tolerance = 5e-4  # k f32 roundings, as SOL_VPU
+
+    def setup(self) -> None:
+        self._reject_dp()
+        from gpuaudiobench_tpu.ops.speedoflight import (
+            fma_chain_xla,
+            fma_golden,
+            fma_vmem_pallas,
+        )
+
+        self.k = self.cfg.sol_fma_k
+        rows = max(8, self.cfg.sol_vmem_mib * (1024 * 1024 // 4) // _WIDTH)
+        self.host_input = generate_random_audio(
+            rows * _WIDTH, self.cfg.seed
+        ).reshape(rows, _WIDTH)
+        self._resident = dev.to_device(self.host_input)
+        self.golden = fma_golden(self.host_input, self.k)
+        self.track_alloc("vmemBuffer", self.host_input.nbytes * 2)
+        self._fn = (
+            fma_vmem_pallas if self.resolve_impl() == "pallas"
+            else fma_chain_xla
+        )
+        self.iterate()
+
+    def iterate(self) -> None:
+        x = dev.to_device(self.host_input)
+        self.host_output = dev.from_device(self._fn(x, self.k))
+
+    def device_iterate(self) -> None:
+        dev.block(self._fn(self._resident, self.k))
+
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+        fn, k = self._fn, self.k
+        return barrier_chain(lambda x: fn(x, k), self._resident)
+
+    def total_elements(self) -> int:
+        return self.host_input.size
+
+    def bytes_processed(self) -> int:
+        return self.host_input.nbytes * 2
+
+    def cost_model(self):
+        n = self.host_input.size
+        return {
+            "flops": 2 * self.k * n,
+            "hbm_bytes": 2 * n * 4,
+            # one read + one write of the carry per pass
+            "vmem_bytes": self.k * 8 * n,
+            "unit": "vpu",
+            "note": f"VMEM-carried FMA chain k={self.k}; this "
+                    "measurement IS the vmem peak",
+        }
+
+    def metadata(self) -> Dict[str, Any]:
+        return {"fmaK": self.k, "workingSetMiB": self.cfg.sol_vmem_mib}
 
 
 class SolHbmStreamBenchmark(_SolBenchmark):

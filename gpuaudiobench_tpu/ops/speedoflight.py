@@ -4,13 +4,16 @@ every roofline/%-of-peak number the suite publishes.
 The reference reports raw GB/s (cuda/bench_base.cu:110-115) and leaves
 "is that good?" to the reader; round 2's roofline divided by *spec-sheet
 guesses* (Google publishes no VPU FLOP rate at all), which let a
-benchmark report >100% of "peak". These four bodies measure the peaks
+benchmark report >100% of "peak". These five bodies measure the peaks
 on the chip itself:
 
 * ``fma_chain``      -- VPU f32 FMA throughput: k dependent FMA passes
                         over a VMEM-resident block, compute-bound by
                         construction (arithmetic intensity = k/4
                         FLOP/byte).
+* ``fma_vmem``       -- VMEM pass rate: the same chain with the carry
+                        forced through VMEM every pass (the wall
+                        full-field stencil kernels actually hit).
 * ``stream_scale``   -- HBM bandwidth: one read + one write pass over
                         an array far larger than VMEM.
 * ``matmul_bf16``    -- MXU bf16 throughput (f32 accumulation via
@@ -112,6 +115,42 @@ def fma_chain_pallas(x: jax.Array, k: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("k",))
 def fma_chain_xla(x: jax.Array, k: int) -> jax.Array:
     return _fma_body(x, k)
+
+
+def _fma_vmem_kernel(x_ref, o_ref, *, k: int):
+    m = jnp.float32(FMA_M)
+    c = jnp.float32(FMA_C)
+    o_ref[...] = jax.lax.fori_loop(
+        0, k, lambda _, y: y * m + c, x_ref[...]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fma_vmem_pallas(x: jax.Array, k: int) -> jax.Array:
+    """k FMA passes where the loop carry ROUND-TRIPS VMEM every pass:
+    one un-unrolled fori_loop over the whole multi-MiB block (no grid).
+    The array is far larger than the vector register file, so each
+    iteration must stream the carry out of and back into VMEM -- by
+    construction this measures the VMEM read+write pass rate (8 bytes
+    per element per pass), NOT the FMA issue rate.
+
+    This is the denominator for full-field stencil kernels (FDTD) and
+    any loop whose carried state exceeds registers: fma_chain_pallas's
+    32-row register-resident blocks measure the VPU's arithmetic peak,
+    while real field kernels pay this wall instead. (The r3 block-size
+    sweep first exposed the gap: 256-row blocks ran 2.9x slower than
+    32-row ones purely from per-iteration VMEM carry traffic.)
+    Same closed-form golden as the chain: identical per-pass math.
+    """
+    rows, width = x.shape
+    if width % 128 or rows % 8:
+        return fma_chain_xla(x, k)
+    return pl.pallas_call(
+        functools.partial(_fma_vmem_kernel, k=k),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+    )(x)
 
 
 @jax.jit

@@ -32,6 +32,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
     from gpuaudiobench_tpu.models.speedoflight import (
         SolHbmStreamBenchmark,
         SolMxuBenchmark,
+        SolVmemBenchmark,
         SolVpuFmaBenchmark,
     )
 
@@ -59,6 +60,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "ICIBandwidth": ICIBandwidthBenchmark,
         # speedoflight: measured roofline denominators.
         "SOL_VPU": SolVpuFmaBenchmark,
+        "SOL_VMEM": SolVmemBenchmark,
         "SOL_HBM": SolHbmStreamBenchmark,
         "SOL_MXU_bf16": lambda cfg: SolMxuBenchmark(cfg, "bf16"),
         "SOL_MXU_f32": lambda cfg: SolMxuBenchmark(cfg, "f32"),
@@ -90,7 +92,7 @@ BENCHMARK_NAMES: List[str] = [
 # there (kernels_extra.metal), registered here for completeness.
 EXTENSION_NAMES: List[str] = ["BiquadChain", "MultiChipSuite",
                               "ICIBandwidth",
-                              "SOL_VPU", "SOL_HBM",
+                              "SOL_VPU", "SOL_VMEM", "SOL_HBM",
                               "SOL_MXU_bf16", "SOL_MXU_f32"]
 
 # Suite categories (the WebGPU UI's five groups, webgpu/js/app.js:46-79).
@@ -106,7 +108,8 @@ CATEGORIES = {
     "multichip": ["MultiChipSuite", "ICIBandwidth"],
     # TPU extension: measured roofline denominators
     # (tools/calibrate_peaks.py persists their rates as the peaks).
-    "speedoflight": ["SOL_VPU", "SOL_HBM", "SOL_MXU_bf16", "SOL_MXU_f32"],
+    "speedoflight": ["SOL_VPU", "SOL_VMEM", "SOL_HBM",
+                     "SOL_MXU_bf16", "SOL_MXU_f32"],
 }
 
 BENCHMARK_DESCRIPTIONS = {
@@ -131,6 +134,7 @@ BENCHMARK_DESCRIPTIONS = {
     "MultiChipSuite": "Sharded dp/tp/sp/pp pipeline over --mesh (extension)",
     "ICIBandwidth": "Interconnect ring ppermute + psum (extension)",
     "SOL_VPU": "Speed-of-light: VPU f32 FMA throughput (measured peak)",
+    "SOL_VMEM": "Speed-of-light: VMEM round-trip pass rate (measured peak)",
     "SOL_HBM": "Speed-of-light: HBM stream bandwidth (measured peak)",
     "SOL_MXU_bf16": "Speed-of-light: MXU bf16 matmul (measured peak)",
     "SOL_MXU_f32": "Speed-of-light: delivered f32 matmul (measured peak)",

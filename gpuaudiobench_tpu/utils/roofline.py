@@ -35,6 +35,11 @@ SPEC_PEAK = {
     "mxu_f32_flops": 197e12 / 4,
     "vpu_f32_flops": 3.9e12,
     "hbm_bytes_per_sec": 819e9,
+    # VMEM round-trip pass rate (read+write) -- an ESTIMATE derived
+    # from the r3 FMA block-size sweep (256-row VMEM-carried blocks ran
+    # 1.59 TFLOP/s = ~6.4 TB/s of 8 B/element/pass traffic); SOL_VMEM
+    # measures it properly on-chip.
+    "vmem_bytes_per_sec": 6.4e12,
 }
 
 # Back-compat alias (round-2 name).
@@ -118,16 +123,25 @@ def roofline_metrics(
         "unit": unit,
         "peak_source": source,
     }
+    vmem_bytes = float(cost.get("vmem_bytes", 0))
+    if vmem_bytes > 0:
+        # On-chip SRAM traffic floor (declared by kernels whose carried
+        # state streams VMEM every pass, e.g. FDTD): the nearest wall
+        # for such kernels is often this one, not FMA issue or HBM.
+        out["vmem_bytes_per_block"] = vmem_bytes
+        out["achieved_vmem_gbps"] = vmem_bytes / sec / 1e9
+        out["vmem_pct_of_peak"] = (
+            100.0 * (vmem_bytes / sec) / peaks["vmem_bytes_per_sec"]
+        )
     peak_key = UNIT_PEAK_KEY.get(unit)
+    walls = {"bandwidth": out["hbm_pct_of_peak"]}
+    if vmem_bytes > 0:
+        walls["vmem"] = out["vmem_pct_of_peak"]
     if peak_key and flops > 0:
         out["flops_pct_of_peak"] = 100.0 * (flops / sec) / peaks[peak_key]
-        # Which wall is closer: the workload is X-bound.
-        out["bound"] = (
-            "compute" if out["flops_pct_of_peak"] >= out["hbm_pct_of_peak"]
-            else "bandwidth"
-        )
-    else:
-        out["bound"] = "bandwidth"
+        walls["compute"] = out["flops_pct_of_peak"]
+    # Which wall is closest: the workload is X-bound.
+    out["bound"] = max(walls, key=walls.get)
     if "note" in cost:
         out["note"] = cost["note"]
     return out

@@ -241,6 +241,17 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "f32 array size, gridded through VMEM",
             ),
         ]
+    if name == "SOL_VMEM":
+        return [
+            slider(
+                "solFmaK", "FMA Passes", 8, 4096, d.sol_fma_k, 8, "",
+                "VMEM round trips per element (one per pass)",
+            ),
+            slider(
+                "solVmemMiB", "Block Size", 1, 16, d.sol_vmem_mib, 1, "MiB",
+                "Loop-carried block (must exceed registers, fit VMEM)",
+            ),
+        ]
     if name == "SOL_HBM":
         return [
             select(
@@ -293,6 +304,7 @@ _FIELD_MAP = {
     "fdtdPerTrackReceivers": ("fdtd_per_track_receivers", bool),
     "mesh": ("mesh", str),
     "solFmaK": ("sol_fma_k", int),
+    "solVmemMiB": ("sol_vmem_mib", int),
     "solFmaMiB": ("sol_fma_mib", int),
     "solStreamMiB": ("sol_stream_mib", int),
     "solMatmulDim": ("sol_matmul_dim", int),

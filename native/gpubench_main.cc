@@ -33,7 +33,7 @@ const char* kValueFlags[] = {
     "--dwgMinLen",    "--dwgMaxLen",
     "--captureDir",   "--csvSchema",       "--mesh",
     "--solFmaK",      "--solFmaMiB",       "--solStreamMiB",
-    "--solMatmulDim",
+    "--solMatmulDim", "--solVmemMiB",
     "--compilationCacheDir",
 };
 

@@ -10,7 +10,8 @@ import pytest
 from gpuaudiobench_tpu.harness.runner import run_benchmark
 from gpuaudiobench_tpu.registry import CATEGORIES, create_benchmark
 
-SOL_NAMES = ["SOL_VPU", "SOL_HBM", "SOL_MXU_bf16", "SOL_MXU_f32"]
+SOL_NAMES = ["SOL_VPU", "SOL_VMEM", "SOL_HBM",
+             "SOL_MXU_bf16", "SOL_MXU_f32"]
 
 
 def test_speedoflight_category_registered():
@@ -40,6 +41,38 @@ def test_fma_pallas_matches_xla(rng):
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(fma_chain_pallas(x, 24))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_fma_vmem_pallas_matches_xla(rng):
+    """The VMEM-carried chain computes the exact same per-pass math as
+    the register-resident one; only the carry's residence differs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpuaudiobench_tpu.ops.speedoflight import (
+        fma_chain_xla,
+        fma_vmem_pallas,
+    )
+
+    x = (rng.random((64, 1024), dtype=np.float32) * 2 - 1).astype(np.float32)
+    ref = np.asarray(fma_chain_xla(x, 24))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(fma_vmem_pallas(x, 24))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_sol_vmem_declares_vmem_traffic(small_cfg):
+    """SOL_VMEM's cost model must carry the vmem_bytes the calibration
+    divides by (8 B/element/pass), and the roofline must surface it."""
+    from gpuaudiobench_tpu.utils.roofline import roofline_metrics
+
+    bench = create_benchmark("SOL_VMEM", small_cfg)
+    bench.setup()
+    cost = bench.cost_model()
+    n = bench.host_input.size
+    assert cost["vmem_bytes"] == bench.k * 8 * n
+    rm = roofline_metrics(cost, device_ms=1.0)
+    assert rm["vmem_pct_of_peak"] > 0
+    assert "achieved_vmem_gbps" in rm
 
 
 @pytest.mark.parametrize("name", SOL_NAMES)

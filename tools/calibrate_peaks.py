@@ -1,6 +1,6 @@
 """Measure the roofline denominators on the chip and persist them.
 
-Runs the speedoflight category (SOL_VPU / SOL_HBM / SOL_MXU_bf16 /
+Runs the speedoflight category (SOL_VPU / SOL_VMEM / SOL_HBM / SOL_MXU_bf16 /
 SOL_MXU_f32, models/speedoflight.py) through the standard harness on
 the current device and writes the achieved rates -- which by
 construction ARE the peaks -- to
@@ -39,6 +39,7 @@ from gpuaudiobench_tpu.utils.roofline import (  # noqa: E402
 # whether the rate comes from flops or bytes.
 TARGETS = {
     "SOL_VPU": ("vpu_f32_flops", "flops"),
+    "SOL_VMEM": ("vmem_bytes_per_sec", "vmem_bytes"),
     "SOL_HBM": ("hbm_bytes_per_sec", "hbm_bytes"),
     "SOL_MXU_bf16": ("mxu_bf16_flops", "flops"),
     "SOL_MXU_f32": ("mxu_f32_flops", "flops"),
@@ -117,7 +118,8 @@ def main(argv=None) -> int:
         row = measure(cfg, name)
         rows.append(row)
         peaks[row["peak_key"]] = row["measured_rate"]
-        unit = "GB/s" if row["peak_key"].startswith("hbm") else "GFLOP/s"
+        unit = ("GB/s" if row["peak_key"].endswith("bytes_per_sec")
+                else "GFLOP/s")
         spec = SPEC_PEAK[row["peak_key"]]
         print(
             f"    {row['measured_rate'] / 1e9:,.1f} {unit} "
@@ -132,6 +134,7 @@ def main(argv=None) -> int:
         "config": {
             "nRuns": args.nRuns, "pipelineDepth": args.pipelineDepth,
             "solFmaK": cfg.sol_fma_k, "solFmaMiB": cfg.sol_fma_mib,
+            "solVmemMiB": cfg.sol_vmem_mib,
             "solStreamMiB": cfg.sol_stream_mib,
             "solMatmulDim": cfg.sol_matmul_dim,
         },
