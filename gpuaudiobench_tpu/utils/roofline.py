@@ -90,7 +90,18 @@ def resolve_peaks(
                  if k in SPEC_PEAK}
             )
             stamp = measured.get("measured_at", "")
-            return peaks, f"measured({kind or 'unknown'}{', ' + stamp if stamp else ''})"
+            source = (
+                f"measured({kind or 'unknown'}"
+                f"{', ' + stamp if stamp else ''})"
+            )
+            # A partial calibration (e.g. a peaks file predating a newly
+            # added SOL_* key) must not claim "measured" for the keys it
+            # falls back on.
+            missing = sorted(k for k in SPEC_PEAK
+                             if k not in measured["peaks"])
+            if missing:
+                source += " +spec:" + ",".join(missing)
+            return peaks, source
     return dict(SPEC_PEAK), "spec-estimate"
 
 

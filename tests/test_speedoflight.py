@@ -173,3 +173,29 @@ def test_calibrate_targets_cover_all_peak_keys():
     from gpuaudiobench_tpu.utils.roofline import SPEC_PEAK
 
     assert {k for k, _ in mod.TARGETS.values()} == set(SPEC_PEAK)
+
+
+def test_partial_calibration_discloses_spec_fallback(tmp_path):
+    """A peaks file missing a key (e.g. written before SOL_VMEM
+    existed) must name the keys that fall back to spec in the
+    peak_source string instead of claiming them measured."""
+    from gpuaudiobench_tpu.utils.roofline import SPEC_PEAK, resolve_peaks
+
+    path = str(tmp_path / "peaks.json")
+    with open(path, "w") as f:
+        json.dump({"device_kind": "TPU vX",
+                   "peaks": {"vpu_f32_flops": 5e12}}, f)
+    peaks, source = resolve_peaks("TPU vX", path=path)
+    assert peaks["vpu_f32_flops"] == 5e12
+    assert peaks["vmem_bytes_per_sec"] == SPEC_PEAK["vmem_bytes_per_sec"]
+    assert source.startswith("measured(TPU vX")
+    assert "+spec:" in source and "vmem_bytes_per_sec" in source
+    # a complete calibration carries no fallback suffix
+    with open(path, "w") as f:
+        json.dump({"device_kind": "TPU vX",
+                   "peaks": {k: 1e12 for k in SPEC_PEAK}}, f)
+    from gpuaudiobench_tpu.utils.roofline import _load_measured
+
+    _load_measured.cache_clear()
+    _, source = resolve_peaks("TPU vX", path=path)
+    assert "+spec:" not in source
