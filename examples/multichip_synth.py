@@ -120,6 +120,17 @@ def main(argv=None) -> int:
           f"sharded over {n_dev} device(s) [mesh axis tp]")
     print(f"matches single-device render: {ok} "
           f"(max rel err {max_rel:.2e} vs peak)")
+
+    # What the block psum SHOULD cost on real v5e ICI (the suite's
+    # analytic model, parallel/ici_model.py -- serial upper bound):
+    if n_dev > 1:
+        from gpuaudiobench_tpu.parallel.ici_model import collective_ms
+
+        psum_ms = collective_ms("psum", BLOCK * 4, n_dev)
+        print(f"analytic ICI cost of the per-block psum on a {n_dev}-chip "
+              f"v5e ring: {psum_ms * 1e3:.1f} us/block "
+              f"({psum_ms / (BLOCK / FS * 1e3) * 100:.2f}% of the "
+              "real-time budget)")
     return 0 if ok else 1
 
 
