@@ -98,6 +98,14 @@ class JobRunner:
 
     MAX_JOBS = 50
     MAX_RESULTS = 500  # session accumulator cap (drop-oldest)
+    # A running job whose phase hasn't advanced for this long is
+    # reported as stalled. A wedged TPU relay hangs INSIDE a device
+    # call, which a Python thread cannot interrupt -- the honest move
+    # is to say so in /api/job instead of looking dead. Phases are
+    # stage boundaries and a legitimate xplane device-timing pass can
+    # take minutes on a relay rig, so the threshold is deliberately
+    # lax (10 min) and the message says "may be", not "is".
+    STALL_AFTER_S = 600
 
     def __init__(self) -> None:
         self.jobs: Dict[str, Dict[str, Any]] = {}
@@ -135,7 +143,15 @@ class JobRunner:
     def get(self, job_id: str) -> Optional[Dict[str, Any]]:
         with self._lock:
             job = self.jobs.get(job_id)
-            return json.loads(json.dumps(job)) if job else None
+            if job is None:
+                return None
+            out = json.loads(json.dumps(job))
+            if job["status"] == "running":
+                quiet = time.time() - job.get("phase_at",
+                                              job["submitted_at"])
+                if quiet > self.STALL_AFTER_S:
+                    out["stalled_seconds"] = int(quiet)
+            return out
 
     def list_jobs(self) -> List[Dict[str, Any]]:
         with self._lock:
@@ -172,6 +188,7 @@ class JobRunner:
             with self._lock:
                 job["current"] = name
                 job["phase"] = "setup"
+                job["phase_at"] = time.time()
 
             def set_phase(p: str) -> None:
                 # Stage-boundary progress (runner progress_cb): a
@@ -179,6 +196,7 @@ class JobRunner:
                 # as "device-timing", not a hang.
                 with self._lock:
                     job["phase"] = p
+                    job["phase_at"] = time.time()
 
             # One failing benchmark doesn't kill the suite
             # (main.swift:261-341; cli.py run loop).

@@ -471,3 +471,40 @@ def test_job_reports_phase(ui_server):
     assert phases, "no phase ever surfaced"
     assert phases <= {"setup", "warmup", "timed", "device-timing",
                       "saturated", "validate"}
+
+
+def test_running_job_reports_stall():
+    """A running job whose phase hasn't advanced for STALL_AFTER_S is
+    reported with stalled_seconds -- a wedged device call cannot be
+    interrupted from Python, so the API must at least say so instead
+    of looking identical to healthy progress."""
+    import time as _time
+
+    from gpuaudiobench_tpu.webui.server import JobRunner
+
+    r = JobRunner()
+    try:
+        # Hand-install a running job frozen in the past; nothing is
+        # queued, so the worker never touches it.
+        with r._lock:
+            r.jobs["stuck1"] = {
+                "id": "stuck1", "status": "running",
+                "benchmarks": ["gain"], "completed": 0, "total": 1,
+                "current": "gain", "phase": "device-timing",
+                "results": [], "errors": [],
+                "submitted_at": _time.time() - 1000,
+                "phase_at": _time.time() - 1000,
+            }
+        job = r.get("stuck1")
+        assert job["stalled_seconds"] >= 900
+        # fresh progress -> no stall flag
+        with r._lock:
+            r.jobs["stuck1"]["phase_at"] = _time.time()
+        assert "stalled_seconds" not in r.get("stuck1")
+        # finished jobs never report stall regardless of age
+        with r._lock:
+            r.jobs["stuck1"]["status"] = "done"
+            r.jobs["stuck1"]["phase_at"] = _time.time() - 1000
+        assert "stalled_seconds" not in r.get("stuck1")
+    finally:
+        r.shutdown()
