@@ -65,7 +65,11 @@ def save_stream_state(
     arrays["header"] = np.frombuffer(
         json.dumps(header).encode("utf-8"), dtype=np.uint8
     )
-    tmp = path + ".tmp"
+    # Unique temp name: two concurrent savers to the same path (e.g. a
+    # soak accidentally started twice with one --checkpoint) must not
+    # truncate each other's half-written zip or unlink each other's
+    # temp -- each writes its own file and the os.replace()s serialize.
+    tmp = f"{path}.tmp.{os.getpid()}"
     try:
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)
@@ -77,15 +81,17 @@ def save_stream_state(
 
 
 def read_header(path: str) -> Dict[str, Any]:
+    raw = None
     try:
         with np.load(path) as z:
-            if "header" not in z.files:
-                raise ValueError(f"{path}: no checkpoint header")
-            raw = bytes(z["header"])
-    except ValueError:
-        raise
-    except Exception as e:  # BadZipFile, FileNotFoundError, ...
+            if "header" in z.files:
+                raw = bytes(z["header"])
+    except Exception as e:  # BadZipFile, FileNotFoundError, numpy
+        # ValueErrors from a torn member, ... -- every low-level
+        # failure gets wrapped with the path, uniformly.
         raise ValueError(f"{path}: unreadable checkpoint ({e})") from e
+    if raw is None:
+        raise ValueError(f"{path}: no checkpoint header")
     try:
         header = json.loads(raw.decode("utf-8"))
     except Exception as e:

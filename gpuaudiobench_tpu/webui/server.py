@@ -140,26 +140,37 @@ class JobRunner:
         self._q.put(job_id)
         return job_id
 
+    def _stalled_seconds(self, job: Dict[str, Any]) -> Optional[int]:
+        """Quiet time of a running job past STALL_AFTER_S, else None.
+        Caller holds the lock."""
+        if job["status"] != "running":
+            return None
+        quiet = time.time() - job.get("phase_at", job["submitted_at"])
+        return int(quiet) if quiet > self.STALL_AFTER_S else None
+
     def get(self, job_id: str) -> Optional[Dict[str, Any]]:
         with self._lock:
             job = self.jobs.get(job_id)
             if job is None:
                 return None
             out = json.loads(json.dumps(job))
-            if job["status"] == "running":
-                quiet = time.time() - job.get("phase_at",
-                                              job["submitted_at"])
-                if quiet > self.STALL_AFTER_S:
-                    out["stalled_seconds"] = int(quiet)
+            stalled = self._stalled_seconds(job)
+            if stalled is not None:
+                out["stalled_seconds"] = stalled
             return out
 
     def list_jobs(self) -> List[Dict[str, Any]]:
         with self._lock:
-            return [
-                {k: j[k] for k in ("id", "status", "benchmarks", "completed",
-                                   "total", "submitted_at")}
-                for j in self.jobs.values()
-            ]
+            rows = []
+            for j in self.jobs.values():
+                row = {k: j[k] for k in ("id", "status", "benchmarks",
+                                         "completed", "total",
+                                         "submitted_at")}
+                stalled = self._stalled_seconds(j)
+                if stalled is not None:
+                    row["stalled_seconds"] = stalled
+                rows.append(row)
+            return rows
 
     def shutdown(self) -> None:
         self._q.put(None)

@@ -95,9 +95,9 @@ def test_truncated_checkpoint_rejected(tmp_path, small_cfg):
         f.write(good[: len(good) // 2])  # simulate torn write
     with pytest.raises(ValueError, match="unreadable"):
         read_header(path)
-    # no stray temp file after a clean save
+    # no stray temp file after a clean save (pid-unique tmp names)
     save_stream_state(path, carry, benchmark="IIRFilter")
-    assert not (tmp_path / "state.npz.tmp").exists()
+    assert not list(tmp_path.glob("state.npz.tmp*"))
 
 
 def test_lying_header_rejected(tmp_path, small_cfg):

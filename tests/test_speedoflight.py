@@ -199,3 +199,21 @@ def test_partial_calibration_discloses_spec_fallback(tmp_path):
     _load_measured.cache_clear()
     _, source = resolve_peaks("TPU vX", path=path)
     assert "+spec:" not in source
+
+
+def test_calibrate_refuses_vmem_from_xla_fallback(small_cfg):
+    """On a non-Pallas backend SOL_VMEM computes the right VALUES but
+    its rate is an FMA rate, not a VMEM rate; calibration must refuse
+    to persist it (the CLI run skips-and-discloses instead)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "calibrate_peaks",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "calibrate_peaks.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(RuntimeError, match="XLA fallback"):
+        mod.measure(small_cfg, "SOL_VMEM")

@@ -497,6 +497,9 @@ def test_running_job_reports_stall():
             }
         job = r.get("stuck1")
         assert job["stalled_seconds"] >= 900
+        # the jobs LISTING must tell the same story as the job view
+        listed = {j["id"]: j for j in r.list_jobs()}
+        assert listed["stuck1"]["stalled_seconds"] >= 900
         # fresh progress -> no stall flag
         with r._lock:
             r.jobs["stuck1"]["phase_at"] = _time.time()
