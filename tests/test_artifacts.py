@@ -227,3 +227,35 @@ def test_compare_runs_tool(tmp_path):
     if os.path.exists(r2) and os.path.exists(r3):
         _, gating = comp.compare(r2, r3)
         assert gating == [], gating
+
+
+def test_doctor_checks(monkeypatch):
+    """tools/doctor.py: the device probe must answer from a healthy
+    CPU backend and must FAIL (not hang) on an unresponsive one; the
+    auxiliary checks classify without raising."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "doctor", _os.path.join(_os.path.dirname(__file__), "..",
+                                "tools", "doctor.py"))
+    doc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(doc)
+
+    # The child re-runs any sitecustomize on PYTHONPATH (which may dial
+    # a TPU tunnel); scrub it so the probe tests the CPU backend.
+    monkeypatch.setenv("PYTHONPATH", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    status, detail, kind = doc.probe_device(120.0)
+    assert status == doc.OK, detail
+    assert kind == "cpu"
+    # an effectively-zero timeout is indistinguishable from a wedge:
+    # the probe must come back as FAIL, never hang
+    status, detail, _ = doc.probe_device(0.05)
+    assert status == doc.FAIL and "wedged" in detail
+    # aux checks return (status, detail) without raising
+    for fn, arg in ((doc.check_peaks, kind), (doc.check_peaks, None)):
+        s, d = fn(arg)
+        assert s in (doc.OK, doc.WARN) and isinstance(d, str)
+    assert doc.check_compile_cache()[0] in (doc.OK, doc.WARN)
+    assert doc.check_native()[0] in (doc.OK, doc.WARN)
