@@ -152,7 +152,7 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
                 (TRACKS_PER_STEP, 128), lambda i, *_: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pool stays HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # pool stays HBM
         ],
         out_specs=pl.BlockSpec(
             (TRACKS_PER_STEP * out_rows, 128), lambda i, *_: (i, 0),
