@@ -1,0 +1,75 @@
+#!/usr/bin/env bash
+# Queued on-chip work for the next healthy relay window (round 3 backlog).
+#
+# Runs the measurements that were blocked when the relay wedged:
+#   0. health probe + quiet-window check (gain CV; OPERATIONS.md protocol)
+#   1. tools/calibrate_peaks.py rerun -> measured_peaks.json gains the
+#      SOL_VMEM denominator (vmem_bytes_per_sec), closing the
+#      "+spec:vmem_bytes_per_sec" fallback disclosed by peak_source
+#   2. bench.py sanity (saturated_rep_p50_ms field on real hardware)
+#   3. IIRFilter bufferSize-64 spot check (small-block unroll cap
+#      non-regression; the S=512 archived path is unchanged by design)
+#   4. examples on the real chip (Pallas path end-to-end)
+#
+# Every step is individually timed out and logged; a failure does not
+# stop later steps. Logs land in /tmp/chip_queue/. Safe to re-run.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/chip_queue
+mkdir -p "$LOG"
+note() { printf '%s %s\n' "$(date +%H:%M:%S)" "$*" | tee -a "$LOG/summary.log"; }
+
+run_step() { # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  note "START $name"
+  if timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1; then
+    note "OK    $name"
+  else
+    note "FAIL  $name (rc=$?, see $LOG/$name.log)"
+  fi
+}
+
+note "=== chip_queue run ==="
+
+# 0a. Health probe: a wedged relay hangs interpreter startup; bound it.
+if ! timeout 90 python -c "import jax; print(jax.devices())" >"$LOG/probe.log" 2>&1; then
+  note "ABORT relay still unhealthy (probe timed out/failed)"
+  exit 2
+fi
+note "probe ok: $(cat "$LOG/probe.log")"
+
+# 0b. Quiet-window check: archived numbers must come from a quiet relay
+# hour (OPERATIONS.md). Gain CV > 10% => warn but continue (the VMEM
+# calibration uses xplane device medians, which are drift-immune).
+run_step quietcheck 600 python -m gpuaudiobench_tpu.cli \
+  --benchmark gain --nRuns 10 --warmup 3 --pipelineDepth 64 \
+  --verification spot --outputfile "$LOG/quietcheck.csv"
+grep -E "Run-to-run CV|Saturated|Device M" "$LOG/quietcheck.log" \
+  | tee -a "$LOG/summary.log" || true
+
+# 1. Calibrate peaks including SOL_VMEM (writes utils/measured_peaks.json).
+run_step calibrate 3600 python tools/calibrate_peaks.py
+grep -E "vmem|peak|TFLOP|GB/s" "$LOG/calibrate.log" | tail -20 \
+  | tee -a "$LOG/summary.log" || true
+
+# 2. bench.py on-chip sanity (the driver-executed artifact).
+run_step bench 2400 python bench.py
+
+# 3. IIR small-block non-regression (unroll cap landed after last regen).
+run_step iir64 900 python -m gpuaudiobench_tpu.cli \
+  --benchmark IIRFilter --bufferSize 64 --nRuns 5 --warmup 2 \
+  --pipelineDepth 64 --verification spot --outputfile "$LOG/iir64.csv"
+run_step iir512 900 python -m gpuaudiobench_tpu.cli \
+  --benchmark IIRFilter --nRuns 5 --warmup 2 \
+  --pipelineDepth 64 --verification spot --outputfile "$LOG/iir512.csv"
+
+# 4. Examples end-to-end on the chip (small durations: the relay pays
+# an RPC per block, so seconds of audio are minutes of wall time).
+run_step ex_bell 1800 python examples/streaming_synth.py \
+  --seconds 0.5 --out /tmp/chip_queue/bell.wav
+run_step ex_rir 1800 python examples/room_impulse.py \
+  --seconds 0.25 --out /tmp/chip_queue/rir.wav
+run_step ex_mesh 1800 python examples/multichip_synth.py \
+  --seconds 0.25 --out /tmp/chip_queue/bell_mesh.wav
+
+note "=== chip_queue done ==="
