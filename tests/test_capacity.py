@@ -1,0 +1,115 @@
+"""tools/capacity.py: real-time capacity search.
+
+The search core is tested exhaustively against synthetic monotone
+oracles (no hardware in the loop); one smoke test drives the real
+harness end-to-end at toy sizes on the CPU backend.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from capacity import knob_for, quantize, search_capacity  # noqa: E402
+
+
+def oracle(threshold):
+    """Monotone pass/fail: sustains iff value <= threshold."""
+    return lambda v: v <= threshold
+
+
+def test_finds_exact_quantized_capacity():
+    # threshold 5000, quantum 128: largest passing multiple is 4992.
+    cap, probes, ceiling = search_capacity(
+        oracle(5000), lo=128, hi=128 * 512, quantum=128, max_evals=30)
+    assert cap == 4992
+    assert not ceiling
+    # every probe respected monotonicity bookkeeping
+    assert all(ok == (v <= 5000) for v, ok in probes)
+
+
+def test_lo_fails_means_no_capacity():
+    cap, probes, ceiling = search_capacity(
+        oracle(0), lo=128, hi=1024, quantum=128, max_evals=10)
+    assert cap is None
+    assert probes == [(128, False)]
+    assert not ceiling
+
+
+def test_hi_passes_flags_ceiling():
+    cap, probes, ceiling = search_capacity(
+        oracle(10**9), lo=128, hi=1024, quantum=128, max_evals=10)
+    assert cap == 1024
+    assert ceiling
+
+
+def test_probe_budget_is_respected():
+    calls = []
+
+    def ev(v):
+        calls.append(v)
+        return v <= 100_000
+
+    cap, probes, _ = search_capacity(
+        ev, lo=128, hi=1 << 20, quantum=128, max_evals=5)
+    assert len(calls) <= 5
+    assert cap is not None  # best certified value under the budget
+    assert cap <= 100_000
+
+
+def test_capacity_exactly_on_quantum_boundary():
+    cap, _, _ = search_capacity(
+        oracle(2048), lo=128, hi=8192, quantum=128, max_evals=30)
+    assert cap == 2048
+
+
+def test_misaligned_bounds_rejected():
+    with pytest.raises(ValueError):
+        search_capacity(oracle(10), lo=100, hi=1000, quantum=128,
+                        max_evals=5)
+    with pytest.raises(ValueError):
+        search_capacity(oracle(10), lo=256, hi=128, quantum=128,
+                        max_evals=5)
+
+
+def test_quantize():
+    assert quantize(5000, 128, 128) == 4992
+    assert quantize(100, 128, 128) == 128  # floors to lo
+
+
+def test_knob_map():
+    assert knob_for("ModalFilterBank")[0] == "modal_num_modes"
+    assert knob_for("gain")[0] == "n_tracks"
+    with pytest.raises(SystemExit):
+        knob_for("FDTD3D")
+    with pytest.raises(SystemExit):
+        knob_for("SOL_VPU")
+
+
+def test_end_to_end_gain_cpu(tmp_path):
+    """Full tool path at toy sizes: gain trivially sustains the
+    10.67 ms deadline on any backend, so the search must hit the
+    ceiling and the JSON record must carry the confirmation run."""
+    from capacity import main
+
+    out = tmp_path / "cap.json"
+    rc = main([
+        "--benchmark", "gain", "--lo", "64", "--hi", "128",
+        "--quantum", "64", "--maxEvals", "4", "--nRuns", "2",
+        "--warmup", "1", "--pipelineDepth", "8", "--satReps", "3",
+        "--json", str(out),
+    ])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["capacity"] == 128
+    assert rec["ceiling_hit"] is True
+    assert rec["knob"] == "n_tracks"
+    assert rec["deadline_ms"] == pytest.approx(1000.0 * 512 / 48000)
+    assert rec["confirmation"]["valid"] is True
+    assert rec["confirmation"]["saturated_p99_ms"] is not None
+    # the confirmation run re-enables device timing
+    assert "device_p50_ms" in rec["confirmation"]
+    assert all(p["valid"] for p in rec["probes"])

@@ -1,0 +1,242 @@
+"""Real-time capacity search: the largest workload this chip sustains.
+
+The DAFx-24 poster's underlying question is "at what scale does GPU
+audio still make the buffer deadline?" (the Conv1D pass/fail example,
+media/dafx24/index.html:420-436, and the tab4/tab6 size sweeps). This
+tool answers it directly: binary-search a workload knob (modal modes,
+track count) for the largest value whose SATURATED p99 stays at or
+under the buffer deadline (1000*bufferSize/fs ms, cuda/globals.cu:55).
+
+The saturated tier is the criterion because it is the chip-meaningful
+one on this rig: single-block round trips sit on the relay's RPC
+floor (docs/OPERATIONS.md), which says nothing about what the chip
+sustains. Device timing is disabled during the search (it costs an
+xplane pass per probe) and re-enabled for one confirmation run at the
+found capacity, which is what gets archived.
+
+Usage:
+  python tools/capacity.py --benchmark ModalFilterBank
+  python tools/capacity.py --benchmark Conv1D --bufferSize 64
+  python tools/capacity.py --benchmark IIRFilter --hi 16384 --json out.json
+
+Search semantics: the measured pass/fail is assumed monotone in the
+knob (bigger workload is never faster). Geometric ascent from --lo
+until the first miss, then bisection to the --quantum granularity
+(128 tracks = the TPU lane width; 1024 modes), bounded by --maxEvals
+probes since every probe is a fresh compile + measured run.
+"""
+
+from __future__ import annotations
+
+import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
+
+import argparse
+import json
+import sys
+
+# benchmark -> (BenchConfig field, lo, hi, quantum). Everything not
+# listed scales on the track axis. FDTD3D is excluded: its workload is
+# the fixed 52^3 grid (bench_fdtd3d.cuh:12-38), not the track count.
+KNOBS = {
+    "ModalFilterBank": ("modal_num_modes", 1024, 1 << 24, 1024),
+}
+TRACK_KNOB = ("n_tracks", 128, 1 << 16, 128)
+EXCLUDED = ("FDTD3D", "NoOp", "SOL_")
+
+
+def quantize(v: int, quantum: int, lo: int) -> int:
+    return max(lo, (v // quantum) * quantum)
+
+
+def search_capacity(evaluate, lo, hi, quantum, max_evals):
+    """Largest v in [lo, hi] (quantum grid) with evaluate(v) True.
+
+    evaluate(v) -> bool, assumed monotone (True below some threshold).
+    Returns (capacity, probes, ceiling_hit):
+      capacity     None if even lo fails; otherwise the largest passing
+                   value the probe budget could certify.
+      probes       [(value, passed), ...] in evaluation order.
+      ceiling_hit  True if hi itself passed (real capacity may exceed hi).
+    """
+    if lo % quantum or hi % quantum:
+        raise ValueError("lo and hi must be multiples of quantum")
+    if lo > hi:
+        raise ValueError("lo > hi")
+    probes = []
+
+    def ev(v):
+        ok = bool(evaluate(v))
+        probes.append((v, ok))
+        return ok
+
+    if not ev(lo):
+        return None, probes, False
+    good, bad = lo, None
+    # Geometric ascent: doubling finds the miss region in log probes.
+    v = lo
+    while v < hi and len(probes) < max_evals:
+        v = min(v * 2, hi)
+        if ev(v):
+            good = v
+        else:
+            bad = v
+            break
+    # Bisection between the last pass and the first miss.
+    while bad is not None and bad - good > quantum and len(probes) < max_evals:
+        mid = quantize((good + bad) // 2, quantum, lo)
+        if mid <= good or mid >= bad:
+            break
+        if ev(mid):
+            good = mid
+        else:
+            bad = mid
+    return good, probes, bad is None and good == hi
+
+
+def knob_for(benchmark: str):
+    if any(benchmark.startswith(p) for p in EXCLUDED):
+        raise SystemExit(
+            f"{benchmark}: no capacity knob (FDTD's workload is the fixed "
+            "grid; NoOp/speedoflight measure overhead, not load)")
+    return KNOBS.get(benchmark, TRACK_KNOB)
+
+
+def harness_probe(benchmark, field, args, device_timing=False):
+    """Returns evaluate(value) -> (sustains, detail dict)."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    def evaluate(value):
+        cfg = BenchConfig(
+            fs=args.fs,
+            buffer_size=args.bufferSize,
+            n_runs=args.nRuns,
+            warmup=args.warmup,
+            pipeline_depth=args.pipelineDepth,
+            saturated_reps=args.satReps,
+            verification=args.verification,
+            write_latencies=False,
+            quiet=True,
+            device_timing=device_timing,
+            **{field: value},
+        )
+        b = create_benchmark(benchmark, cfg)
+        b.setup()
+        r = run_benchmark(b, cfg, verbose=False)
+        valid = r.validation is None or r.validation.passed
+        ss = r.saturated_statistics
+        p99 = ss.p99 if ss else float("inf")
+        deadline = cfg.deadline_ms() * (1.0 - args.margin)
+        detail = {
+            "value": value,
+            "saturated_p50_ms": round(ss.median, 4) if ss else None,
+            "saturated_p99_ms": round(p99, 4) if ss else None,
+            "valid": valid,
+            "device_p50_ms": (round(r.device_statistics.median, 4)
+                              if r.device_statistics else None),
+        }
+        return valid and p99 <= deadline, detail
+
+    return evaluate
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--benchmark", required=True)
+    ap.add_argument("--fs", type=int, default=48000)
+    ap.add_argument("--bufferSize", type=int, default=512)
+    ap.add_argument("--lo", type=int, default=None)
+    ap.add_argument("--hi", type=int, default=None)
+    ap.add_argument("--quantum", type=int, default=None)
+    ap.add_argument("--maxEvals", type=int, default=12,
+                    help="probe budget; each probe is a compile + run")
+    ap.add_argument("--nRuns", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--pipelineDepth", type=int, default=256)
+    ap.add_argument("--satReps", type=int, default=11)
+    ap.add_argument("--verification", default="spot")
+    ap.add_argument("--margin", type=float, default=0.0,
+                    help="safety fraction shaved off the deadline "
+                         "(0.1 = require p99 <= 90%% of deadline); the "
+                         "reference criterion is exactly p99 <= deadline")
+    ap.add_argument("--json", default="",
+                    help="write the search record to this path")
+    args = ap.parse_args(argv)
+
+    field, lo, hi, quantum = knob_for(args.benchmark)
+    lo = args.lo if args.lo is not None else lo
+    hi = args.hi if args.hi is not None else hi
+    quantum = args.quantum if args.quantum is not None else quantum
+    deadline = 1000.0 * args.bufferSize / args.fs
+
+    print(f"capacity: {args.benchmark} knob={field} range=[{lo}, {hi}] "
+          f"quantum={quantum} deadline={deadline:.3f} ms "
+          f"(buffer {args.bufferSize} @ {args.fs} Hz, margin {args.margin})")
+
+    probe = harness_probe(args.benchmark, field, args)
+    details = []
+
+    def evaluate(v):
+        ok, d = probe(v)
+        details.append(d)
+        print(f"  probe {field}={v}: sat p99 "
+              f"{d['saturated_p99_ms']} ms -> "
+              f"{'sustains' if ok else 'MISSES' if d['valid'] else 'INVALID'}")
+        if not d["valid"]:
+            print(f"  WARNING: validation failed at {field}={v}; "
+                  "treated as infeasible but investigate", file=sys.stderr)
+        return ok
+
+    capacity, probes, ceiling = search_capacity(
+        evaluate, lo, hi, quantum, args.maxEvals)
+
+    confirm = None
+    if capacity is not None:
+        # Archive-grade confirmation at the found capacity with device
+        # timing on (the searched probes skip it for speed).
+        ok, confirm = harness_probe(
+            args.benchmark, field, args, device_timing=True)(capacity)
+        confirm["sustains"] = ok
+
+    record = {
+        "benchmark": args.benchmark,
+        "knob": field,
+        "capacity": capacity,
+        "ceiling_hit": ceiling,
+        "deadline_ms": deadline,
+        "margin": args.margin,
+        "buffer_size": args.bufferSize,
+        "fs": args.fs,
+        "pipeline_depth": args.pipelineDepth,
+        "saturated_reps": args.satReps,
+        "probes": details,
+        "confirmation": confirm,
+    }
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"written: {args.json}")
+
+    if capacity is None:
+        print(f"RESULT: {args.benchmark} misses deadline even at "
+              f"{field}={lo}")
+        return 1
+    qualifier = " (>= search ceiling; raise --hi)" if ceiling else ""
+    print(f"RESULT: {args.benchmark} sustains {field}={capacity}{qualifier} "
+          f"at buffer {args.bufferSize} @ {args.fs} Hz "
+          f"(sat p99 {confirm['saturated_p99_ms']} ms vs "
+          f"{deadline:.3f} ms deadline"
+          + (f", device p50 {confirm['device_p50_ms']} ms" if
+             confirm.get("device_p50_ms") is not None else "") + ")")
+    if confirm is not None and not confirm.get("sustains", True):
+        print("NOTE: confirmation run regressed past the deadline; the "
+              "boundary is noise-adjacent — re-run with --margin 0.05",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
