@@ -72,4 +72,17 @@ run_step ex_rir 1800 python examples/room_impulse.py \
 run_step ex_mesh 1800 python examples/multichip_synth.py \
   --seconds 0.25 --out /tmp/chip_queue/bell_mesh.wav
 
+# 5. Capacity headlines (tools/capacity.py): the largest modal bank and
+# Conv1D track count that sustain real time on this chip. lo starts at
+# sizes the archived results already prove sustain (modal 1M = ~1.04 ms
+# vs 10.67 ms deadline), so the probe budget is spent near the boundary.
+run_step cap_modal 5400 python tools/capacity.py \
+  --benchmark ModalFilterBank --lo 1048576 --hi 33554432 \
+  --maxEvals 10 --json "$LOG/cap_modal.json"
+run_step cap_conv 5400 python tools/capacity.py \
+  --benchmark Conv1D --lo 1024 --hi 65536 \
+  --maxEvals 10 --json "$LOG/cap_conv.json"
+grep -h "RESULT" "$LOG/cap_modal.log" "$LOG/cap_conv.log" 2>/dev/null \
+  | tee -a "$LOG/summary.log" || true
+
 note "=== chip_queue done ==="
