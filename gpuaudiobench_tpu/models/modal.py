@@ -155,9 +155,16 @@ class ModalFilterBankBenchmark(Benchmark):
         self._dev = {k: self.put_sharded(v) for k, v in self.params.items()}
         self.track_alloc("modeParams", self.num_modes * NUM_MODE_PARAMS * 4)
         self.track_alloc("outputBuffer", self.output_tracks * self.buffer_size * 4)
-        self.golden = modal_reference(
-            amp, cos_w, sin_w, sre, sim, self.buffer_size, self.output_tracks
-        )
+        # The golden iterates the full bank on the host (~linear in
+        # modes; minutes at 10M+), so skip it when validation is off --
+        # capacity probes (tools/capacity.py) search boundary sizes
+        # with --verification none (DWG gates its golden the same way).
+        self.golden = None
+        if self.cfg.verification != "none":
+            self.golden = modal_reference(
+                amp, cos_w, sin_w, sre, sim,
+                self.buffer_size, self.output_tracks,
+            )
         self.host_output = None
         self._impl = self.resolve_impl()
         self.iterate()
@@ -246,6 +253,11 @@ class ModalFilterBankBenchmark(Benchmark):
         return step, (d["state_re"], d["state_im"])
 
     def validate(self) -> ValidationData:
+        if self.golden is None:  # verification == "none" (no golden)
+            return compare_rel(
+                self.host_output, self.host_output, self.tolerance,
+                mode="none", label=self.name,
+            )
         # Relative-to-peak metric (error <= tol * max|golden|): summing
         # thousands of f32 mode contributions carries ~1e-5-relative-to-
         # peak rounding regardless of implementation; at samples where

@@ -89,6 +89,50 @@ def test_knob_map():
         knob_for("SOL_VPU")
 
 
+def test_probe_exception_counts_as_infeasible(tmp_path, monkeypatch):
+    """A probe that raises (OOM at a boundary size) is a miss, not a
+    crash: the search still returns the best certified value."""
+    import capacity as cap
+
+    def fake_harness_probe(benchmark, field, args, device_timing=False):
+        def evaluate(value):
+            if value > 256:
+                raise MemoryError("RESOURCE_EXHAUSTED (simulated)")
+            return True, {"value": value, "saturated_p50_ms": 0.1,
+                          "saturated_p99_ms": 0.1, "valid": True,
+                          "device_p50_ms": 0.05}
+        return evaluate
+
+    monkeypatch.setattr(cap, "harness_probe", fake_harness_probe)
+    out = tmp_path / "cap.json"
+    rc = cap.main([
+        "--benchmark", "gain", "--lo", "128", "--hi", "1024",
+        "--quantum", "128", "--maxEvals", "8", "--json", str(out),
+    ])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["capacity"] == 256
+    assert any("error" in p for p in rec["probes"])
+
+
+def test_modal_skips_golden_when_verification_none():
+    """verification='none' must not pay the host golden (linear in
+    modes; the whole point of fast capacity probes)."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = BenchConfig(n_runs=1, warmup=1, verification="none",
+                      modal_num_modes=1024, write_latencies=False,
+                      quiet=True, device_timing=False)
+    b = create_benchmark("ModalFilterBank", cfg)
+    b.setup()
+    assert b.golden is None
+    r = run_benchmark(b, cfg, verbose=False)
+    assert r.validation is not None
+    assert r.validation.passed  # SKIPPED counts as non-failure
+
+
 def test_end_to_end_gain_cpu(tmp_path):
     """Full tool path at toy sizes: gain trivially sustains the
     10.67 ms deadline on any backend, so the search must hit the

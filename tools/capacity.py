@@ -157,7 +157,16 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--pipelineDepth", type=int, default=256)
     ap.add_argument("--satReps", type=int, default=11)
-    ap.add_argument("--verification", default="spot")
+    ap.add_argument("--verification", default="spot",
+                    help="validation mode during search probes; 'none' "
+                         "skips the host golden (linear in workload size "
+                         "-- minutes at 10M+ modes)")
+    ap.add_argument("--confirmVerification", default="",
+                    help="validation mode for the confirmation run at "
+                         "the found capacity (default: same as "
+                         "--verification); use 'spot' with "
+                         "'--verification none' to search fast but "
+                         "archive a validated point")
     ap.add_argument("--margin", type=float, default=0.0,
                     help="safety fraction shaved off the deadline "
                          "(0.1 = require p99 <= 90%% of deadline); the "
@@ -180,7 +189,15 @@ def main(argv=None) -> int:
     details = []
 
     def evaluate(v):
-        ok, d = probe(v)
+        # A probe that dies at a boundary size (e.g. RESOURCE_EXHAUSTED
+        # on an over-HBM allocation) is infeasible, not a tool crash.
+        try:
+            ok, d = probe(v)
+        except Exception as e:  # noqa: BLE001 - any probe failure = miss
+            details.append({"value": v, "error": f"{type(e).__name__}: {e}"})
+            print(f"  probe {field}={v}: FAILED ({type(e).__name__}) "
+                  "-> treated as infeasible", file=sys.stderr)
+            return False
         details.append(d)
         print(f"  probe {field}={v}: sat p99 "
               f"{d['saturated_p99_ms']} ms -> "
@@ -197,9 +214,18 @@ def main(argv=None) -> int:
     if capacity is not None:
         # Archive-grade confirmation at the found capacity with device
         # timing on (the searched probes skip it for speed).
-        ok, confirm = harness_probe(
-            args.benchmark, field, args, device_timing=True)(capacity)
-        confirm["sustains"] = ok
+        cargs = argparse.Namespace(**vars(args))
+        if args.confirmVerification:
+            cargs.verification = args.confirmVerification
+        try:
+            ok, confirm = harness_probe(
+                args.benchmark, field, cargs, device_timing=True)(capacity)
+            confirm["sustains"] = ok
+        except Exception as e:  # noqa: BLE001
+            confirm = {"value": capacity, "saturated_p99_ms": None,
+                       "error": f"{type(e).__name__}: {e}"}
+            print(f"  confirmation at {field}={capacity} FAILED: {e}",
+                  file=sys.stderr)
 
     record = {
         "benchmark": args.benchmark,

@@ -78,7 +78,8 @@ run_step ex_mesh 1800 python examples/multichip_synth.py \
 # vs 10.67 ms deadline), so the probe budget is spent near the boundary.
 run_step cap_modal 5400 python tools/capacity.py \
   --benchmark ModalFilterBank --lo 1048576 --hi 33554432 \
-  --maxEvals 10 --json "$LOG/cap_modal.json"
+  --maxEvals 10 --verification none --confirmVerification spot \
+  --json "$LOG/cap_modal.json"
 run_step cap_conv 5400 python tools/capacity.py \
   --benchmark Conv1D --lo 1024 --hi 65536 \
   --maxEvals 10 --json "$LOG/cap_conv.json"
