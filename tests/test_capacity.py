@@ -133,6 +133,45 @@ def test_modal_skips_golden_when_verification_none():
     assert r.validation.passed  # SKIPPED counts as non-failure
 
 
+def test_multi_benchmark_md_table(tmp_path, monkeypatch):
+    """Several --benchmark flags produce a list JSON + markdown table
+    using per-benchmark default ranges."""
+    import capacity as cap
+
+    def fake_harness_probe(benchmark, field, args, device_timing=False):
+        limit = 100_000 if field == "modal_num_modes" else 1000
+        return lambda v: (v <= limit, {
+            "value": v, "saturated_p50_ms": 0.5, "saturated_p99_ms": 0.6,
+            "valid": True, "device_p50_ms": 0.4})
+
+    monkeypatch.setattr(cap, "harness_probe", fake_harness_probe)
+    out_json = tmp_path / "caps.json"
+    out_md = tmp_path / "caps.md"
+    rc = cap.main([
+        "--benchmark", "ModalFilterBank", "--benchmark", "IIRFilter",
+        "--maxEvals", "30",
+        "--json", str(out_json), "--md", str(out_md),
+    ])
+    assert rc == 0
+    recs = json.loads(out_json.read_text())
+    assert [r["benchmark"] for r in recs] == ["ModalFilterBank",
+                                              "IIRFilter"]
+    assert recs[0]["knob"] == "modal_num_modes"
+    assert recs[0]["capacity"] == 99_328   # largest 1024-multiple <= 100k
+    assert recs[1]["capacity"] == 896      # largest 128-multiple <= 1000
+    md = out_md.read_text()
+    assert "| ModalFilterBank |" in md and "| IIRFilter |" in md
+    assert "99328" in md and "896" in md
+
+
+def test_multi_benchmark_rejects_explicit_bounds(tmp_path):
+    from capacity import main
+
+    with pytest.raises(SystemExit):
+        main(["--benchmark", "gain", "--benchmark", "IIRFilter",
+              "--lo", "128"])
+
+
 def test_end_to_end_gain_cpu(tmp_path):
     """Full tool path at toy sizes: gain trivially sustains the
     10.67 ms deadline on any backend, so the search must hit the

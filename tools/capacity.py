@@ -141,51 +141,19 @@ def harness_probe(benchmark, field, args, device_timing=False):
     return evaluate
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(
-        description=__doc__.splitlines()[0],
-        formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--benchmark", required=True)
-    ap.add_argument("--fs", type=int, default=48000)
-    ap.add_argument("--bufferSize", type=int, default=512)
-    ap.add_argument("--lo", type=int, default=None)
-    ap.add_argument("--hi", type=int, default=None)
-    ap.add_argument("--quantum", type=int, default=None)
-    ap.add_argument("--maxEvals", type=int, default=12,
-                    help="probe budget; each probe is a compile + run")
-    ap.add_argument("--nRuns", type=int, default=3)
-    ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--pipelineDepth", type=int, default=256)
-    ap.add_argument("--satReps", type=int, default=11)
-    ap.add_argument("--verification", default="spot",
-                    help="validation mode during search probes; 'none' "
-                         "skips the host golden (linear in workload size "
-                         "-- minutes at 10M+ modes)")
-    ap.add_argument("--confirmVerification", default="",
-                    help="validation mode for the confirmation run at "
-                         "the found capacity (default: same as "
-                         "--verification); use 'spot' with "
-                         "'--verification none' to search fast but "
-                         "archive a validated point")
-    ap.add_argument("--margin", type=float, default=0.0,
-                    help="safety fraction shaved off the deadline "
-                         "(0.1 = require p99 <= 90%% of deadline); the "
-                         "reference criterion is exactly p99 <= deadline")
-    ap.add_argument("--json", default="",
-                    help="write the search record to this path")
-    args = ap.parse_args(argv)
-
-    field, lo, hi, quantum = knob_for(args.benchmark)
+def run_one(benchmark: str, args) -> dict:
+    """Search one benchmark's capacity; returns the JSON-able record."""
+    field, lo, hi, quantum = knob_for(benchmark)
     lo = args.lo if args.lo is not None else lo
     hi = args.hi if args.hi is not None else hi
     quantum = args.quantum if args.quantum is not None else quantum
     deadline = 1000.0 * args.bufferSize / args.fs
 
-    print(f"capacity: {args.benchmark} knob={field} range=[{lo}, {hi}] "
+    print(f"capacity: {benchmark} knob={field} range=[{lo}, {hi}] "
           f"quantum={quantum} deadline={deadline:.3f} ms "
           f"(buffer {args.bufferSize} @ {args.fs} Hz, margin {args.margin})")
 
-    probe = harness_probe(args.benchmark, field, args)
+    probe = harness_probe(benchmark, field, args)
     details = []
 
     def evaluate(v):
@@ -219,7 +187,7 @@ def main(argv=None) -> int:
             cargs.verification = args.confirmVerification
         try:
             ok, confirm = harness_probe(
-                args.benchmark, field, cargs, device_timing=True)(capacity)
+                benchmark, field, cargs, device_timing=True)(capacity)
             confirm["sustains"] = ok
         except Exception as e:  # noqa: BLE001
             confirm = {"value": capacity, "saturated_p99_ms": None,
@@ -228,7 +196,7 @@ def main(argv=None) -> int:
                   file=sys.stderr)
 
     record = {
-        "benchmark": args.benchmark,
+        "benchmark": benchmark,
         "knob": field,
         "capacity": capacity,
         "ceiling_hit": ceiling,
@@ -241,17 +209,12 @@ def main(argv=None) -> int:
         "probes": details,
         "confirmation": confirm,
     }
-    if args.json:
-        with open(args.json, "w") as f:
-            json.dump(record, f, indent=2)
-        print(f"written: {args.json}")
 
     if capacity is None:
-        print(f"RESULT: {args.benchmark} misses deadline even at "
-              f"{field}={lo}")
-        return 1
+        print(f"RESULT: {benchmark} misses deadline even at {field}={lo}")
+        return record
     qualifier = " (>= search ceiling; raise --hi)" if ceiling else ""
-    print(f"RESULT: {args.benchmark} sustains {field}={capacity}{qualifier} "
+    print(f"RESULT: {benchmark} sustains {field}={capacity}{qualifier} "
           f"at buffer {args.bufferSize} @ {args.fs} Hz "
           f"(sat p99 {confirm['saturated_p99_ms']} ms vs "
           f"{deadline:.3f} ms deadline"
@@ -261,7 +224,95 @@ def main(argv=None) -> int:
         print("NOTE: confirmation run regressed past the deadline; the "
               "boundary is noise-adjacent — re-run with --margin 0.05",
               file=sys.stderr)
-    return 0
+    return record
+
+
+def render_md(records, path):
+    """Append-free markdown table of capacity records (docs artifact)."""
+    lines = [
+        "# Real-time capacity (saturated p99 vs buffer deadline)",
+        "",
+        f"Deadline {records[0]['deadline_ms']:.3f} ms (buffer "
+        f"{records[0]['buffer_size']} @ {records[0]['fs']} Hz); criterion "
+        "= largest knob value whose saturated p99 meets it "
+        "(tools/capacity.py).",
+        "",
+        "| Benchmark | Knob | Capacity | sat p50 ms | sat p99 ms |"
+        " device p50 ms | note |",
+        "|---|---|---:|---:|---:|---:|---|",
+    ]
+    for r in records:
+        c = r.get("confirmation") or {}
+        note = (">= search ceiling" if r["ceiling_hit"]
+                else "below lo" if r["capacity"] is None else "")
+        lines.append(
+            f"| {r['benchmark']} | {r['knob']} | "
+            f"{r['capacity'] if r['capacity'] is not None else '—'} | "
+            f"{c.get('saturated_p50_ms', '—')} | "
+            f"{c.get('saturated_p99_ms', '—')} | "
+            f"{c.get('device_p50_ms', '—')} | {note} |")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"written: {path}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--benchmark", required=True, action="append",
+                    help="repeatable; with several benchmarks the "
+                         "per-benchmark default ranges apply "
+                         "(--lo/--hi/--quantum must be unset)")
+    ap.add_argument("--fs", type=int, default=48000)
+    ap.add_argument("--bufferSize", type=int, default=512)
+    ap.add_argument("--lo", type=int, default=None)
+    ap.add_argument("--hi", type=int, default=None)
+    ap.add_argument("--quantum", type=int, default=None)
+    ap.add_argument("--maxEvals", type=int, default=12,
+                    help="probe budget; each probe is a compile + run")
+    ap.add_argument("--nRuns", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--pipelineDepth", type=int, default=256)
+    ap.add_argument("--satReps", type=int, default=11)
+    ap.add_argument("--verification", default="spot",
+                    help="validation mode during search probes; 'none' "
+                         "skips the host golden (linear in workload size "
+                         "-- minutes at 10M+ modes)")
+    ap.add_argument("--confirmVerification", default="",
+                    help="validation mode for the confirmation run at "
+                         "the found capacity (default: same as "
+                         "--verification); use 'spot' with "
+                         "'--verification none' to search fast but "
+                         "archive a validated point")
+    ap.add_argument("--margin", type=float, default=0.0,
+                    help="safety fraction shaved off the deadline "
+                         "(0.1 = require p99 <= 90%% of deadline); the "
+                         "reference criterion is exactly p99 <= deadline")
+    ap.add_argument("--json", default="",
+                    help="write the search record(s) to this path (one "
+                         "object for a single benchmark, a list for "
+                         "several)")
+    ap.add_argument("--md", default="",
+                    help="write a markdown capacity table to this path")
+    args = ap.parse_args(argv)
+
+    if len(args.benchmark) > 1 and (args.lo is not None or
+                                    args.hi is not None or
+                                    args.quantum is not None):
+        ap.error("--lo/--hi/--quantum apply to a single --benchmark; "
+                 "with several, the per-benchmark defaults are used")
+
+    records = [run_one(b, args) for b in args.benchmark]
+
+    if args.json:
+        payload = records[0] if len(records) == 1 else records
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"written: {args.json}")
+    if args.md:
+        render_md(records, args.md)
+    return 0 if all(r["capacity"] is not None for r in records) else 1
 
 
 if __name__ == "__main__":
