@@ -83,7 +83,13 @@ run_step cap_modal 5400 python tools/capacity.py \
 run_step cap_conv 5400 python tools/capacity.py \
   --benchmark Conv1D --lo 1024 --hi 65536 \
   --maxEvals 10 --json "$LOG/cap_conv.json"
-grep -h "RESULT" "$LOG/cap_modal.log" "$LOG/cap_conv.log" 2>/dev/null \
+# 6. The capacity table across the remaining knobbed benchmarks
+# (per-benchmark default ranges; archived as docs/RESULTS_r3_capacity.md
+# after review together with the modal/conv rows above).
+run_step cap_table 7200 python tools/capacity.py \
+  --benchmark IIRFilter --benchmark DWG1DNaive --benchmark RndMemRead \
+  --maxEvals 10 --json "$LOG/cap_table.json" --md "$LOG/cap_table.md"
+grep -h "RESULT" "$LOG"/cap_*.log 2>/dev/null \
   | tee -a "$LOG/summary.log" || true
 
 note "=== chip_queue done ==="
