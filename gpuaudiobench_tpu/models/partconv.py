@@ -1,0 +1,168 @@
+"""PartConv: uniformly-partitioned overlap-save streaming convolution
+(convolution reverb) -- TPU extension benchmark.
+
+No reference counterpart: Conv1D_accel (cuda/bench_conv1d_accel.cu)
+fast-convolves one buffer against a single-segment IR; this benchmark
+streams a long (default 1 s = 48000-tap) IR through a frequency-domain
+delay line, the technique production convolution reverbs use. The FDL
+and the previous input block persist on-device across iterations
+exactly like the IIR state (bench_iir.cu:19-43 semantics) and the
+modal phasors, making this the framework's long-memory streaming
+workload: P = ceil(irLength/bufferSize) blocks of history are live at
+all times.
+
+Validation is a closed-form fold-algebra golden, not a replay of the
+device algorithm: with the same block x fed every iteration, output
+block k of the stream equals
+
+    circular(x, sum of IR partitions 0..k-2)  +  head(x, partition k-1)
+
+where "circular" is the B-periodic convolution (computed in float64)
+and "head" is the first B samples of the linear convolution with
+partition k-1 (absent once k > P). The golden is therefore exact
+streaming semantics in f64 time-domain algebra, structurally
+independent of the device's partitioned-FFT path. Relative-to-peak
+tolerance 1e-3 (the Conv1D_accel FFT class,
+bench_conv1d_accel.cu:310).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from gpuaudiobench_tpu.harness.validation import ValidationData, compare_rel
+from gpuaudiobench_tpu.models.common import StandardBufferBenchmark
+from gpuaudiobench_tpu.ops.partconv import (
+    num_partitions,
+    partconv_block,
+    partition_spectra,
+)
+from gpuaudiobench_tpu.utils import device as dev
+from gpuaudiobench_tpu.utils.data import reverb_impulse_responses
+
+DEFAULT_IR_LENGTH = 48000  # 1.0 s at the default 48 kHz
+
+
+def partconv_reference(
+    x: np.ndarray, ir: np.ndarray, k: int, block_size: int
+) -> np.ndarray:
+    """Float64 output block k (1-indexed) of streaming convolution of
+    the k-times-repeated block x with ir (see module docstring)."""
+    t, b = x.shape
+    length = ir.shape[1]
+    p = num_partitions(length, b)
+    parts = np.zeros((t, p * b), np.float64)
+    parts[:, :length] = ir.astype(np.float64)
+    parts = parts.reshape(t, p, b)
+    x64 = x.astype(np.float64)
+
+    n_folded = min(k - 1, p)
+    fold = parts[:, :n_folded].sum(axis=1) if n_folded else np.zeros(
+        (t, b), np.float64)
+    # Circular (B-periodic) convolution via f64 FFT.
+    y = np.fft.irfft(np.fft.rfft(x64, axis=1) * np.fft.rfft(fold, axis=1),
+                     b, axis=1)
+    if k <= p:
+        tail = parts[:, k - 1]
+        for tr in range(t):
+            y[tr] += np.convolve(x64[tr], tail[tr])[:b]
+    return y.astype(np.float32)
+
+
+class PartConvBenchmark(StandardBufferBenchmark):
+    name = "PartConv"
+    tolerance = 1e-3  # relative-to-peak, the FFT-convolution class
+
+    def setup(self) -> None:
+        self.ir_length = self.cfg.ir_length or DEFAULT_IR_LENGTH
+        self.partitions = num_partitions(self.ir_length, self.buffer_size)
+        self.setup_standard_buffers()
+        self.ir = reverb_impulse_responses(
+            self.track_count, self.ir_length, self.cfg.seed)
+
+        h_re, h_im = partition_spectra(
+            dev.to_device(self.ir), self.buffer_size)
+        self._h_re = self._put_state(np.asarray(h_re))
+        self._h_im = self._put_state(np.asarray(h_im))
+        bins = self.buffer_size + 1
+        zeros_fdl = np.zeros(
+            (self.track_count, self.partitions, bins), np.float32)
+        zeros_prev = np.zeros(
+            (self.track_count, self.buffer_size), np.float32)
+        self._fdl_re = self._put_state(zeros_fdl)
+        self._fdl_im = self._put_state(zeros_fdl)
+        self._prev = self._put_state(zeros_prev)
+        # Frozen state copies for the device-timing / streaming passes.
+        self._timing_state = (self._prev, self._fdl_re, self._fdl_im)
+        self._invocations = 0
+        self.track_alloc("irSpectra", 2 * zeros_fdl.nbytes)
+        self.track_alloc("fdl", 2 * zeros_fdl.nbytes)
+        self.iterate()
+
+    def _put_state(self, a: np.ndarray):
+        return (self.put_spec(a, "dp") if self._sharding is not None
+                else dev.to_device(a))
+
+    def iterate(self) -> None:
+        x = self.put_input(self.host_input)
+        y, self._fdl_re, self._fdl_im = partconv_block(
+            x, self._prev, self._fdl_re, self._fdl_im,
+            self._h_re, self._h_im)
+        self._prev = x
+        self.host_output = dev.from_device(y)
+        self._invocations += 1
+
+    def device_iterate(self) -> None:
+        prev, fre, fim = self._timing_state
+        y, _, _ = partconv_block(
+            self._resident_input, prev, fre, fim, self._h_re, self._h_im)
+        dev.block(y)
+
+    def stream_body(self):
+        from gpuaudiobench_tpu.harness.streaming import probe
+
+        x, h_re, h_im = self._resident_input, self._h_re, self._h_im
+
+        def step(carry):
+            prev, fre, fim = carry
+            y, fre2, fim2 = partconv_block(x, prev, fre, fim, h_re, h_im)
+            return (x, fre2, fim2), probe(y)
+
+        return step, self._timing_state
+
+    def cost_model(self):
+        t, b = self.track_count, self.buffer_size
+        p, bins = self.partitions, b + 1
+        n = 2 * b
+        fft_flops = 2.5 * n * math.log2(n)  # real-FFT flop model
+        return {
+            # forward + inverse FFT, plus the 8-flop complex MAC per
+            # (partition, bin).
+            "flops": int(t * (2 * fft_flops + 8 * p * bins)),
+            # FDL read+write (the shift costs a full pass) + H read,
+            # two f32 planes each, plus the x/y block traffic.
+            "hbm_bytes": (3 * 2 * t * p * bins + 2 * t * b) * 4,
+            "unit": "vpu",  # XLA TPU FFT and the MAC run on the VPU
+        }
+
+    def validate(self) -> ValidationData:
+        golden = partconv_reference(
+            self.host_input, self.ir, self._invocations, self.buffer_size)
+        self.golden = golden
+        floor = float(np.abs(golden).max())
+        return compare_rel(
+            self.host_output, golden, self.tolerance,
+            mode=self.cfg.verification, limit=self.cfg.spot_sample_limit,
+            label=self.name, floor=floor,
+        )
+
+    def metadata(self):
+        return {
+            "irLength": self.ir_length,
+            "partitions": self.partitions,
+            "fftSize": 2 * self.buffer_size,
+            "fdlBytes": 2 * self.track_count * self.partitions
+            * (self.buffer_size + 1) * 4,
+        }

@@ -28,6 +28,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         MultiChipSuiteBenchmark,
     )
     from gpuaudiobench_tpu.models.noop import NoOpBenchmark
+    from gpuaudiobench_tpu.models.partconv import PartConvBenchmark
     from gpuaudiobench_tpu.models.rndmem import RndMemBenchmark
     from gpuaudiobench_tpu.models.speedoflight import (
         SolHbmStreamBenchmark,
@@ -56,6 +57,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "RndMemRead": RndMemBenchmark,
         # Extensions beyond the reference's registered set.
         "BiquadChain": BiquadChainBenchmark,
+        "PartConv": PartConvBenchmark,
         "MultiChipSuite": MultiChipSuiteBenchmark,
         "ICIBandwidth": ICIBandwidthBenchmark,
         # speedoflight: measured roofline denominators.
@@ -90,7 +92,7 @@ BENCHMARK_NAMES: List[str] = [
 
 # Extensions: workloads present in the reference tree but unregistered
 # there (kernels_extra.metal), registered here for completeness.
-EXTENSION_NAMES: List[str] = ["BiquadChain", "MultiChipSuite",
+EXTENSION_NAMES: List[str] = ["BiquadChain", "PartConv", "MultiChipSuite",
                               "ICIBandwidth",
                               "SOL_VPU", "SOL_VMEM", "SOL_HBM",
                               "SOL_MXU_bf16", "SOL_MXU_f32"]
@@ -101,7 +103,7 @@ CATEGORIES = {
                  "datacopy8020", "datacopy9901"],
     "basic": ["NoOp", "gain", "GainStats"],
     "dsp": ["IIRFilter", "Conv1D", "Conv1D_accel", "ModalFilterBank",
-            "FFT1D", "BiquadChain"],
+            "FFT1D", "BiquadChain", "PartConv"],
     "physical": ["DWG1DNaive", "DWG1DAccel", "FDTD3D"],
     "memory": ["RndMemRead"],
     # TPU extension: the multi-chip layer as runnable workloads.
@@ -131,6 +133,7 @@ BENCHMARK_DESCRIPTIONS = {
     "FDTD3D": "3D Finite Difference Time Domain",
     "RndMemRead": "Random memory access pattern",
     "BiquadChain": "Serial 10-stage biquad cascade (extension)",
+    "PartConv": "Partitioned streaming convolution reverb (extension)",
     "MultiChipSuite": "Sharded dp/tp/sp/pp pipeline over --mesh (extension)",
     "ICIBandwidth": "Interconnect ring ppermute + psum (extension)",
     "SOL_VPU": "Speed-of-light: VPU f32 FMA throughput (measured peak)",

@@ -161,3 +161,27 @@ def generate_step(n: int) -> np.ndarray:
     out = np.zeros(n, np.float32)
     out[n // 2:] = 1.0
     return out
+
+
+def reverb_impulse_responses(
+    track_count: int, ir_length: int, seed: int = 42
+) -> np.ndarray:
+    """(T, L) exponentially decaying noise IRs, the canonical synthetic
+    room response (60 dB decay over the full length, i.e. T60 = L/fs),
+    L2-normalized per track so output level is track-independent.
+
+    For the PartConv extension: unlike conv1d_impulse_responses
+    (windowed sincs, matching the reference's short-IR benchmarks), a
+    convolution-reverb IR is broadband and decaying; the seeded
+    generator keeps goldens deterministic (seed 42 everywhere,
+    bench_utils.cu:238).
+    """
+    g = _rng(seed)
+    noise = (g.random((track_count, ir_length), dtype=np.float32) * 2.0
+             - 1.0)
+    t = np.arange(ir_length, dtype=np.float32)
+    decay = np.exp(np.float32(np.log(1e-3)) * t
+                   / np.float32(max(ir_length - 1, 1)))
+    ir = noise * decay[None, :]
+    norm = np.sqrt((ir.astype(np.float64) ** 2).sum(axis=1, keepdims=True))
+    return (ir / np.maximum(norm, 1e-12)).astype(np.float32)

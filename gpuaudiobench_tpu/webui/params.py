@@ -268,6 +268,14 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "Square matmul size (d^3 MACs)",
             ),
         ]
+    if name == "PartConv":
+        return [
+            slider(
+                "irLength", "Impulse Response Length", 512, 192000, 48000,
+                512, "samples",
+                "Reverb IR taps; partitions = ceil(irLength/bufferSize)",
+            ),
+        ]
     if name in ("MultiChipSuite", "ICIBandwidth"):
         return [
             select(

@@ -1,0 +1,129 @@
+"""PartConv: uniformly-partitioned overlap-save streaming convolution.
+
+The fold-algebra golden is itself proven against a brute-force stream
+convolution first; the device path is then validated against the
+golden across iterations, IR/block-size edge cases, and the
+runner/streaming integration.
+"""
+
+import numpy as np
+import pytest
+
+from gpuaudiobench_tpu.config import BenchConfig
+from gpuaudiobench_tpu.models.partconv import (
+    PartConvBenchmark,
+    partconv_reference,
+)
+from gpuaudiobench_tpu.ops.partconv import num_partitions
+from gpuaudiobench_tpu.utils.data import reverb_impulse_responses
+
+
+def brute_force_block(x: np.ndarray, ir: np.ndarray, k: int) -> np.ndarray:
+    """Output block k of the stream that repeats x every block, by
+    explicit full linear convolution (the definition)."""
+    t, b = x.shape
+    stream = np.tile(x.astype(np.float64), (1, k))
+    out = np.empty((t, b), np.float64)
+    for tr in range(t):
+        full = np.convolve(stream[tr], ir[tr].astype(np.float64))
+        out[tr] = full[(k - 1) * b: k * b]
+    return out.astype(np.float32)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 8])
+@pytest.mark.parametrize("ir_len", [5, 8, 19, 24, 40])
+def test_reference_matches_bruteforce(k, ir_len):
+    rng = np.random.default_rng(7)
+    b, t = 8, 2
+    x = rng.standard_normal((t, b)).astype(np.float32)
+    ir = rng.standard_normal((t, ir_len)).astype(np.float32)
+    ref = partconv_reference(x, ir, k, b)
+    brute = brute_force_block(x, ir, k)
+    np.testing.assert_allclose(ref, brute, rtol=0, atol=1e-5)
+
+
+def _bench(**over):
+    cfg = BenchConfig(n_runs=2, warmup=1, write_latencies=False,
+                      quiet=True, device_timing=False, **over)
+    b = PartConvBenchmark(cfg)
+    b.setup()
+    return b
+
+
+def test_device_matches_golden_over_iterations():
+    b = _bench(n_tracks=4, buffer_size=64, ir_length=200)
+    assert b.partitions == num_partitions(200, 64) == 4
+    for _ in range(5):  # setup ran one; total 6 spans past P
+        b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages
+
+
+def test_short_ir_single_partition():
+    b = _bench(n_tracks=2, buffer_size=64, ir_length=32)
+    assert b.partitions == 1
+    b.iterate()
+    assert b.validate().passed
+
+
+def test_ir_not_multiple_of_block():
+    b = _bench(n_tracks=2, buffer_size=32, ir_length=77)
+    assert b.partitions == 3
+    for _ in range(4):
+        b.iterate()
+    assert b.validate().passed
+
+
+def test_steady_state_is_periodic():
+    """Past k = P+1 the output of the repeated-block stream is
+    block-periodic: two extra iterations must change nothing."""
+    x = np.random.default_rng(3).standard_normal((2, 16)).astype(np.float32)
+    ir = reverb_impulse_responses(2, 40, seed=1)
+    y1 = partconv_reference(x, ir, 5, 16)   # P = 3, so k=5 is steady
+    y2 = partconv_reference(x, ir, 7, 16)
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_runner_end_to_end_with_streaming():
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = BenchConfig(n_runs=2, warmup=1, n_tracks=4, buffer_size=64,
+                      ir_length=256, pipeline_depth=4, saturated_reps=3,
+                      write_latencies=False, quiet=True,
+                      device_timing=False)
+    b = create_benchmark("PartConv", cfg)
+    b.setup()
+    r = run_benchmark(b, cfg, verbose=False)
+    assert r.validation.passed, r.validation.messages
+    assert r.saturated_statistics is not None
+    assert r.metadata["partitions"] == 4
+
+
+def test_registered_as_dsp_extension():
+    from gpuaudiobench_tpu.registry import (
+        BENCHMARK_DESCRIPTIONS,
+        CATEGORIES,
+        EXTENSION_NAMES,
+        list_benchmarks,
+    )
+
+    assert "PartConv" in EXTENSION_NAMES
+    assert "PartConv" in CATEGORIES["dsp"]
+    assert "PartConv" in BENCHMARK_DESCRIPTIONS
+    assert "PartConv" in list_benchmarks()
+
+
+def test_reverb_ir_properties():
+    ir = reverb_impulse_responses(3, 1000, seed=42)
+    assert ir.shape == (3, 1000)
+    # L2-normalized per track
+    np.testing.assert_allclose((ir.astype(np.float64) ** 2).sum(axis=1),
+                               1.0, rtol=1e-5)
+    # decays ~60 dB: late-tail envelope far below early envelope
+    early = np.abs(ir[:, :50]).max(axis=1)
+    late = np.abs(ir[:, -50:]).max(axis=1)
+    assert (late < early * 0.01).all()
+    # deterministic for a seed
+    np.testing.assert_array_equal(ir, reverb_impulse_responses(3, 1000,
+                                                               seed=42))
