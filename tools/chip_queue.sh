@@ -72,6 +72,12 @@ run_step ex_rir 1800 python examples/room_impulse.py \
 run_step ex_mesh 1800 python examples/multichip_synth.py \
   --seconds 0.25 --out /tmp/chip_queue/bell_mesh.wav
 
+# 4b. PartConv (new extension, never measured on-chip): archive a
+# default-shape run (128 tracks x 1 s IR = 94 partitions).
+run_step partconv 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --nRuns 5 --warmup 2 --pipelineDepth 256 \
+  --verification spot --outputfile "$LOG/partconv.csv"
+
 # 5. Capacity headlines (tools/capacity.py): the largest modal bank and
 # Conv1D track count that sustain real time on this chip. lo starts at
 # sizes the archived results already prove sustain (modal 1M = ~1.04 ms
@@ -86,8 +92,9 @@ run_step cap_conv 5400 python tools/capacity.py \
 # 6. The capacity table across the remaining knobbed benchmarks
 # (per-benchmark default ranges; archived as docs/RESULTS_r3_capacity.md
 # after review together with the modal/conv rows above).
-run_step cap_table 7200 python tools/capacity.py \
+run_step cap_table 9000 python tools/capacity.py \
   --benchmark IIRFilter --benchmark DWG1DNaive --benchmark RndMemRead \
+  --benchmark PartConv \
   --maxEvals 10 --json "$LOG/cap_table.json" --md "$LOG/cap_table.md"
 grep -h "RESULT" "$LOG"/cap_*.log 2>/dev/null \
   | tee -a "$LOG/summary.log" || true
