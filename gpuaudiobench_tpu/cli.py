@@ -55,6 +55,7 @@ def print_help() -> None:
     print("  --impl [which]           auto | xla | pallas (default: auto)")
     print("  --irLength [n]           Conv1D/Conv1D_accel IR length")
     print("  --convEdgeMode [m]       clamp | bleed (Conv1D edge handling)")
+    print("  --partconvForm [f]       ring | shift (PartConv FDL form)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
@@ -133,6 +134,7 @@ def parse_args(argv: List[str]):
         "--impl": ("impl", str),
         "--irLength": ("ir_length", int),
         "--convEdgeMode": ("conv_edge_mode", str),
+        "--partconvForm": ("partconv_form", str),
         "--poolMiB": ("rndmem_pool_mb", int),
         "--transferMiB": ("transfer_mib", int),
         "--dataParallel": ("data_parallel", int),

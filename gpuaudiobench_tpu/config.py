@@ -49,6 +49,9 @@ class BenchConfig:
     # Benchmark-specific knobs.
     ir_length: Optional[int] = None  # Conv1D default 1024, Conv1D_accel 512
     conv_edge_mode: str = "clamp"  # "clamp" (Metal/accel) | "bleed" (CUDA quirk)
+    # PartConv FDL form: "ring" (one-slot write + rotated-H gather; no
+    # FDL rewrite) | "shift" (textbook move-every-slot; the oracle).
+    partconv_form: str = "ring"
     seed: int = 42
     # datacopy* base pool (CUDA default 10 MiB; the poster also measured
     # 100 MiB and 1 GiB variants, BASELINE.md tab5/tab8).
@@ -154,6 +157,9 @@ class BenchConfig:
             raise ValueError(f"invalid dawsim mode: {self.dawsim_mode}")
         if self.conv_edge_mode not in ("clamp", "bleed"):
             raise ValueError(f"invalid conv edge mode: {self.conv_edge_mode}")
+        if self.partconv_form not in ("ring", "shift"):
+            raise ValueError(
+                f"invalid partconv form: {self.partconv_form}")
         if self.impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"invalid impl: {self.impl}")
         if self.csv_schema not in ("cuda", "metal"):

@@ -37,6 +37,7 @@ from gpuaudiobench_tpu.models.common import StandardBufferBenchmark
 from gpuaudiobench_tpu.ops.partconv import (
     num_partitions,
     partconv_block,
+    partconv_block_ring,
     partition_spectra,
 )
 from gpuaudiobench_tpu.utils import device as dev
@@ -94,8 +95,21 @@ class PartConvBenchmark(StandardBufferBenchmark):
         self._fdl_re = self._put_state(zeros_fdl)
         self._fdl_im = self._put_state(zeros_fdl)
         self._prev = self._put_state(zeros_prev)
+        # Ring head (ops/partconv.py partconv_block_ring): the FDL
+        # never shifts; the first block writes slot 0. The shift form
+        # (--partconvForm shift) carries the head untouched.
+        self._head = np.int32(self.partitions - 1)
+        if self.cfg.partconv_form == "ring":
+            self._block = partconv_block_ring
+        else:
+            def _shift_block(x, prev, head, fre, fim, h_re, h_im):
+                y, fre2, fim2 = partconv_block(
+                    x, prev, fre, fim, h_re, h_im)
+                return y, head, fre2, fim2
+            self._block = _shift_block
         # Frozen state copies for the device-timing / streaming passes.
-        self._timing_state = (self._prev, self._fdl_re, self._fdl_im)
+        self._timing_state = (self._prev, self._head,
+                              self._fdl_re, self._fdl_im)
         self._invocations = 0
         self.track_alloc("irSpectra", 2 * zeros_fdl.nbytes)
         self.track_alloc("fdl", 2 * zeros_fdl.nbytes)
@@ -107,28 +121,31 @@ class PartConvBenchmark(StandardBufferBenchmark):
 
     def iterate(self) -> None:
         x = self.put_input(self.host_input)
-        y, self._fdl_re, self._fdl_im = partconv_block(
-            x, self._prev, self._fdl_re, self._fdl_im,
+        y, self._head, self._fdl_re, self._fdl_im = self._block(
+            x, self._prev, self._head, self._fdl_re, self._fdl_im,
             self._h_re, self._h_im)
         self._prev = x
         self.host_output = dev.from_device(y)
         self._invocations += 1
 
     def device_iterate(self) -> None:
-        prev, fre, fim = self._timing_state
-        y, _, _ = partconv_block(
-            self._resident_input, prev, fre, fim, self._h_re, self._h_im)
+        prev, head, fre, fim = self._timing_state
+        y, _, _, _ = self._block(
+            self._resident_input, prev, head, fre, fim,
+            self._h_re, self._h_im)
         dev.block(y)
 
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
         x, h_re, h_im = self._resident_input, self._h_re, self._h_im
+        block = self._block
 
         def step(carry):
-            prev, fre, fim = carry
-            y, fre2, fim2 = partconv_block(x, prev, fre, fim, h_re, h_im)
-            return (x, fre2, fim2), probe(y)
+            prev, head, fre, fim = carry
+            y, head2, fre2, fim2 = block(
+                x, prev, head, fre, fim, h_re, h_im)
+            return (x, head2, fre2, fim2), probe(y)
 
         return step, self._timing_state
 
@@ -141,9 +158,12 @@ class PartConvBenchmark(StandardBufferBenchmark):
             # forward + inverse FFT, plus the 8-flop complex MAC per
             # (partition, bin).
             "flops": int(t * (2 * fft_flops + 8 * p * bins)),
-            # FDL read+write (the shift costs a full pass) + H read,
-            # two f32 planes each, plus the x/y block traffic.
-            "hbm_bytes": (3 * 2 * t * p * bins + 2 * t * b) * 4,
+            # Ring form: one FDL read + one (rotated-gather) H read per
+            # block, two f32 planes each; the one-slot write and the
+            # x/y block traffic ride along. The shift form adds a full
+            # FDL rewrite.
+            "hbm_bytes": ((2 if self.cfg.partconv_form == "ring" else 3)
+                          * 2 * t * p * bins + 2 * t * b) * 4,
             "unit": "vpu",  # XLA TPU FFT and the MAC run on the VPU
         }
 
@@ -161,6 +181,7 @@ class PartConvBenchmark(StandardBufferBenchmark):
     def metadata(self):
         return {
             "irLength": self.ir_length,
+            "form": self.cfg.partconv_form,
             "partitions": self.partitions,
             "fftSize": 2 * self.buffer_size,
             "fdlBytes": 2 * self.track_count * self.partitions

@@ -20,9 +20,12 @@ TPU-first design:
   re/im: complex64 never crosses host<->device on some PJRT runtimes --
   the ops/conv.py precompute_ir_spectra workaround -- and the VPU does
   the 4-mul complex product on real lanes anyway).
-* The per-block "shift" of the delay line is a concat that drops the
-  oldest spectrum; under jit the copy is one HBM-bandwidth pass over
-  the FDL, which the cost model charges.
+* The delay line is a RING (partconv_block_ring, the default): the new
+  spectrum overwrites one slot and H is aligned by a rotated partition
+  gather fused into the MAC's read, so the FDL is read once and never
+  rewritten. The textbook shift form (partconv_block) is kept as the
+  equivalence oracle; it pays a full FDL read+write every block just
+  to move data one slot.
 
 The partition spectra are computed once at setup on the device (the
 cuFFT-plan + precomputeImpulseResponseFFTs analog,
@@ -58,9 +61,22 @@ def partition_spectra(ir: jax.Array, block_size: int):
     return (spec.real.astype(jnp.float32), spec.imag.astype(jnp.float32))
 
 
+def _forward_spectrum(x, prev):
+    b = x.shape[1]
+    seg = jnp.concatenate([prev, x], axis=1)  # (T, 2B) overlap-save
+    spec = jnp.fft.rfft(seg, axis=1)  # (T, B+1)
+    return spec.real.astype(jnp.float32), spec.imag.astype(jnp.float32)
+
+
+def _inverse_block(y_re, y_im, b):
+    y_full = jnp.fft.irfft(jax.lax.complex(y_re, y_im), 2 * b, axis=1)
+    return y_full[:, b:].astype(jnp.float32)
+
+
 @jax.jit
 def partconv_block(x, prev, fdl_re, fdl_im, h_re, h_im):
-    """One streamed block of uniformly-partitioned overlap-save conv.
+    """One streamed block of uniformly-partitioned overlap-save conv,
+    SHIFT form: the delay line physically moves one slot per block.
 
     x, prev:        (T, B) current and previous input blocks
     fdl_re/fdl_im:  (T, P, B+1) delay line of past input spectra,
@@ -69,16 +85,46 @@ def partconv_block(x, prev, fdl_re, fdl_im, h_re, h_im):
 
     Returns (y, fdl_re', fdl_im'): y is the (T, B) output block; the
     caller carries (x, fdl') as the next block's (prev, fdl).
+
+    This form is the equivalence oracle for partconv_block_ring, which
+    is the default: the shift is two full HBM passes over the FDL
+    (read + write) that the ring form does not pay.
     """
     b = x.shape[1]
-    seg = jnp.concatenate([prev, x], axis=1)  # (T, 2B) overlap-save
-    spec = jnp.fft.rfft(seg, axis=1)  # (T, B+1)
-    fdl_re = jnp.concatenate(
-        [spec.real.astype(jnp.float32)[:, None], fdl_re[:, :-1]], axis=1)
-    fdl_im = jnp.concatenate(
-        [spec.imag.astype(jnp.float32)[:, None], fdl_im[:, :-1]], axis=1)
+    sre, sim = _forward_spectrum(x, prev)
+    fdl_re = jnp.concatenate([sre[:, None], fdl_re[:, :-1]], axis=1)
+    fdl_im = jnp.concatenate([sim[:, None], fdl_im[:, :-1]], axis=1)
     # Complex MAC over partitions: Y = sum_p FDL[p] * H[p].
     y_re = jnp.sum(fdl_re * h_re - fdl_im * h_im, axis=1)
     y_im = jnp.sum(fdl_re * h_im + fdl_im * h_re, axis=1)
-    y_full = jnp.fft.irfft(jax.lax.complex(y_re, y_im), 2 * b, axis=1)
-    return y_full[:, b:].astype(jnp.float32), fdl_re, fdl_im
+    return _inverse_block(y_re, y_im, b), fdl_re, fdl_im
+
+
+@jax.jit
+def partconv_block_ring(x, prev, head, fdl_re, fdl_im, h_re, h_im):
+    """Ring-buffer form (the default): the delay line never moves.
+
+    The new spectrum overwrites ONE slot (head), and H is aligned to
+    the ring by a rotated partition gather fused into the MAC's read:
+    slot s holds the spectrum of the block (head - s) mod P blocks
+    ago, so Y = sum_s FDL[s] * H[(head - s) mod P]. Traffic per block
+    is one read of FDL + one (gathered) read of H; the shift form
+    additionally rewrites the whole FDL every block.
+
+    head is an int32 scalar carried by the caller, incremented mod P
+    here. Returns (y, head', fdl_re', fdl_im').
+    """
+    b = x.shape[1]
+    p = fdl_re.shape[1]
+    sre, sim = _forward_spectrum(x, prev)
+    head = (head + 1) % p
+    fdl_re = jax.lax.dynamic_update_slice_in_dim(
+        fdl_re, sre[:, None], head, axis=1)
+    fdl_im = jax.lax.dynamic_update_slice_in_dim(
+        fdl_im, sim[:, None], head, axis=1)
+    idx = (head - jnp.arange(p, dtype=jnp.int32)) % p
+    hr = jnp.take(h_re, idx, axis=1)
+    hi = jnp.take(h_im, idx, axis=1)
+    y_re = jnp.sum(fdl_re * hr - fdl_im * hi, axis=1)
+    y_im = jnp.sum(fdl_re * hi + fdl_im * hr, axis=1)
+    return _inverse_block(y_re, y_im, b), head, fdl_re, fdl_im

@@ -26,7 +26,8 @@ const char* kValueFlags[] = {
     "--benchmark",    "--fs",               "--bufferSize", "--nTracks",
     "--nRuns",        "--warmup",           "--outputfile", "--verification",
     "--dawsim-mode",  "--dawsim-jitter-us", "--impl",       "--irLength",
-    "--convEdgeMode", "--poolMiB",          "--seed",       "--latenciesFile",
+    "--convEdgeMode", "--partconvForm",     "--poolMiB",
+    "--seed",         "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",
     "--dataParallel", "--modalModes",       "--pipelineDepth",
     "--saturatedReps",

@@ -100,6 +100,55 @@ def test_runner_end_to_end_with_streaming():
     assert r.metadata["partitions"] == 4
 
 
+def test_ring_equals_shift_form():
+    """The ring-buffer FDL (default) and the textbook shift form are
+    the same filter: identical outputs over > P blocks."""
+    import jax.numpy as jnp
+
+    from gpuaudiobench_tpu.ops.partconv import (
+        partconv_block,
+        partconv_block_ring,
+        partition_spectra,
+    )
+
+    rng = np.random.default_rng(11)
+    t, b, length = 3, 16, 55  # P = 4
+    p = num_partitions(length, b)
+    ir = rng.standard_normal((t, length)).astype(np.float32)
+    h_re, h_im = partition_spectra(jnp.asarray(ir), b)
+    fdl = np.zeros((t, p, b + 1), np.float32)
+    prev_s = jnp.zeros((t, b)); fre_s = jnp.asarray(fdl); fim_s = jnp.asarray(fdl)
+    prev_r = jnp.zeros((t, b)); fre_r = jnp.asarray(fdl); fim_r = jnp.asarray(fdl)
+    head = np.int32(p - 1)
+    for k in range(p + 3):
+        x = jnp.asarray(rng.standard_normal((t, b)).astype(np.float32))
+        ys, fre_s, fim_s = partconv_block(
+            x, prev_s, fre_s, fim_s, h_re, h_im)
+        yr, head, fre_r, fim_r = partconv_block_ring(
+            x, prev_r, head, fre_r, fim_r, h_re, h_im)
+        prev_s = prev_r = x
+        # Same filter, different f32 summation order over partitions:
+        # agreement to 1e-5 of the block's peak (measured ~1e-7).
+        ys, yr = np.asarray(ys), np.asarray(yr)
+        np.testing.assert_allclose(ys, yr,
+                                   atol=1e-5 * np.abs(ys).max(),
+                                   err_msg=f"block {k}")
+
+
+def test_shift_form_selectable_and_validates():
+    b = _bench(n_tracks=2, buffer_size=32, ir_length=100,
+               partconv_form="shift")
+    for _ in range(4):
+        b.iterate()
+    assert b.validate().passed
+    assert b.metadata()["form"] == "shift"
+
+
+def test_invalid_form_rejected():
+    with pytest.raises(ValueError):
+        BenchConfig(partconv_form="circular").validate()
+
+
 def test_registered_as_dsp_extension():
     from gpuaudiobench_tpu.registry import (
         BENCHMARK_DESCRIPTIONS,

@@ -73,10 +73,19 @@ run_step ex_mesh 1800 python examples/multichip_synth.py \
   --seconds 0.25 --out /tmp/chip_queue/bell_mesh.wav
 
 # 4b. PartConv (new extension, never measured on-chip): archive a
-# default-shape run (128 tracks x 1 s IR = 94 partitions).
+# default-shape run (128 tracks x 1 s IR = 94 partitions) and A/B the
+# FDL forms -- ring avoids the per-block FDL rewrite but pays a
+# rotated gather of H; which wins on TPU is an open measured question
+# (on the CPU backend, shift wins).
 run_step partconv 1800 python -m gpuaudiobench_tpu.cli \
   --benchmark PartConv --nRuns 5 --warmup 2 --pipelineDepth 256 \
   --verification spot --outputfile "$LOG/partconv.csv"
+run_step partconv_shift 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --partconvForm shift --nRuns 5 --warmup 2 \
+  --pipelineDepth 256 --verification spot \
+  --outputfile "$LOG/partconv_shift.csv"
+grep -hE "Saturated|Device M" "$LOG/partconv.log" \
+  "$LOG/partconv_shift.log" 2>/dev/null | tee -a "$LOG/summary.log" || true
 
 # 5. Capacity headlines (tools/capacity.py): the largest modal bank and
 # Conv1D track count that sustain real time on this chip. lo starts at
