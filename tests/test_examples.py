@@ -72,3 +72,24 @@ def test_room_impulse_example(tmp_path):
         pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     # an impulse response must actually arrive and ring
     assert np.abs(pcm).max() > 1000
+
+
+def test_reverb_example(tmp_path):
+    out = tmp_path / "hall.wav"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "examples/reverb.py", "--seconds", "1",
+         "--modes", "256", "--rt60", "0.25", "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    # rc==0 already asserts the stream==offline equality the example
+    # performs internally (float32-rounding agreement with one f64
+    # whole-take convolution).
+    assert "streamed convolution matches offline: True" in r.stdout
+    with wave.open(str(out)) as w:
+        assert w.getframerate() == 48_000
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01

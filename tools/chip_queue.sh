@@ -71,6 +71,8 @@ run_step ex_rir 1800 python examples/room_impulse.py \
   --seconds 0.25 --out /tmp/chip_queue/rir.wav
 run_step ex_mesh 1800 python examples/multichip_synth.py \
   --seconds 0.25 --out /tmp/chip_queue/bell_mesh.wav
+run_step ex_reverb 1800 python examples/reverb.py \
+  --seconds 0.5 --rt60 0.5 --out /tmp/chip_queue/bell_hall.wav
 
 # 4b. PartConv (new extension, never measured on-chip): archive a
 # default-shape run (128 tracks x 1 s IR = 94 partitions) and A/B the
