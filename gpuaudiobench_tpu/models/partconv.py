@@ -66,9 +66,15 @@ def partconv_reference(
     y = np.fft.irfft(np.fft.rfft(x64, axis=1) * np.fft.rfft(fold, axis=1),
                      b, axis=1)
     if k <= p:
+        # Head of the linear convolution with partition k-1, batched
+        # over tracks via a zero-padded f64 FFT (a per-track
+        # np.convolve loop is O(T*B^2) -- minutes at capacity-probe
+        # track counts; f64 FFT rounding ~1e-13 is far inside the
+        # 1e-3 golden tolerance).
         tail = parts[:, k - 1]
-        for tr in range(t):
-            y[tr] += np.convolve(x64[tr], tail[tr])[:b]
+        y += np.fft.irfft(
+            np.fft.rfft(x64, 2 * b, axis=1)
+            * np.fft.rfft(tail, 2 * b, axis=1), 2 * b, axis=1)[:, :b]
     return y.astype(np.float32)
 
 
@@ -168,6 +174,11 @@ class PartConvBenchmark(StandardBufferBenchmark):
         }
 
     def validate(self) -> ValidationData:
+        if self.cfg.verification == "none":  # skip the golden entirely
+            return compare_rel(
+                self.host_output, self.host_output, self.tolerance,
+                mode="none", label=self.name,
+            )
         golden = partconv_reference(
             self.host_input, self.ir, self._invocations, self.buffer_size)
         self.golden = golden

@@ -135,6 +135,22 @@ def test_ring_equals_shift_form():
                                    err_msg=f"block {k}")
 
 
+def test_verification_none_skips_golden(monkeypatch):
+    """verification='none' must not pay the fold-algebra golden
+    (capacity probes search large track counts)."""
+    import gpuaudiobench_tpu.models.partconv as pc
+
+    def boom(*a, **k):
+        raise AssertionError("golden computed despite verification=none")
+
+    monkeypatch.setattr(pc, "partconv_reference", boom)
+    b = _bench(n_tracks=2, buffer_size=32, ir_length=64,
+               verification="none")
+    b.iterate()
+    v = b.validate()
+    assert v.passed  # SKIPPED counts as non-failure
+
+
 def test_shift_form_selectable_and_validates():
     b = _bench(n_tracks=2, buffer_size=32, ir_length=100,
                partconv_form="shift")

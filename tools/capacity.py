@@ -39,6 +39,11 @@ import sys
 # the fixed 52^3 grid (bench_fdtd3d.cuh:12-38), not the track count.
 KNOBS = {
     "ModalFilterBank": ("modal_num_modes", 1024, 1 << 24, 1024),
+    # FDL + IR spectra are ~1.6 MB/track at the 1 s default IR; 8192
+    # tracks is ~12.6 GB of HBM, the v5e ceiling. Beyond that a probe
+    # dies on allocation (counted infeasible), which would report an
+    # HBM wall as a deadline wall.
+    "PartConv": ("n_tracks", 128, 8192, 128),
 }
 TRACK_KNOB = ("n_tracks", 128, 1 << 16, 128)
 EXCLUDED = ("FDTD3D", "NoOp", "SOL_")
