@@ -275,6 +275,14 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 512, "samples",
                 "Reverb IR taps; partitions = ceil(irLength/bufferSize)",
             ),
+            select(
+                "partconvForm", "FDL Form", d.partconv_form,
+                [
+                    {"value": "ring", "label": "ring (one-slot write)"},
+                    {"value": "shift", "label": "shift (textbook oracle)"},
+                ],
+                "Frequency-domain delay line update strategy",
+            ),
         ]
     if name in ("MultiChipSuite", "ICIBandwidth"):
         return [
@@ -302,6 +310,7 @@ _FIELD_MAP = {
     "transferMiB": ("transfer_mib", int),
     "irLength": ("ir_length", int),
     "convEdgeMode": ("conv_edge_mode", str),
+    "partconvForm": ("partconv_form", str),
     "modalModes": ("modal_num_modes", int),
     "modalRenorm": ("modal_renorm", bool),
     "dwgMinLen": ("dwg_min_length", int),
