@@ -127,6 +127,7 @@ def test_fdtd_sharded_matches_single_device(mesh8):
     ("NoOp", {}),
     ("Conv1D_accel", {}),
     ("BiquadChain", {}),
+    ("PartConv", {"ir_length": 256}),
     ("FFT1D", {}),
     ("ModalFilterBank", {}),
     ("DWG1DNaive", {}),
