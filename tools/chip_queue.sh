@@ -107,6 +107,13 @@ run_step cap_table 9000 python tools/capacity.py \
   --benchmark IIRFilter --benchmark DWG1DNaive --benchmark RndMemRead \
   --benchmark PartConv \
   --maxEvals 10 --json "$LOG/cap_table.json" --md "$LOG/cap_table.md"
+# Low-latency headline: largest modal bank at a 64-sample buffer
+# (1.333 ms deadline) -- the interactive-latency operating point the
+# low-latency sweep archives (docs/RESULTS_r3_lowlatency.md).
+run_step cap_modal64 5400 python tools/capacity.py \
+  --benchmark ModalFilterBank --bufferSize 64 --lo 65536 --hi 8388608 \
+  --maxEvals 10 --verification none --confirmVerification spot \
+  --json "$LOG/cap_modal64.json"
 grep -h "RESULT" "$LOG"/cap_*.log 2>/dev/null \
   | tee -a "$LOG/summary.log" || true
 
