@@ -39,11 +39,14 @@ import sys
 # the fixed 52^3 grid (bench_fdtd3d.cuh:12-38), not the track count.
 KNOBS = {
     "ModalFilterBank": ("modal_num_modes", 1024, 1 << 24, 1024),
-    # FDL + IR spectra are ~1.6 MB/track at the 1 s default IR; 8192
-    # tracks is ~12.6 GB of HBM, the v5e ceiling. Beyond that a probe
-    # dies on allocation (counted infeasible), which would report an
-    # HBM wall as a deadline wall.
-    "PartConv": ("n_tracks", 128, 8192, 128),
+    # FDL + IR spectra are ~0.77 MB/track at the 1 s default IR
+    # (2 planes x 2 arrays x 94 x 513 x 4 B); 12288 tracks is ~9.5 GB,
+    # the most that leaves v5e HBM headroom for XLA workspace. The
+    # deadline wall is predicted nearby anyway (~9k tracks at the
+    # measured 660 GB/s: 4 planes read/block x 10.67 ms deadline), so
+    # the search must be able to cross it; past the hi an allocation
+    # failure would masquerade as a deadline miss.
+    "PartConv": ("n_tracks", 128, 12288, 128),
 }
 TRACK_KNOB = ("n_tracks", 128, 1 << 16, 128)
 EXCLUDED = ("FDTD3D", "NoOp", "SOL_")
