@@ -95,6 +95,24 @@ def test_exporter_serializes_pallas_flagships(tmp_path):
     assert "f32 52 52 52" in (tmp_path / "fdtd3d_pallas.spec").read_text()
 
 
+def test_exporter_serializes_partconv(tmp_path):
+    """The PartConv streamed block (shift form: all-f32 signature)
+    exports as a portable StableHLO module with the FFT + partition
+    MAC inside."""
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export_stablehlo.py"),
+         "--out", str(tmp_path), "partconv"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    mod = (tmp_path / "partconv.stablehlo.mlir").read_text()
+    assert "fft" in mod.lower()  # the rfft/irfft pair survived
+    assert "128x94x513xf32" in mod  # FDL planes at the 1 s default IR
+    spec = (tmp_path / "partconv.spec").read_text()
+    assert "f32 128 94 513" in spec
+
+
 MOCK = REPO / "native" / "build" / "libpjrt_mock.so"
 
 

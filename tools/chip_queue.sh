@@ -74,6 +74,21 @@ run_step ex_mesh 1800 python examples/multichip_synth.py \
 run_step ex_reverb 1800 python examples/reverb.py \
   --seconds 0.5 --rt60 0.5 --out /tmp/chip_queue/bell_hall.wav
 
+# 4c. PartConv through the no-Python PJRT path (the flagship-parity
+# exercise PARITY.md documents for gain/modal_pallas/fdtd3d_pallas).
+run_step pjrt_export 600 python tools/export_stablehlo.py \
+  --out "$LOG/shlo" partconv
+run_step pjrt_partconv 1200 env \
+  AXON_POOL_SVC_OVERRIDE=127.0.0.1 AXON_COMPAT_VERSION=49 \
+  TPU_WORKER_HOSTNAMES=localhost \
+  native/build/pjrt_runner --plugin /opt/axon/libaxon_pjrt.so \
+  --program "$LOG/shlo/partconv.stablehlo.mlir" \
+  --spec "$LOG/shlo/partconv.spec" \
+  --compile-options "$LOG/shlo/compile_options.pb" --runs 10 \
+  --opt topology=v5e:1x1x1 --opt n_slices=1 --opt remote_compile=1 \
+  --opt session_id="$(cat /proc/sys/kernel/random/uuid)" \
+  --opt rank=4294967295
+
 # 4b. PartConv (new extension, never measured on-chip): archive a
 # default-shape run (128 tracks x 1 s IR = 94 partitions) and A/B the
 # FDL forms -- ring avoids the per-block FDL rewrite but pays a

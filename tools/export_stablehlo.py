@@ -33,6 +33,7 @@ def _programs(cfg):
     from gpuaudiobench_tpu.ops.fdtd3d_pallas import fdtd3d_block_pallas_div
     from gpuaudiobench_tpu.ops.iir import iir_biquad_xla
     from gpuaudiobench_tpu.ops.modal import modal_bank_xla
+    from gpuaudiobench_tpu.ops.partconv import partconv_block
 
     t, s = cfg.n_tracks, cfg.buffer_size
     f32 = np.float32
@@ -80,6 +81,17 @@ def _programs(cfg):
         "conv1d": (
             lambda x, ir: conv1d_direct(x, ir, "clamp"),
             [shaped(t, s), shaped(t, 1024)],
+        ),
+        # PartConv streamed block at the default 1 s IR (94 partitions).
+        # The SHIFT form is exported because its signature is all-f32
+        # (the ring form carries an int32 head scalar, outside the
+        # runner's f32-seeded spec format); both forms are the same
+        # filter (tests/test_partconv.py::test_ring_equals_shift_form).
+        "partconv": (
+            partconv_block,
+            [shaped(t, s), shaped(t, s),
+             shaped(t, 94, s + 1), shaped(t, 94, s + 1),
+             shaped(t, 94, s + 1), shaped(t, 94, s + 1)],
         ),
         "_jnp": jnp,  # keep the import alive
     }
