@@ -104,6 +104,11 @@ run_step partconv_shift 1800 python -m gpuaudiobench_tpu.cli \
 grep -hE "Saturated|Device M" "$LOG/partconv.log" \
   "$LOG/partconv_shift.log" 2>/dev/null | tee -a "$LOG/summary.log" || true
 
+# 4d. PartConv 120 s soak (every carried-state benchmark has one;
+# this checks the ring head wrap + FDL energy over ~11k blocks).
+run_step soak_partconv 1800 python tools/soak.py 120 \
+  "$LOG/soak_partconv.md" PartConv
+
 # 5. Capacity headlines (tools/capacity.py): the largest modal bank and
 # Conv1D track count that sustain real time on this chip. lo starts at
 # sizes the archived results already prove sustain (modal 1M = ~1.04 ms
