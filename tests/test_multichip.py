@@ -398,3 +398,56 @@ def test_ici_inventory_matches_compiled_hlo(mesh8, shape):
     if shape == (1, 2, 2):  # measured exact op-for-op correspondence
         assert counts == {"all-gather": 2, "all-reduce": 2,
                           "collective-permute": 3}, counts
+
+
+def test_partconv_partition_sharded_matches_single_device():
+    """Partition-sharded streaming convolution (ppermute spectrum
+    handoff + psum of partial spectra) reproduces the single-device
+    shift-form block across > P streamed blocks."""
+    from gpuaudiobench_tpu.ops.partconv import (
+        num_partitions,
+        partconv_block,
+        partition_spectra,
+    )
+    from gpuaudiobench_tpu.parallel.mesh import make_mesh
+    from gpuaudiobench_tpu.parallel.partconv_sharded import (
+        make_partconv_sharded_block,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, dp=1, tp=8, sp=1)
+
+    rng = np.random.default_rng(5)
+    t, b, length = 2, 16, 128  # P = 8 partitions, one per rank
+    p = num_partitions(length, b)
+    ir = rng.standard_normal((t, length)).astype(np.float32)
+    h_re, h_im = partition_spectra(jnp.asarray(ir), b)
+    fn = make_partconv_sharded_block(mesh, p, axis="tp")
+
+    zeros_fdl = jnp.zeros((t, p, b + 1), jnp.float32)
+    prev_s = prev_m = jnp.zeros((t, b), jnp.float32)
+    fs = (zeros_fdl, zeros_fdl)
+    fm = (zeros_fdl, zeros_fdl)
+    for k in range(p + 4):
+        x = jnp.asarray(rng.standard_normal((t, b)).astype(np.float32))
+        ys, *fs = partconv_block(x, prev_s, *fs, h_re, h_im)
+        ym, *fm = fn(x, prev_m, *fm, h_re, h_im)
+        prev_s = prev_m = x
+        ys, ym = np.asarray(ys), np.asarray(ym)
+        np.testing.assert_allclose(
+            ym, ys, atol=1e-5 * max(np.abs(ys).max(), 1.0),
+            err_msg=f"block {k}")
+
+
+def test_partconv_sharded_rejects_indivisible_partitions():
+    from gpuaudiobench_tpu.parallel.mesh import make_mesh
+    from gpuaudiobench_tpu.parallel.partconv_sharded import (
+        make_partconv_sharded_block,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, dp=1, tp=8, sp=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_partconv_sharded_block(mesh, 9, axis="tp")
