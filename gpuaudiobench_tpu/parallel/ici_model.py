@@ -139,3 +139,22 @@ def ici_bandwidth_collectives(
         {"label": "scalar psum", "kind": "psum",
          "bytes": 4 * n_devices, "axis_n": n_devices},
     ]
+
+
+def partconv_collectives(
+    tracks: int, bins: int, axis_n: int
+) -> List[Dict[str, Any]]:
+    """Partition-sharded PartConv (parallel/partconv_sharded.py), one
+    block: the delay-line handoff ships one spectrum (re+im planes,
+    T x bins floats each) one hop; the partial-Y psum reduces the same
+    logical shape over the axis. Wire cost is independent of the
+    partition count -- the point of sharding the tail."""
+    if axis_n <= 1:
+        return []
+    spectrum_bytes = 2 * tracks * bins * 4  # re + im float32 planes
+    return [
+        {"label": "FDL spectrum handoff", "kind": "ppermute",
+         "bytes": spectrum_bytes, "axis_n": axis_n},
+        {"label": "partial-Y psum", "kind": "psum",
+         "bytes": spectrum_bytes, "axis_n": axis_n},
+    ]

@@ -451,3 +451,20 @@ def test_partconv_sharded_rejects_indivisible_partitions():
     mesh = make_mesh(8, dp=1, tp=8, sp=1)
     with pytest.raises(ValueError, match="not divisible"):
         make_partconv_sharded_block(mesh, 9, axis="tp")
+
+
+def test_partconv_ici_model_is_partition_independent():
+    """The sharded-PartConv wire cost must not depend on P (the whole
+    point: P-proportional HBM traffic divides by the axis, constant
+    spectrum bytes cross it)."""
+    from gpuaudiobench_tpu.parallel.ici_model import (
+        partconv_collectives,
+        predict,
+    )
+
+    cols = partconv_collectives(tracks=128, bins=513, axis_n=4)
+    assert {c["kind"] for c in cols} == {"ppermute", "psum"}
+    assert all(c["bytes"] == 2 * 128 * 513 * 4 for c in cols)
+    pred = predict(cols)
+    assert 0 < pred["predicted_total_ms"] < 1.0  # well under the deadline
+    assert partconv_collectives(128, 513, 1) == []
