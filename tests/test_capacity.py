@@ -196,3 +196,30 @@ def test_end_to_end_gain_cpu(tmp_path):
     # the confirmation run re-enables device timing
     assert "device_p50_ms" in rec["confirmation"]
     assert all(p["valid"] for p in rec["probes"])
+
+
+def test_merge_capacity_groups_by_deadline(tmp_path):
+    from merge_capacity import main as merge_main
+
+    rec = {
+        "benchmark": "gain", "knob": "n_tracks", "capacity": 512,
+        "ceiling_hit": False, "deadline_ms": 10.667, "margin": 0.0,
+        "buffer_size": 512, "fs": 48000, "pipeline_depth": 256,
+        "saturated_reps": 11, "probes": [],
+        "confirmation": {"saturated_p50_ms": 1.0, "saturated_p99_ms": 1.2,
+                         "device_p50_ms": 0.9, "valid": True},
+    }
+    rec64 = dict(rec, benchmark="ModalFilterBank", buffer_size=64,
+                 deadline_ms=64000 / 48000, capacity=65536,
+                 knob="modal_num_modes")
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps(rec))
+    b.write_text(json.dumps([rec64]))  # list form merges too
+    out = tmp_path / "merged.md"
+    rc = merge_main([str(out), str(a), str(b)])
+    assert rc == 0
+    md = out.read_text()
+    assert md.count("# Real-time capacity") == 2  # one table per deadline
+    assert "| gain |" in md and "| ModalFilterBank |" in md
+    assert "buffer 64" in md and "buffer 512" in md
