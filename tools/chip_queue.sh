@@ -137,4 +137,9 @@ run_step cap_modal64 5400 python tools/capacity.py \
 grep -h "RESULT" "$LOG"/cap_*.log 2>/dev/null \
   | tee -a "$LOG/summary.log" || true
 
+# 6b. Merge every capacity record into one review-ready document
+# (archive to docs/RESULTS_r3_capacity.md after a quiet-window check).
+run_step cap_merge 300 python tools/merge_capacity.py \
+  "$LOG/RESULTS_capacity.md" "$LOG"/cap_*.json
+
 note "=== chip_queue done ==="
