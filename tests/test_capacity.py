@@ -223,3 +223,26 @@ def test_merge_capacity_groups_by_deadline(tmp_path):
     assert md.count("# Real-time capacity") == 2  # one table per deadline
     assert "| gain |" in md and "| ModalFilterBank |" in md
     assert "buffer 64" in md and "buffer 512" in md
+
+
+def test_budget_exhaustion_is_disclosed(tmp_path, monkeypatch):
+    """If the budget runs out during the ascent (no miss observed, hi
+    not reached), the record must say the capacity is a lower bound."""
+    import capacity as cap
+
+    def fake_harness_probe(benchmark, field, args, device_timing=False):
+        return lambda v: (True, {"value": v, "saturated_p50_ms": 0.1,
+                                 "saturated_p99_ms": 0.1, "valid": True,
+                                 "device_p50_ms": 0.05})
+
+    monkeypatch.setattr(cap, "harness_probe", fake_harness_probe)
+    out = tmp_path / "cap.json"
+    rc = cap.main([
+        "--benchmark", "gain", "--lo", "128", "--hi", str(128 * 1024),
+        "--quantum", "128", "--maxEvals", "3", "--json", str(out),
+    ])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["budget_exhausted"] is True
+    assert rec["ceiling_hit"] is False
+    assert rec["capacity"] == 512  # 128 -> 256 -> 512, budget spent

@@ -203,11 +203,16 @@ def run_one(benchmark: str, args) -> dict:
             print(f"  confirmation at {field}={capacity} FAILED: {e}",
                   file=sys.stderr)
 
+    # Budget exhausted during the ascent: no miss was ever observed and
+    # hi was not reached, so `capacity` is a certified lower bound only.
+    budget_exhausted = (capacity is not None and not ceiling
+                        and all(ok for _, ok in probes))
     record = {
         "benchmark": benchmark,
         "knob": field,
         "capacity": capacity,
         "ceiling_hit": ceiling,
+        "budget_exhausted": budget_exhausted,
         "deadline_ms": deadline,
         "margin": args.margin,
         "buffer_size": args.bufferSize,
@@ -221,7 +226,9 @@ def run_one(benchmark: str, args) -> dict:
     if capacity is None:
         print(f"RESULT: {benchmark} misses deadline even at {field}={lo}")
         return record
-    qualifier = " (>= search ceiling; raise --hi)" if ceiling else ""
+    qualifier = (" (>= search ceiling; raise --hi)" if ceiling
+                 else " (>= only: probe budget exhausted before a miss; "
+                      "raise --maxEvals)" if budget_exhausted else "")
     print(f"RESULT: {benchmark} sustains {field}={capacity}{qualifier} "
           f"at buffer {args.bufferSize} @ {args.fs} Hz "
           f"(sat p99 {confirm['saturated_p99_ms']} ms vs "
@@ -252,7 +259,9 @@ def render_md(records, path):
     for r in records:
         c = r.get("confirmation") or {}
         note = (">= search ceiling" if r["ceiling_hit"]
-                else "below lo" if r["capacity"] is None else "")
+                else "below lo" if r["capacity"] is None
+                else ">= only (budget)" if r.get("budget_exhausted")
+                else "")
         lines.append(
             f"| {r['benchmark']} | {r['knob']} | "
             f"{r['capacity'] if r['capacity'] is not None else '—'} | "
