@@ -87,6 +87,8 @@ def test_knob_map():
         knob_for("FDTD3D")
     with pytest.raises(SystemExit):
         knob_for("SOL_VPU")
+    with pytest.raises(SystemExit):
+        knob_for("datacopy5050")  # no saturated tier to judge by
 
 
 def test_probe_exception_counts_as_infeasible(tmp_path, monkeypatch):

@@ -49,7 +49,7 @@ KNOBS = {
     "PartConv": ("n_tracks", 128, 12288, 128),
 }
 TRACK_KNOB = ("n_tracks", 128, 1 << 16, 128)
-EXCLUDED = ("FDTD3D", "NoOp", "SOL_")
+EXCLUDED = ("FDTD3D", "NoOp", "SOL_", "datacopy")
 
 
 def quantize(v: int, quantum: int, lo: int) -> int:
@@ -105,7 +105,8 @@ def knob_for(benchmark: str):
     if any(benchmark.startswith(p) for p in EXCLUDED):
         raise SystemExit(
             f"{benchmark}: no capacity knob (FDTD's workload is the fixed "
-            "grid; NoOp/speedoflight measure overhead, not load)")
+            "grid; NoOp/speedoflight measure overhead, not load; datacopy* "
+            "are round-trip transfer benchmarks with no saturated tier)")
     return KNOBS.get(benchmark, TRACK_KNOB)
 
 
