@@ -56,6 +56,7 @@ def print_help() -> None:
     print("  --irLength [n]           Conv1D/Conv1D_accel IR length")
     print("  --convEdgeMode [m]       clamp | bleed (Conv1D edge handling)")
     print("  --partconvForm [f]       ring | shift (PartConv FDL form)")
+    print("  --partconvHDtype [d]     f32 | f16 (PartConv IR-spectra storage)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
@@ -135,6 +136,7 @@ def parse_args(argv: List[str]):
         "--irLength": ("ir_length", int),
         "--convEdgeMode": ("conv_edge_mode", str),
         "--partconvForm": ("partconv_form", str),
+        "--partconvHDtype": ("partconv_h_dtype", str),
         "--poolMiB": ("rndmem_pool_mb", int),
         "--transferMiB": ("transfer_mib", int),
         "--dataParallel": ("data_parallel", int),

@@ -52,6 +52,11 @@ class BenchConfig:
     # PartConv FDL form: "ring" (one-slot write + rotated-H gather; no
     # FDL rewrite) | "shift" (textbook move-every-slot; the oracle).
     partconv_form: str = "ring"
+    # IR-spectra storage dtype: "f32" | "f16". f16 halves the H read
+    # (~25% of the HBM wall) at a MEASURED 1.9e-4 peak-relative error
+    # vs the 1e-3 contract (bf16 was measured at 1.59e-3 and rejected,
+    # docs/BENCHMARKS.md). Compute stays f32 either way.
+    partconv_h_dtype: str = "f32"
     seed: int = 42
     # datacopy* base pool (CUDA default 10 MiB; the poster also measured
     # 100 MiB and 1 GiB variants, BASELINE.md tab5/tab8).
@@ -160,6 +165,9 @@ class BenchConfig:
         if self.partconv_form not in ("ring", "shift"):
             raise ValueError(
                 f"invalid partconv form: {self.partconv_form}")
+        if self.partconv_h_dtype not in ("f32", "f16"):
+            raise ValueError(
+                f"invalid partconv H dtype: {self.partconv_h_dtype}")
         if self.impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"invalid impl: {self.impl}")
         if self.csv_schema not in ("cuda", "metal"):

@@ -91,8 +91,13 @@ class PartConvBenchmark(StandardBufferBenchmark):
 
         h_re, h_im = partition_spectra(
             dev.to_device(self.ir), self.buffer_size)
-        self._h_re = self._put_state(np.asarray(h_re))
-        self._h_im = self._put_state(np.asarray(h_im))
+        h_np = (np.asarray(h_re), np.asarray(h_im))
+        if self.cfg.partconv_h_dtype == "f16":
+            # Measured 1.9e-4 peak-relative vs the 1e-3 contract at the
+            # default shape; halves the H read (docs/BENCHMARKS.md).
+            h_np = tuple(h.astype(np.float16) for h in h_np)
+        self._h_re = self._put_state(h_np[0])
+        self._h_im = self._put_state(h_np[1])
         bins = self.buffer_size + 1
         zeros_fdl = np.zeros(
             (self.track_count, self.partitions, bins), np.float32)
@@ -165,11 +170,15 @@ class PartConvBenchmark(StandardBufferBenchmark):
             # (partition, bin).
             "flops": int(t * (2 * fft_flops + 8 * p * bins)),
             # Ring form: one FDL read + one (rotated-gather) H read per
-            # block, two f32 planes each; the one-slot write and the
-            # x/y block traffic ride along. The shift form adds a full
-            # FDL rewrite.
-            "hbm_bytes": ((2 if self.cfg.partconv_form == "ring" else 3)
-                          * 2 * t * p * bins + 2 * t * b) * 4,
+            # block, two planes each (FDL f32; H f32 or f16); the
+            # one-slot write and the x/y block traffic ride along. The
+            # shift form adds a full FDL rewrite.
+            "hbm_bytes": (
+                (2 if self.cfg.partconv_form == "ring" else 4)
+                * t * p * bins * 4         # FDL read (+rewrite if shift)
+                + 2 * t * p * bins
+                * (2 if self.cfg.partconv_h_dtype == "f16" else 4)  # H
+                + 2 * t * b * 4),
             "unit": "vpu",  # XLA TPU FFT and the MAC run on the VPU
         }
 
@@ -193,6 +202,7 @@ class PartConvBenchmark(StandardBufferBenchmark):
         return {
             "irLength": self.ir_length,
             "form": self.cfg.partconv_form,
+            "hDtype": self.cfg.partconv_h_dtype,
             "partitions": self.partitions,
             "fftSize": 2 * self.buffer_size,
             "fdlBytes": 2 * self.track_count * self.partitions

@@ -94,9 +94,13 @@ def partconv_block(x, prev, fdl_re, fdl_im, h_re, h_im):
     sre, sim = _forward_spectrum(x, prev)
     fdl_re = jnp.concatenate([sre[:, None], fdl_re[:, :-1]], axis=1)
     fdl_im = jnp.concatenate([sim[:, None], fdl_im[:, :-1]], axis=1)
-    # Complex MAC over partitions: Y = sum_p FDL[p] * H[p].
-    y_re = jnp.sum(fdl_re * h_re - fdl_im * h_im, axis=1)
-    y_im = jnp.sum(fdl_re * h_im + fdl_im * h_re, axis=1)
+    # Complex MAC over partitions: Y = sum_p FDL[p] * H[p]. H may be
+    # stored narrower (f16, --partconvHDtype); compute is f32 — the
+    # convert fuses into the (traffic-bound) read.
+    hr = h_re.astype(jnp.float32)
+    hi = h_im.astype(jnp.float32)
+    y_re = jnp.sum(fdl_re * hr - fdl_im * hi, axis=1)
+    y_im = jnp.sum(fdl_re * hi + fdl_im * hr, axis=1)
     return _inverse_block(y_re, y_im, b), fdl_re, fdl_im
 
 
@@ -123,8 +127,8 @@ def partconv_block_ring(x, prev, head, fdl_re, fdl_im, h_re, h_im):
     fdl_im = jax.lax.dynamic_update_slice_in_dim(
         fdl_im, sim[:, None], head, axis=1)
     idx = (head - jnp.arange(p, dtype=jnp.int32)) % p
-    hr = jnp.take(h_re, idx, axis=1)
-    hi = jnp.take(h_im, idx, axis=1)
+    hr = jnp.take(h_re, idx, axis=1).astype(jnp.float32)
+    hi = jnp.take(h_im, idx, axis=1).astype(jnp.float32)
     y_re = jnp.sum(fdl_re * hr - fdl_im * hi, axis=1)
     y_im = jnp.sum(fdl_re * hi + fdl_im * hr, axis=1)
     return _inverse_block(y_re, y_im, b), head, fdl_re, fdl_im

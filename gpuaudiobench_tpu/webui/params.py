@@ -283,6 +283,15 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 ],
                 "Frequency-domain delay line update strategy",
             ),
+            select(
+                "partconvHDtype", "IR-Spectra Dtype", d.partconv_h_dtype,
+                [
+                    {"value": "f32", "label": "f32 (reference)"},
+                    {"value": "f16", "label": "f16 (half the H read)"},
+                ],
+                "Storage precision of the partition spectra "
+                "(measured 1.9e-4 peak-relative at f16)",
+            ),
         ]
     if name in ("MultiChipSuite", "ICIBandwidth"):
         return [
@@ -311,6 +320,7 @@ _FIELD_MAP = {
     "irLength": ("ir_length", int),
     "convEdgeMode": ("conv_edge_mode", str),
     "partconvForm": ("partconv_form", str),
+    "partconvHDtype": ("partconv_h_dtype", str),
     "modalModes": ("modal_num_modes", int),
     "modalRenorm": ("modal_renorm", bool),
     "dwgMinLen": ("dwg_min_length", int),

@@ -26,8 +26,8 @@ const char* kValueFlags[] = {
     "--benchmark",    "--fs",               "--bufferSize", "--nTracks",
     "--nRuns",        "--warmup",           "--outputfile", "--verification",
     "--dawsim-mode",  "--dawsim-jitter-us", "--impl",       "--irLength",
-    "--convEdgeMode", "--partconvForm",     "--poolMiB",
-    "--seed",         "--latenciesFile",
+    "--convEdgeMode", "--partconvForm",     "--partconvHDtype",
+    "--poolMiB",      "--seed",             "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",
     "--dataParallel", "--modalModes",       "--pipelineDepth",
     "--saturatedReps",

@@ -160,6 +160,30 @@ def test_shift_form_selectable_and_validates():
     assert b.metadata()["form"] == "shift"
 
 
+def test_f16_spectra_validate_at_full_partition_depth():
+    """--partconvHDtype f16 must stay inside the 1e-3 contract at the
+    REAL accumulation depth (94 partitions of the 1 s default IR) --
+    the measured margin is ~5x (1.9e-4); bf16 was measured at 1.59e-3
+    and rejected (docs/BENCHMARKS.md)."""
+    b = _bench(n_tracks=2, buffer_size=512, ir_length=48000,
+               partconv_h_dtype="f16")
+    assert b.partitions == 94
+    b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages
+    assert b.metadata()["hDtype"] == "f16"
+    # the narrower storage must be charged in the cost model
+    cfg_f32 = b.cfg.replace(partconv_h_dtype="f32")
+    b32 = PartConvBenchmark(cfg_f32)
+    b32.ir_length, b32.partitions = b.ir_length, b.partitions
+    assert b.cost_model()["hbm_bytes"] < b32.cost_model()["hbm_bytes"]
+
+
+def test_invalid_h_dtype_rejected():
+    with pytest.raises(ValueError):
+        BenchConfig(partconv_h_dtype="bf16").validate()
+
+
 def test_invalid_form_rejected():
     with pytest.raises(ValueError):
         BenchConfig(partconv_form="circular").validate()

@@ -101,8 +101,13 @@ run_step partconv_shift 1800 python -m gpuaudiobench_tpu.cli \
   --benchmark PartConv --partconvForm shift --nRuns 5 --warmup 2 \
   --pipelineDepth 256 --verification spot \
   --outputfile "$LOG/partconv_shift.csv"
+run_step partconv_f16 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --partconvHDtype f16 --nRuns 5 --warmup 2 \
+  --pipelineDepth 256 --verification spot \
+  --outputfile "$LOG/partconv_f16.csv"
 grep -hE "Saturated|Device M" "$LOG/partconv.log" \
-  "$LOG/partconv_shift.log" 2>/dev/null | tee -a "$LOG/summary.log" || true
+  "$LOG/partconv_shift.log" "$LOG/partconv_f16.log" 2>/dev/null \
+  | tee -a "$LOG/summary.log" || true
 
 # 4d. PartConv 120 s soak (every carried-state benchmark has one;
 # this checks the ring head wrap + FDL energy over ~11k blocks).
