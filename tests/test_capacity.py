@@ -248,3 +248,24 @@ def test_budget_exhaustion_is_disclosed(tmp_path, monkeypatch):
     assert rec["budget_exhausted"] is True
     assert rec["ceiling_hit"] is False
     assert rec["capacity"] == 512  # 128 -> 256 -> 512, budget spent
+
+
+def test_search_matches_exhaustive_scan_randomized():
+    """Property: with a generous budget, the search returns exactly the
+    largest grid value passing a monotone oracle, for random
+    thresholds/bounds/quanta."""
+    import random
+
+    rng = random.Random(1234)
+    for _ in range(200):
+        quantum = rng.choice([1, 16, 128, 1024])
+        lo = quantum * rng.randint(1, 8)
+        hi = lo + quantum * rng.randint(1, 512)
+        threshold = rng.randint(0, hi + quantum)
+        cap, probes, ceiling = search_capacity(
+            oracle(threshold), lo, hi, quantum, max_evals=64)
+        grid = range(lo, hi + 1, quantum)
+        expected = max((v for v in grid if v <= threshold), default=None)
+        assert cap == expected, (lo, hi, quantum, threshold)
+        if expected is not None:
+            assert ceiling == (expected == hi and hi <= threshold)
