@@ -39,7 +39,8 @@ def print_help() -> None:
     print("  --benchmarkFilter [pat]  Run all benchmarks matching substring or /regex/")
     print("                           (repeatable / comma separated)")
     print("  --category [name]        Run a suite category: transfer | basic | dsp")
-    print("                           | physical | memory | multichip | speedoflight")
+    print("                           | physical | memory | neural | multichip")
+    print("                           | speedoflight")
     print("  --fs [rate]              Set sampling rate (default: 48000)")
     print("  --bufferSize [size]      Set buffer size (default: 512)")
     print("  --nTracks [count]        Set number of tracks (default: 128)")
@@ -57,6 +58,9 @@ def print_help() -> None:
     print("  --convEdgeMode [m]       clamp | bleed (Conv1D edge handling)")
     print("  --partconvForm [f]       ring | shift (PartConv FDL form)")
     print("  --partconvHDtype [d]     f32 | f16 (PartConv IR-spectra storage)")
+    print("  --neuralampChannels [n]  NeuralAmp TCN channel count (default: 128)")
+    print("  --neuralampLayers [n]    NeuralAmp dilated-layer count (default: 10)")
+    print("  --neuralampDtype [d]     f32 | bf16 (NeuralAmp GEMM dtype)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
@@ -137,6 +141,9 @@ def parse_args(argv: List[str]):
         "--convEdgeMode": ("conv_edge_mode", str),
         "--partconvForm": ("partconv_form", str),
         "--partconvHDtype": ("partconv_h_dtype", str),
+        "--neuralampChannels": ("neuralamp_channels", int),
+        "--neuralampLayers": ("neuralamp_layers", int),
+        "--neuralampDtype": ("neuralamp_dtype", str),
         "--poolMiB": ("rndmem_pool_mb", int),
         "--transferMiB": ("transfer_mib", int),
         "--dataParallel": ("data_parallel", int),

@@ -57,6 +57,16 @@ class BenchConfig:
     # vs the 1e-3 contract (bf16 was measured at 1.59e-3 and rejected,
     # docs/BENCHMARKS.md). Compute stays f32 either way.
     partconv_h_dtype: str = "f32"
+    # NeuralAmp (streaming TCN inference, the MXU workload): channel
+    # width (128 = one MXU tile of contraction), dilated-layer count
+    # (receptive field (K-1)(2^L-1)+1 = 2047 samples ~ 43 ms at 48 kHz
+    # with the defaults), and GEMM dtype. "f32" contracts in
+    # Precision.HIGHEST (validated to 1e-4 rel-to-peak); "bf16" is the
+    # MXU-native inference mode with its own documented 2e-2 contract
+    # (models/neuralamp.py docstring carries the measured margins).
+    neuralamp_channels: int = 128
+    neuralamp_layers: int = 10
+    neuralamp_dtype: str = "f32"
     seed: int = 42
     # datacopy* base pool (CUDA default 10 MiB; the poster also measured
     # 100 MiB and 1 GiB variants, BASELINE.md tab5/tab8).
@@ -168,6 +178,19 @@ class BenchConfig:
         if self.partconv_h_dtype not in ("f32", "f16"):
             raise ValueError(
                 f"invalid partconv H dtype: {self.partconv_h_dtype}")
+        if self.neuralamp_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"invalid NeuralAmp dtype: {self.neuralamp_dtype}")
+        if not 1 <= self.neuralamp_channels <= 512:
+            raise ValueError(
+                f"neuralamp_channels ({self.neuralamp_channels}) must be "
+                "in [1, 512]")
+        if not 1 <= self.neuralamp_layers <= 12:
+            # Carried-tail memory doubles per layer ((K-1)*2^l samples
+            # per track per layer); 12 layers = 16 s receptive field.
+            raise ValueError(
+                f"neuralamp_layers ({self.neuralamp_layers}) must be "
+                "in [1, 12]")
         if self.impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"invalid impl: {self.impl}")
         if self.csv_schema not in ("cuda", "metal"):

@@ -1,0 +1,221 @@
+"""Streaming dilated-TCN inference: neural amp/effect modeling as a
+real-time block program -- the suite's MXU workload.
+
+Extension beyond the reference's registered set: every registered
+reference workload (cuda/main.cu:84-100) is classic DSP whose arithmetic
+lands on the VPU (the Conv1D MXU question was settled by measurement,
+docs/PARITY.md "Settled questions"); the matrix unit -- 191.9 measured
+bf16 TFLOP/s on this chip, utils/measured_peaks.json -- sits idle. The
+workload class that fills it in production audio is neural amp/effect
+modeling: feed-forward temporal convolutional networks (micro-TCN,
+WaveNet-style amp sims) running sample-streams through stacks of dilated
+causal convolutions. This module is that inference loop, built TPU-first.
+
+TPU-first design:
+* A dilated causal conv with kernel K over C channels is K shifted
+  slices of the (tracks, samples+context, C) activation, each contracted
+  with a (C, C) tap matrix: ``dot_general`` with an effective
+  (T*S, C) x (C, C) GEMM shape -- MXU work, not a convolution lowering
+  (XLA's grouped/depthwise conv paths never engage the MXU; measured,
+  docs/PARITY.md). No scan: the network is feed-forward, so one block is
+  a static stack of L such layers and XLA sees one straight-line program.
+* Streaming state is a per-layer input tail of the last (K-1)*2^l
+  samples (the layer's receptive context), concatenated ahead of the
+  block and re-sliced off the end -- carried across blocks on device
+  exactly like the IIR biquad state (cuda/bench_iir.cu:19-43 semantics).
+* f32 mode contracts in Precision.HIGHEST (the validation-grade 6-pass
+  path, measured 30.9 TFLOP/s); bf16 mode pre-casts the tap matrices at
+  setup (casting inside the hot loop measurably halves MXU throughput:
+  utils/measured_peaks.json provenance) and casts activations at the
+  dot, accumulating in f32 via preferred_element_type.
+
+Numerics: residual blocks ``h <- h + tanh(conv(h))`` with
+variance-1/(K*C) uniform taps keep activations O(sqrt(L)) without
+saturating tanh, so the f64 golden comparison stays sensitive through
+the full depth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+KERNEL = 3  # tap count per dilated layer (micro-TCN's standard k)
+
+
+def dilations(layers: int) -> List[int]:
+    """Dilation schedule 1, 2, 4, ... (receptive field (K-1)(2^L-1)+1)."""
+    return [1 << l for l in range(layers)]
+
+
+def context_lengths(layers: int) -> List[int]:
+    """Per-layer carried-tail lengths (K-1)*dilation."""
+    return [(KERNEL - 1) * d for d in dilations(layers)]
+
+
+def receptive_field(layers: int) -> int:
+    return (KERNEL - 1) * ((1 << layers) - 1) + 1
+
+
+def steady_blocks(layers: int, block_size: int) -> int:
+    """Blocks until the output of a REPEATED input block is exactly
+    periodic: once (k-1)*B covers the total carried context, every tail
+    holds true history of the (B-periodic) activation stream, so block
+    k's output is a fixed function of the block. Used by the golden to
+    clamp its f64 replay; the steadiness itself is property-tested."""
+    total_ctx = sum(context_lengths(layers))
+    return -(-total_ctx // block_size) + 1
+
+
+def init_params(
+    seed: int, channels: int, layers: int
+) -> Dict[str, np.ndarray]:
+    """Seeded float32 network weights (generated host-side, NumPy --
+    the AudioDataGenerator discipline, cuda/bench_utils.cu:238-260).
+
+    Tap matrices are uniform with variance 1/(KERNEL*channels) so each
+    residual branch adds unit-order variance; w_in/w_out are unit-scale.
+    """
+    rng = np.random.default_rng(seed)
+    s_tap = float(np.sqrt(3.0 / (KERNEL * channels)))
+    p: Dict[str, np.ndarray] = {
+        "w_in": rng.uniform(-1, 1, channels).astype(np.float32),
+        "b_in": rng.uniform(-0.1, 0.1, channels).astype(np.float32),
+        "w_out": rng.uniform(-1, 1, channels).astype(np.float32)
+        / np.float32(channels),
+        "b_out": np.float32(rng.uniform(-0.1, 0.1)),
+    }
+    for l in range(layers):
+        p[f"w{l}"] = rng.uniform(
+            -s_tap, s_tap, (KERNEL, channels, channels)
+        ).astype(np.float32)
+        p[f"b{l}"] = rng.uniform(-0.1, 0.1, channels).astype(np.float32)
+    return p
+
+
+def param_bytes(channels: int, layers: int, dtype: str) -> int:
+    per = 2 if dtype == "bf16" else 4
+    return (layers * (KERNEL * channels * channels + channels) + 3 * channels
+            + 1) * per
+
+
+def init_tails(
+    tracks: int, channels: int, layers: int, dtype: str = "f32"
+) -> Tuple[np.ndarray, ...]:
+    """Zero-initialized carried state: one (T, (K-1)*2^l, C) tail per
+    layer (silence before the stream starts). bf16 mode carries the
+    tails in bf16 -- they are slices of the bf16-resident activations."""
+    npdt = np.dtype(jnp.bfloat16) if dtype == "bf16" else np.dtype(np.float32)
+    return tuple(
+        np.zeros((tracks, ctx, channels), npdt)
+        for ctx in context_lengths(layers)
+    )
+
+
+def cast_params(params: Dict[str, np.ndarray], dtype: str):
+    """Pre-cast tap matrices for the requested compute dtype (bf16 cast
+    must happen OUTSIDE the timed body -- measured 2x MXU-rate penalty
+    otherwise)."""
+    if dtype == "f32":
+        return {k: jnp.asarray(v) for k, v in params.items()}
+    out = {}
+    for k, v in params.items():
+        if k.startswith("w") and k != "w_in":
+            out[k] = jnp.asarray(v, jnp.bfloat16)
+        else:
+            out[k] = jnp.asarray(v)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("layers", "dtype"))
+def tcn_block(x, tails, params, *, layers: int, dtype: str = "f32"):
+    """One streamed block of TCN inference.
+
+    x:      (T, B) raw input block
+    tails:  tuple of (T, (K-1)*2^l, C) carried layer-input contexts
+    params: cast_params() output
+    Returns (y, tails'): (T, B) output block + next carried state.
+    """
+    f32 = jnp.float32
+    if dtype == "bf16":
+        # Fully bf16-resident: activations and carried tails live in
+        # bf16 (storage AND GEMM input), halving the workload's HBM
+        # wall; accumulation and tanh stay f32. Measured 9.4e-3
+        # rel-to-peak at the default shape vs the 2e-2 NN-inference
+        # contract (models/neuralamp.py docstring).
+        act = jnp.bfloat16
+        dot = functools.partial(
+            jnp.einsum, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=f32)
+    else:
+        act = f32
+        dot = functools.partial(
+            jnp.einsum, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32)
+
+    b = x.shape[1]
+    # Input 1x1 conv: scalar sample -> C channels (f32, then cast once).
+    h = jnp.tanh(x[..., None] * params["w_in"] + params["b_in"]).astype(act)
+    new_tails = []
+    for l in range(layers):
+        d = 1 << l
+        ctx = (KERNEL - 1) * d
+        ext = jnp.concatenate([tails[l], h], axis=1)  # (T, B+ctx, C)
+        new_tails.append(ext[:, -ctx:])
+        acc = params[f"b{l}"].astype(f32)
+        for j in range(KERNEL):
+            # Tap j sees the stream delayed by (KERNEL-1-j)*d samples.
+            seg = ext[:, j * d:j * d + b]
+            acc = acc + dot("tsc,cd->tsd", seg, params[f"w{l}"][j])
+        h = (h.astype(f32) + jnp.tanh(acc)).astype(act)  # residual block
+    y = dot("tsc,c->ts", h, params["w_out"]) + params["b_out"]
+    return y.astype(f32), tuple(new_tails)
+
+
+def tcn_block_f64(
+    x: np.ndarray,
+    tails: Tuple[np.ndarray, ...],
+    params: Dict[str, np.ndarray],
+    layers: int,
+) -> Tuple[np.ndarray, Tuple[np.ndarray, ...]]:
+    """Float64 NumPy twin of tcn_block (the golden's single step)."""
+    h = np.tanh(
+        x.astype(np.float64)[..., None] * params["w_in"].astype(np.float64)
+        + params["b_in"].astype(np.float64))
+    b = x.shape[1]
+    new_tails = []
+    for l in range(layers):
+        d = 1 << l
+        ctx = (KERNEL - 1) * d
+        ext = np.concatenate([tails[l], h], axis=1)
+        new_tails.append(ext[:, -ctx:])
+        acc = params[f"b{l}"].astype(np.float64)
+        w = params[f"w{l}"].astype(np.float64)
+        for j in range(KERNEL):
+            acc = acc + ext[:, j * d:j * d + b] @ w[j]
+        h = h + np.tanh(acc)
+    y = h @ params["w_out"].astype(np.float64) + float(params["b_out"])
+    return y, tuple(new_tails)
+
+
+def tcn_reference(
+    x: np.ndarray,
+    k: int,
+    params: Dict[str, np.ndarray],
+    layers: int,
+) -> np.ndarray:
+    """Float64 output block k (1-indexed) of streaming the SAME block x
+    k times from zero state, replay clamped at steady_blocks() (the
+    output is exactly periodic beyond it -- see steady_blocks)."""
+    reps = min(k, steady_blocks(layers, x.shape[1]))
+    tails = tuple(
+        np.zeros((x.shape[0], ctx, params["w_in"].shape[0]), np.float64)
+        for ctx in context_lengths(layers))
+    y = None
+    for _ in range(reps):
+        y, tails = tcn_block_f64(x, tails, params, layers)
+    return y.astype(np.float32)

@@ -158,3 +158,27 @@ def partconv_collectives(
         {"label": "partial-Y psum", "kind": "psum",
          "bytes": spectrum_bytes, "axis_n": axis_n},
     ]
+
+
+def neuralamp_collectives(
+    tracks: int, block: int, channels: int, layers: int, axis_n: int,
+) -> List[Dict[str, Any]]:
+    """Channel-sharded NeuralAmp (parallel/neuralamp_sharded.py), one
+    block: each dilated layer all-gathers its (T, B+ctx, C) input so
+    every rank can contract against its column shard; the row-parallel
+    output conv ends in one (T, B) psum. Weights and carried tails
+    never move."""
+    if axis_n <= 1:
+        return []
+    out: List[Dict[str, Any]] = []
+    for l in range(layers):
+        ctx = 2 * (1 << l)  # (KERNEL-1) * dilation
+        out.append({
+            "label": f"layer {l} activation all_gather",
+            "kind": "all_gather",
+            "bytes": tracks * (block + ctx) * channels * 4,
+            "axis_n": axis_n,
+        })
+    out.append({"label": "output psum", "kind": "psum",
+                "bytes": tracks * block * 4, "axis_n": axis_n})
+    return out

@@ -27,6 +27,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         ICIBandwidthBenchmark,
         MultiChipSuiteBenchmark,
     )
+    from gpuaudiobench_tpu.models.neuralamp import NeuralAmpBenchmark
     from gpuaudiobench_tpu.models.noop import NoOpBenchmark
     from gpuaudiobench_tpu.models.partconv import PartConvBenchmark
     from gpuaudiobench_tpu.models.rndmem import RndMemBenchmark
@@ -58,6 +59,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         # Extensions beyond the reference's registered set.
         "BiquadChain": BiquadChainBenchmark,
         "PartConv": PartConvBenchmark,
+        "NeuralAmp": NeuralAmpBenchmark,
         "MultiChipSuite": MultiChipSuiteBenchmark,
         "ICIBandwidth": ICIBandwidthBenchmark,
         # speedoflight: measured roofline denominators.
@@ -92,8 +94,8 @@ BENCHMARK_NAMES: List[str] = [
 
 # Extensions: workloads present in the reference tree but unregistered
 # there (kernels_extra.metal), registered here for completeness.
-EXTENSION_NAMES: List[str] = ["BiquadChain", "PartConv", "MultiChipSuite",
-                              "ICIBandwidth",
+EXTENSION_NAMES: List[str] = ["BiquadChain", "PartConv", "NeuralAmp",
+                              "MultiChipSuite", "ICIBandwidth",
                               "SOL_VPU", "SOL_VMEM", "SOL_HBM",
                               "SOL_MXU_bf16", "SOL_MXU_f32"]
 
@@ -106,6 +108,8 @@ CATEGORIES = {
             "FFT1D", "BiquadChain", "PartConv"],
     "physical": ["DWG1DNaive", "DWG1DAccel", "FDTD3D"],
     "memory": ["RndMemRead"],
+    # TPU extension: neural audio inference (the MXU workload class).
+    "neural": ["NeuralAmp"],
     # TPU extension: the multi-chip layer as runnable workloads.
     "multichip": ["MultiChipSuite", "ICIBandwidth"],
     # TPU extension: measured roofline denominators
@@ -134,6 +138,8 @@ BENCHMARK_DESCRIPTIONS = {
     "RndMemRead": "Random memory access pattern",
     "BiquadChain": "Serial 10-stage biquad cascade (extension)",
     "PartConv": "Partitioned streaming convolution reverb (extension)",
+    "NeuralAmp": "Streaming neural amp-model (TCN) inference on the MXU "
+                 "(extension)",
     "MultiChipSuite": "Sharded dp/tp/sp/pp pipeline over --mesh (extension)",
     "ICIBandwidth": "Interconnect ring ppermute + psum (extension)",
     "SOL_VPU": "Speed-of-light: VPU f32 FMA throughput (measured peak)",

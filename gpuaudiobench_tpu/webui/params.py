@@ -293,6 +293,28 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "(measured 1.9e-4 peak-relative at f16)",
             ),
         ]
+    if name == "NeuralAmp":
+        return [
+            select(
+                "neuralampChannels", "Channels", d.neuralamp_channels,
+                _opts([32, 64, 128, 256]),
+                "TCN channel width (128 = one MXU tile of contraction)",
+            ),
+            slider(
+                "neuralampLayers", "Dilated Layers", 1, 12,
+                d.neuralamp_layers, 1, "",
+                "Network depth; receptive field = 2*(2^L - 1) + 1 samples",
+            ),
+            select(
+                "neuralampDtype", "GEMM Dtype", d.neuralamp_dtype,
+                [
+                    {"value": "f32", "label": "f32 (HIGHEST precision)"},
+                    {"value": "bf16", "label": "bf16 (MXU-native)"},
+                ],
+                "Contraction dtype; bf16 validates against its own "
+                "2e-2 NN-inference contract",
+            ),
+        ]
     if name in ("MultiChipSuite", "ICIBandwidth"):
         return [
             select(
@@ -321,6 +343,9 @@ _FIELD_MAP = {
     "convEdgeMode": ("conv_edge_mode", str),
     "partconvForm": ("partconv_form", str),
     "partconvHDtype": ("partconv_h_dtype", str),
+    "neuralampChannels": ("neuralamp_channels", int),
+    "neuralampLayers": ("neuralamp_layers", int),
+    "neuralampDtype": ("neuralamp_dtype", str),
     "modalModes": ("modal_num_modes", int),
     "modalRenorm": ("modal_renorm", bool),
     "dwgMinLen": ("dwg_min_length", int),

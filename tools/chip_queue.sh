@@ -114,6 +114,23 @@ grep -hE "Saturated|Device M" "$LOG/partconv.log" \
 run_step soak_partconv 1800 python tools/soak.py 120 \
   "$LOG/soak_partconv.md" PartConv
 
+# 4e. NeuralAmp (the MXU workload, never measured on-chip): f32 vs
+# bf16 A/B -- docs/BENCHMARKS.md predicts f32 compute-bound ~2.1 ms
+# (30.9 TFLOP/s delivered f32) and the bf16-resident mode
+# bandwidth-bound ~0.8 ms (~0.5 GB/block at 660 GB/s); this decides it.
+run_step neuralamp 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark NeuralAmp --nRuns 5 --warmup 2 --pipelineDepth 64 \
+  --verification spot --outputfile "$LOG/neuralamp.csv"
+run_step neuralamp_bf16 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark NeuralAmp --neuralampDtype bf16 --nRuns 5 --warmup 2 \
+  --pipelineDepth 64 --verification spot \
+  --outputfile "$LOG/neuralamp_bf16.csv"
+grep -hE "Saturated|Device M" "$LOG/neuralamp.log" \
+  "$LOG/neuralamp_bf16.log" 2>/dev/null | tee -a "$LOG/summary.log" || true
+# NeuralAmp 120 s soak: receptive-field tails carried over ~11k blocks.
+run_step soak_neuralamp 1800 python tools/soak.py 120 \
+  "$LOG/soak_neuralamp.md" NeuralAmp
+
 # 5. Capacity headlines (tools/capacity.py): the largest modal bank and
 # Conv1D track count that sustain real time on this chip. lo starts at
 # sizes the archived results already prove sustain (modal 1M = ~1.04 ms
@@ -125,6 +142,10 @@ run_step cap_modal 5400 python tools/capacity.py \
 run_step cap_conv 5400 python tools/capacity.py \
   --benchmark Conv1D --lo 1024 --hi 65536 \
   --maxEvals 10 --json "$LOG/cap_conv.json"
+# NeuralAmp track capacity (predicted ~650 tracks f32-compute-bound).
+run_step cap_neuralamp 5400 python tools/capacity.py \
+  --benchmark NeuralAmp --lo 128 --hi 4096 \
+  --maxEvals 10 --json "$LOG/cap_neuralamp.json"
 # 6. The capacity table across the remaining knobbed benchmarks
 # (per-benchmark default ranges; archived as docs/RESULTS_r3_capacity.md
 # after review together with the modal/conv rows above).
