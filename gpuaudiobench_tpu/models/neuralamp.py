@@ -1,112 +1,158 @@
-"""NeuralAmp: streaming neural amp-model (dilated TCN) inference --
-TPU extension benchmark, the suite's MXU workload.
+"""NeuralAmp / NeuralAmpLSTM: streaming neural amp-model inference --
+TPU extension benchmarks, the suite's neural (MXU) workload family.
 
 No reference counterpart: every registered reference workload
 (cuda/main.cu:84-100) is classic DSP whose arithmetic lands on the VPU;
 the production audio workload that exercises the matrix unit is neural
-amp/effect modeling (micro-TCN / WaveNet-style amp sims). This benchmark
-streams blocks through a depth-L stack of dilated causal convolutions
-formulated as (T*S, C) x (C, C) GEMMs (ops/neuralamp.py), with the
-per-layer receptive-field tails carried on device across iterations
-exactly like the IIR state (cuda/bench_iir.cu:19-43 semantics).
+amp/effect modeling. The two deployed architectures measure opposite
+compute regimes, which is exactly the A/B accelerator deployments face:
 
-Validation replays the SAME input block through a float64 NumPy twin of
-the network, clamped at the proven steady-state block count (the output
-of a repeated block is exactly periodic once the carried context is
-full -- ops/neuralamp.py steady_blocks, property-tested). Tolerances are
-per compute dtype, both with measured margins at the default shape
-(T=128, B=512, C=128, L=10):
+* NeuralAmp (arch "tcn"): depth-L dilated causal TCN formulated as
+  (T*S, C) x (C, C) GEMMs in a straight-line feed-forward program
+  (ops/neuralamp.py tcn_block) -- big batched MXU work, activation
+  traffic as the bf16 wall.
+* NeuralAmpLSTM (arch "lstm"): one recurrent layer + dense out + input
+  skip (the GuitarML / NeuralPi topology) -- a lax.scan with ONE small
+  (T, H+1) x (H+1, 4H) GEMM per audio sample: issue/latency-bound
+  sequential dispatch the MXU cannot pipeline across samples.
 
-* f32 (Precision.HIGHEST GEMMs): 1e-4 relative-to-peak; measured
-  5.9e-7 on the f32 path (~170x margin).
-* bf16 (the MXU-native inference mode, fully bf16-resident:
-  activations and carried tails stored bf16, accumulation f32):
-  2e-2 relative-to-peak -- the NN-inference contract, NOT the suite's
-  1e-3 DSP contract. bf16 has an 8-bit mantissa (eps 3.9e-3); the
-  depth-10 network measures 9.4e-3 peak-relative (~2x margin; 6.0e-3
-  with f32-stored activations, the storage quantization costs ~1.5x).
-  The DSP benchmarks rejected bf16 against their fixed contracts
-  (docs/BENCHMARKS.md); neural inference in bf16 is the deployed norm
-  and gets its own documented contract.
+Both carry their state on device across iterations exactly like the
+IIR state (cuda/bench_iir.cu:19-43 semantics): the TCN its per-layer
+receptive-field tails, the LSTM its (h, c) pair.
+
+Validation replays the SAME input block through a float64 NumPy twin,
+clamped at a PROVEN steady block count: the TCN's repeated-block
+output is exactly periodic once its finite context fills
+(ops/neuralamp.py steady_blocks, property-tested); the LSTM's orbit
+converges below f64 noise after LSTM_STEADY_SAMPLES of measured
+gate-contraction decay (lstm_steady_blocks, test-pinned). Tolerances
+are per arch and compute
+dtype, all with measured margins at the default shapes:
+
+* tcn/f32 (Precision.HIGHEST): 1e-4 rel-to-peak, measured 5.9e-7.
+* tcn/bf16 (fully bf16-resident: activations + tails stored bf16,
+  f32 accumulation): 2e-2 -- the NN-inference contract, NOT the
+  suite's 1e-3 DSP contract (bf16 eps 3.9e-3; measured 9.4e-3).
+* lstm/f32: 1e-4, measured 1.1e-7.
+* lstm/bf16: 1e-3, measured 2.3e-5 -- the gate contraction damps
+  bf16 noise instead of accumulating it; a measured contrast with
+  the TCN's additive-residual error growth.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from gpuaudiobench_tpu.config import BenchConfig
 from gpuaudiobench_tpu.harness.validation import ValidationData, compare_rel
 from gpuaudiobench_tpu.models.common import StandardBufferBenchmark
 from gpuaudiobench_tpu.ops import neuralamp as na
 from gpuaudiobench_tpu.utils import device as dev
 
-TOLERANCE = {"f32": 1e-4, "bf16": 2e-2}
+TOLERANCE = {
+    ("tcn", "f32"): 1e-4,
+    ("tcn", "bf16"): 2e-2,
+    ("lstm", "f32"): 1e-4,
+    ("lstm", "bf16"): 1e-3,
+}
 
 
 class NeuralAmpBenchmark(StandardBufferBenchmark):
     name = "NeuralAmp"
+
+    def __init__(self, cfg: BenchConfig, arch: str = "tcn"):
+        super().__init__(cfg)
+        self.arch = arch
+        self.name = "NeuralAmp" if arch == "tcn" else "NeuralAmpLSTM"
 
     def setup(self) -> None:
         cfg = self.cfg
         self.channels = cfg.neuralamp_channels
         self.layers = cfg.neuralamp_layers
         self.dtype = cfg.neuralamp_dtype
-        self.tolerance = TOLERANCE[self.dtype]
+        self.tolerance = TOLERANCE[(self.arch, self.dtype)]
         self.setup_standard_buffers()
 
-        self.params_np = na.init_params(cfg.seed, self.channels, self.layers)
-        self._params = {
-            k: self.put_replicated(v)
-            for k, v in na.cast_params(self.params_np, self.dtype).items()
-        }
-        tails_np = na.init_tails(
-            self.track_count, self.channels, self.layers, self.dtype)
-        self._tails = tuple(self._put_tail(t) for t in tails_np)
+        if self.arch == "tcn":
+            self.params_np = na.init_params(
+                cfg.seed, self.channels, self.layers)
+            cast = na.cast_params(self.params_np, self.dtype)
+            state_np = na.init_tails(
+                self.track_count, self.channels, self.layers, self.dtype)
+            self._state = tuple(self._put_tail(t) for t in state_np)
+            self.track_alloc("weights", na.param_bytes(
+                self.channels, self.layers, self.dtype))
+        else:
+            self.params_np = na.init_lstm_params(cfg.seed, self.channels)
+            cast = na.cast_lstm_params(self.params_np, self.dtype)
+            state_np = (np.zeros((self.track_count, self.channels),
+                                 np.float32),) * 2
+            self._state = tuple(
+                self.put_sharded(s) for s in state_np)  # (h, c): dp axis 0
+            self.track_alloc("weights", na.lstm_param_bytes(
+                self.channels, self.dtype))
+        self._params = {k: self.put_replicated(v) for k, v in cast.items()}
         # Frozen state for the device-timing / streaming passes (those
         # must not consume the measured stream's carried state).
-        self._timing_tails = self._tails
+        self._timing_state = self._state
         self._invocations = 0
-        tail_bytes = sum(t.nbytes for t in tails_np)
-        self.track_alloc("weights", na.param_bytes(
-            self.channels, self.layers, self.dtype))
-        self.track_alloc("tails", tail_bytes)
+        self.track_alloc("state", sum(int(s.nbytes) for s in state_np))
         self.iterate()
 
     def _put_tail(self, t: np.ndarray):
         return (self.put_spec(t, "dp", None, None)
                 if self._sharding is not None else dev.to_device(t))
 
+    def _block(self, x, state):
+        if self.arch == "tcn":
+            y, tails = na.tcn_block(
+                x, state, self._params, layers=self.layers,
+                dtype=self.dtype)
+            return y, tails
+        y, h, c = na.lstm_block(
+            x, state[0], state[1], self._params, dtype=self.dtype)
+        return y, (h, c)
+
     def iterate(self) -> None:
         x = self.put_input(self.host_input)
-        y, self._tails = na.tcn_block(
-            x, self._tails, self._params,
-            layers=self.layers, dtype=self.dtype)
+        y, self._state = self._block(x, self._state)
         self.host_output = dev.from_device(y)
         self._invocations += 1
 
     def device_iterate(self) -> None:
-        y, _ = na.tcn_block(
-            self._resident_input, self._timing_tails, self._params,
-            layers=self.layers, dtype=self.dtype)
+        y, _ = self._block(self._resident_input, self._timing_state)
         dev.block(y)
 
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
-        x, params = self._resident_input, self._params
-        layers, dtype = self.layers, self.dtype
+        x = self._resident_input
+        block = self._block
 
-        def step(tails):
-            y, tails2 = na.tcn_block(
-                x, tails, params, layers=layers, dtype=dtype)
-            return tails2, probe(y)
+        def step(state):
+            y, state2 = block(x, state)
+            return state2, probe(y)
 
-        return step, self._timing_tails
+        return step, self._timing_state
 
     def cost_model(self):
-        t, s, c, l = (self.track_count, self.buffer_size,
-                      self.channels, self.layers)
-        k = na.KERNEL
-        per = 2 if self.dtype == "bf16" else 4  # activation element bytes
+        t, s, c = self.track_count, self.buffer_size, self.channels
+        per = 2 if self.dtype == "bf16" else 4  # GEMM-operand bytes
+        unit = "mxu" if self.dtype == "f32" else "mxu_bf16"
+        if self.arch == "lstm":
+            return {
+                # One (T, H+1) x (H+1, 4H) gate GEMM + the dense out
+                # per sample; gate nonlinearities are O(H) beside them.
+                "flops": int(t * s * (2 * (c + 1) * 4 * c + 2 * c)),
+                # Weights persist in VMEM across the scan; the block's
+                # HBM story is just x/y and the (h, c) state -- the
+                # workload is issue-bound, not traffic-bound.
+                "hbm_bytes": int(
+                    2 * t * s * 4 + 4 * t * c * 4
+                    + na.lstm_param_bytes(c, self.dtype)),
+                "unit": unit,
+            }
+        l, k = self.layers, na.KERNEL
         act = t * s * c * per  # one (T, S, C) activation
         tail_bytes = 2 * sum(
             t * ctx * c * per for ctx in na.context_lengths(l))
@@ -123,7 +169,7 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
                 (2 * l + 2) * act + tail_bytes
                 + na.param_bytes(self.channels, l, self.dtype)
                 + 2 * t * s * 4),
-            "unit": "mxu" if self.dtype == "f32" else "mxu_bf16",
+            "unit": unit,
         }
 
     def validate(self) -> ValidationData:
@@ -131,8 +177,13 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
             return compare_rel(
                 self.host_output, self.host_output, self.tolerance,
                 mode="none", label=self.name)
-        golden = na.tcn_reference(
-            self.host_input, self._invocations, self.params_np, self.layers)
+        if self.arch == "tcn":
+            golden = na.tcn_reference(
+                self.host_input, self._invocations, self.params_np,
+                self.layers)
+        else:
+            golden = na.lstm_reference(
+                self.host_input, self._invocations, self.params_np)
         self.golden = golden
         floor = float(np.abs(golden).max())
         return compare_rel(
@@ -141,12 +192,24 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
             label=self.name, floor=floor)
 
     def metadata(self):
-        return {
+        md = {
+            "arch": self.arch,
             "channels": self.channels,
-            "layers": self.layers,
             "dtype": self.dtype,
-            "receptiveField": na.receptive_field(self.layers),
-            "steadyBlocks": na.steady_blocks(self.layers, self.buffer_size),
-            "paramBytes": na.param_bytes(
-                self.channels, self.layers, self.dtype),
         }
+        if self.arch == "tcn":
+            md.update({
+                "layers": self.layers,
+                "receptiveField": na.receptive_field(self.layers),
+                "steadyBlocks": na.steady_blocks(
+                    self.layers, self.buffer_size),
+                "paramBytes": na.param_bytes(
+                    self.channels, self.layers, self.dtype),
+            })
+        else:
+            md.update({
+                "steadyBlocks": na.lstm_steady_blocks(self.buffer_size),
+                "paramBytes": na.lstm_param_bytes(
+                    self.channels, self.dtype),
+            })
+        return md

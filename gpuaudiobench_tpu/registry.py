@@ -60,6 +60,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "BiquadChain": BiquadChainBenchmark,
         "PartConv": PartConvBenchmark,
         "NeuralAmp": NeuralAmpBenchmark,
+        "NeuralAmpLSTM": lambda cfg: NeuralAmpBenchmark(cfg, "lstm"),
         "MultiChipSuite": MultiChipSuiteBenchmark,
         "ICIBandwidth": ICIBandwidthBenchmark,
         # speedoflight: measured roofline denominators.
@@ -95,6 +96,7 @@ BENCHMARK_NAMES: List[str] = [
 # Extensions: workloads present in the reference tree but unregistered
 # there (kernels_extra.metal), registered here for completeness.
 EXTENSION_NAMES: List[str] = ["BiquadChain", "PartConv", "NeuralAmp",
+                              "NeuralAmpLSTM",
                               "MultiChipSuite", "ICIBandwidth",
                               "SOL_VPU", "SOL_VMEM", "SOL_HBM",
                               "SOL_MXU_bf16", "SOL_MXU_f32"]
@@ -109,7 +111,7 @@ CATEGORIES = {
     "physical": ["DWG1DNaive", "DWG1DAccel", "FDTD3D"],
     "memory": ["RndMemRead"],
     # TPU extension: neural audio inference (the MXU workload class).
-    "neural": ["NeuralAmp"],
+    "neural": ["NeuralAmp", "NeuralAmpLSTM"],
     # TPU extension: the multi-chip layer as runnable workloads.
     "multichip": ["MultiChipSuite", "ICIBandwidth"],
     # TPU extension: measured roofline denominators
@@ -140,6 +142,8 @@ BENCHMARK_DESCRIPTIONS = {
     "PartConv": "Partitioned streaming convolution reverb (extension)",
     "NeuralAmp": "Streaming neural amp-model (TCN) inference on the MXU "
                  "(extension)",
+    "NeuralAmpLSTM": "Streaming LSTM amp-model inference (per-sample "
+                     "recurrence; extension)",
     "MultiChipSuite": "Sharded dp/tp/sp/pp pipeline over --mesh (extension)",
     "ICIBandwidth": "Interconnect ring ppermute + psum (extension)",
     "SOL_VPU": "Speed-of-light: VPU f32 FMA throughput (measured peak)",

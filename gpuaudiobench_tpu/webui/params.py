@@ -293,17 +293,15 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "(measured 1.9e-4 peak-relative at f16)",
             ),
         ]
-    if name == "NeuralAmp":
-        return [
+    if name in ("NeuralAmp", "NeuralAmpLSTM"):
+        out = [
             select(
-                "neuralampChannels", "Channels", d.neuralamp_channels,
+                "neuralampChannels",
+                "Channels" if name == "NeuralAmp" else "Hidden Units",
+                d.neuralamp_channels,
                 _opts([32, 64, 128, 256]),
-                "TCN channel width (128 = one MXU tile of contraction)",
-            ),
-            slider(
-                "neuralampLayers", "Dilated Layers", 1, 12,
-                d.neuralamp_layers, 1, "",
-                "Network depth; receptive field = 2*(2^L - 1) + 1 samples",
+                "TCN channel width (128 = one MXU tile of contraction)"
+                if name == "NeuralAmp" else "LSTM hidden-state width",
             ),
             select(
                 "neuralampDtype", "GEMM Dtype", d.neuralamp_dtype,
@@ -312,9 +310,16 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                     {"value": "bf16", "label": "bf16 (MXU-native)"},
                 ],
                 "Contraction dtype; bf16 validates against its own "
-                "2e-2 NN-inference contract",
+                "measured NN-inference contract",
             ),
         ]
+        if name == "NeuralAmp":
+            out.insert(1, slider(
+                "neuralampLayers", "Dilated Layers", 1, 12,
+                d.neuralamp_layers, 1, "",
+                "Network depth; receptive field = 2*(2^L - 1) + 1 samples",
+            ))
+        return out
     if name in ("MultiChipSuite", "ICIBandwidth"):
         return [
             select(

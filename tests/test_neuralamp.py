@@ -177,9 +177,116 @@ def test_params_deterministic_and_bf16_precast():
     tails = na.init_tails(2, 8, 3, "bf16")
     assert all(t.dtype == jnp.bfloat16 for t in tails)
     b = _bench(neuralamp_dtype="bf16")
-    assert all(t.dtype == jnp.bfloat16 for t in b._tails)
+    assert all(t.dtype == jnp.bfloat16 for t in b._state)
     f32_cost = _bench().cost_model()["hbm_bytes"]
     assert b.cost_model()["hbm_bytes"] < f32_cost
+
+
+# --- NeuralAmpLSTM (the recurrent architecture) -------------------------
+
+
+def _lstm_bench(**over):
+    kw = dict(n_runs=2, warmup=1, write_latencies=False,
+              quiet=True, device_timing=False, n_tracks=4,
+              buffer_size=64, neuralamp_channels=16)
+    kw.update(over)
+    b = NeuralAmpBenchmark(BenchConfig(**kw), arch="lstm")
+    b.setup()
+    return b
+
+
+def test_lstm_orbit_convergence_bound():
+    """lstm_steady_blocks is backed by a measured bound: by the clamp
+    block the repeated-block f64 orbit moves < 1e-12/block (8 orders
+    below the 1e-4 contract), and it has NOT converged at the start --
+    and the bound holds across block sizes because the clamp counts
+    SAMPLES of gate contraction, not blocks."""
+    for b in (64, 256):
+        t, hidden = 2, 16
+        params = na.init_lstm_params(7, hidden)
+        x = np.random.default_rng(3).uniform(
+            -1, 1, (t, b)).astype(np.float32)
+        h = np.zeros((t, hidden))
+        c = np.zeros((t, hidden))
+        ks = na.lstm_steady_blocks(b)
+        assert (ks - 1) * b >= na.LSTM_STEADY_SAMPLES
+        outs = []
+        for _ in range(ks + 2):
+            y, h, c = na.lstm_block_f64(x, h, c, params)
+            outs.append(y)
+        assert np.abs(outs[ks] - outs[ks - 1]).max() < 1e-12
+        assert np.abs(outs[ks + 1] - outs[ks]).max() < 1e-12
+        assert np.abs(outs[1] - outs[0]).max() > 1e-8  # not trivial
+        np.testing.assert_array_equal(
+            na.lstm_reference(x, ks + 9, params),
+            outs[ks - 1].astype(np.float32))
+
+
+def test_lstm_jit_matches_f64_twin():
+    t, b, hidden = 2, 48, 16
+    params = na.init_lstm_params(11, hidden)
+    cp = na.cast_lstm_params(params, "f32")
+    x = np.random.default_rng(4).uniform(-1, 1, (t, b)).astype(np.float32)
+    h = jnp.zeros((t, hidden))
+    c = jnp.zeros((t, hidden))
+    h64 = np.zeros((t, hidden))
+    c64 = np.zeros((t, hidden))
+    for _ in range(3):
+        y, h, c = na.lstm_block(jnp.asarray(x), h, c, cp, dtype="f32")
+        y64, h64, c64 = na.lstm_block_f64(x, h64, c64, params)
+    peak = np.abs(y64).max()
+    assert np.abs(np.asarray(y) - y64).max() / peak < 1e-6
+    # carried state agrees too (the stream is only as good as its state)
+    assert np.abs(np.asarray(h) - h64).max() < 1e-6
+    assert np.abs(np.asarray(c) - c64).max() < 1e-6
+
+
+def test_lstm_device_matches_golden_over_iterations():
+    b = _lstm_bench()
+    for _ in range(6):
+        b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages
+    assert v.max_error < 1e-5
+
+
+def test_lstm_bf16_within_contract():
+    b = _lstm_bench(neuralamp_dtype="bf16")
+    for _ in range(4):
+        b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages
+    assert 1e-8 < v.max_error < 1e-3
+
+
+def test_lstm_registry_and_metadata():
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    b = create_benchmark(
+        "NeuralAmpLSTM",
+        BenchConfig(n_tracks=4, buffer_size=32, neuralamp_channels=8,
+                    write_latencies=False, device_timing=False, quiet=True))
+    b.setup()
+    assert b.name == "NeuralAmpLSTM"
+    md = b.metadata()
+    assert md["arch"] == "lstm"
+    assert md["steadyBlocks"] == na.lstm_steady_blocks(32)
+    cost = b.cost_model()
+    assert cost["flops"] == 4 * 32 * (2 * 9 * 32 + 16)
+    # recurrent workload: HBM story is x/y + state, far below TCN's
+    assert cost["hbm_bytes"] < 100_000
+
+
+def test_lstm_data_parallel_matches_single_device():
+    single = _lstm_bench(n_tracks=8)
+    for _ in range(2):
+        single.iterate()
+    sharded = _lstm_bench(n_tracks=8, data_parallel=8)
+    for _ in range(2):
+        sharded.iterate()
+    np.testing.assert_allclose(
+        single.host_output, sharded.host_output, rtol=0, atol=1e-6)
+    assert sharded.validate().passed
 
 
 def test_tensor_parallel_matches_single_device():

@@ -130,6 +130,13 @@ grep -hE "Saturated|Device M" "$LOG/neuralamp.log" \
 # NeuralAmp 120 s soak: receptive-field tails carried over ~11k blocks.
 run_step soak_neuralamp 1800 python tools/soak.py 120 \
   "$LOG/soak_neuralamp.md" NeuralAmp
+# LSTM arch: the sequential-recurrence counterpart (per-sample scan);
+# its ms/block is the chip's small-GEMM dispatch floor.
+run_step neuralamp_lstm 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark NeuralAmpLSTM --nRuns 5 --warmup 2 --pipelineDepth 64 \
+  --verification spot --outputfile "$LOG/neuralamp_lstm.csv"
+grep -hE "Saturated|Device M" "$LOG/neuralamp_lstm.log" 2>/dev/null \
+  | tee -a "$LOG/summary.log" || true
 
 # 5. Capacity headlines (tools/capacity.py): the largest modal bank and
 # Conv1D track count that sustain real time on this chip. lo starts at
