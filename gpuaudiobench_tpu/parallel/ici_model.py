@@ -75,7 +75,13 @@ def predict(collectives: List[Dict[str, Any]],
     rows = []
     total = 0.0
     for c in collectives:
-        ms = collective_ms(c["kind"], c["bytes"], c["axis_n"], ici)
+        # ``sequential_steps: k`` marks k recurrence-serialized
+        # collectives of bytes/k each (e.g. the LSTM's per-sample
+        # hidden gather): same total bandwidth term, k x the per-hop
+        # latency term -- which dominates at small per-step sizes.
+        steps = int(c.get("sequential_steps", 1))
+        ms = steps * collective_ms(
+            c["kind"], c["bytes"] // steps, c["axis_n"], ici)
         rows.append({**c, "predicted_ms": ms})
         total += ms
     return {
@@ -182,3 +188,29 @@ def neuralamp_collectives(
     out.append({"label": "output psum", "kind": "psum",
                 "bytes": tracks * block * 4, "axis_n": axis_n})
     return out
+
+
+def neuralamp_lstm_collectives(
+    tracks: int, block: int, hidden: int, axis_n: int,
+) -> List[Dict[str, Any]]:
+    """Hidden-sharded NeuralAmpLSTM (parallel/neuralamp_sharded.py), one
+    block: every sample all-gathers the (T, H/n) hidden shards INSIDE
+    the scan -- B sequential collectives serialized by the recurrence,
+    so at audio shapes (T=128, H=128: 64 KiB each) the cost is per-hop
+    LATENCY x B, not bytes; the row-parallel dense output is finished by
+    one (T, B) psum after the scan. Weights and the carried (h, c)
+    never move."""
+    if axis_n <= 1:
+        return []
+    return [
+        {"label": f"per-sample hidden all_gather x{block}",
+         "kind": "all_gather",
+         # Total gathered bytes across the block's B sequential steps;
+         # predicted time must charge B round-trip latencies, which
+         # dominate at this per-step size.
+         "bytes": block * tracks * hidden * 4,
+         "axis_n": axis_n,
+         "sequential_steps": block},
+        {"label": "output psum", "kind": "psum",
+         "bytes": tracks * block * 4, "axis_n": axis_n},
+    ]

@@ -1,5 +1,5 @@
-"""Channel-sharded (tensor-parallel) NeuralAmp: the TCN's channel axis
-distributed over a mesh axis.
+"""Tensor-parallel NeuralAmp variants: the TCN's channel axis and the
+LSTM's hidden axis distributed over a mesh axis.
 
 The single-chip NeuralAmp block (ops/neuralamp.py) holds all C channels
 of every tap matrix and activation on one chip; its walls are MXU FLOPs
@@ -24,6 +24,8 @@ FLOP/B, comfortably above the v5e ICI roofline crossover
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -83,4 +85,90 @@ def make_neuralamp_tp_block(mesh: Mesh, layers: int, axis: str = "tp"):
         out_specs=(rep, tuple(chan for _ in range(layers))),
         check_vma=False,
     )
+    return jax.jit(fn)
+
+
+def make_neuralamp_lstm_tp_block(mesh: Mesh, axis: str = "tp"):
+    """Hidden-sharded (tensor-parallel) NeuralAmpLSTM block.
+
+    The single-chip LSTM (ops/neuralamp.py lstm_block) is a per-sample
+    scan whose (T, H+1) x (H+1, 4H) gate GEMM is too small to fill the
+    MXU -- issue-bound sequential dispatch. Sharding the HIDDEN axis
+    over ``axis`` gives each rank 1/n of the gate columns and of the
+    carried (h, c), but the gate contraction needs the FULL previous h,
+    so every sample pays one ``all_gather`` of the (T, H/n) hidden
+    shards INSIDE the scan: B sequential latency-bound collectives per
+    block, serialized by the recurrence. That is the regime this
+    variant exists to measure -- the ICI-latency wall of recurrent
+    inference, the sequential counterpart to the TCN variant's
+    bandwidth-priced per-layer gathers (parallel/ici_model.py
+    ``neuralamp_lstm_collectives`` prices it; at T=128, H=128 each
+    gather is 64 KiB, so per-hop latency, not bytes, dominates).
+
+    The dense output is row-parallel: each rank contracts its h shard
+    against its w_out slice inside the scan and ONE (T, B) psum after
+    the scan finishes the block -- the output collective does not ride
+    the recurrence.
+
+    Call with GLOBAL arrays shaped exactly like the single-device
+    ``lstm_block`` operands (f32 params from cast_lstm_params; gate
+    order i, f, g, o in contiguous H-blocks); equivalence against it is
+    test-pinned (tests/test_neuralamp.py).
+    """
+
+    def local_block(x, h, c, params):
+        hi = jax.lax.Precision.HIGHEST
+        f32 = jnp.float32
+        # Local shapes: h, c (T, H/n); w4 (H+1, 4, H/n); b4 (4, H/n);
+        # w_out (H/n,).
+        w4, b4 = params["w"], params["b"]
+        w_out, b_out = params["w_out"], params["b_out"]
+        dot = functools.partial(
+            jnp.einsum, precision=hi, preferred_element_type=f32)
+
+        def step(carry, x_t):
+            h, c = carry
+            # The gate GEMM needs every hidden unit of h_{t-1}: gather
+            # the shards. This is the per-sample wire cost.
+            h_full = jax.lax.all_gather(h, axis, axis=1, tiled=True)
+            inp = jnp.concatenate([x_t[:, None], h_full], axis=1)
+            z = dot("th,hgj->tgj", inp, w4) + b4
+            i = jax.nn.sigmoid(z[:, 0])
+            f = jax.nn.sigmoid(z[:, 1])
+            g = jnp.tanh(z[:, 2])
+            o = jax.nn.sigmoid(z[:, 3])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            y_t = dot("tj,j->t", h, w_out)  # partial: finished by psum
+            return (h, c), y_t
+
+        (h, c), ys = jax.lax.scan(step, (h, c), x.T, unroll=8)
+        y = jax.lax.psum(ys.T, axis) + b_out + x  # input skip
+        return y, h, c
+
+    rep = P()
+    hid = P(None, axis)  # (T, H/n)
+    param_specs = {
+        "w": P(None, None, axis),  # (H+1, 4, H/n) column shards
+        "b": P(None, axis),        # (4, H/n)
+        "w_out": P(axis),
+        "b_out": rep,
+    }
+    smapped = shard_map(
+        local_block, mesh=mesh,
+        in_specs=(rep, hid, hid, param_specs),
+        out_specs=(rep, hid, hid),
+        check_vma=False,
+    )
+
+    def fn(x, h, c, params):
+        hidden = h.shape[1]
+        # Regroup the (H+1, 4H) gate matrix to (H+1, 4, H) so the
+        # PartitionSpec shards hidden UNITS (keeping each unit's four
+        # gate columns co-resident) rather than whole gate blocks.
+        p2 = dict(params)
+        p2["w"] = params["w"].reshape(hidden + 1, 4, hidden)
+        p2["b"] = params["b"].reshape(4, hidden)
+        return smapped(x, h, c, p2)
+
     return jax.jit(fn)

@@ -317,6 +317,60 @@ def test_tensor_parallel_matches_single_device():
                                rtol=0, atol=1e-6)
 
 
+def test_lstm_tensor_parallel_matches_single_device():
+    """Hidden-sharded LSTM block == lstm_block, including the carried
+    (h, c) across two streamed blocks."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gpuaudiobench_tpu.parallel.neuralamp_sharded import (
+        make_neuralamp_lstm_tp_block,
+    )
+
+    t, b, hidden = 2, 32, 16
+    params = na.init_lstm_params(42, hidden)
+    cp = na.cast_lstm_params(params, "f32")
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (t, b)).astype(np.float32))
+    h0 = jnp.zeros((t, hidden), jnp.float32)
+    c0 = jnp.zeros((t, hidden), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("tp",))
+    fn = make_neuralamp_lstm_tp_block(mesh)
+    y1, h1, c1 = na.lstm_block(x, h0, c0, cp, dtype="f32")
+    y2, h2, c2 = fn(x, h0, c0, cp)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=0, atol=1e-6)
+    y1b, _, _ = na.lstm_block(x, h1, c1, cp, dtype="f32")
+    y2b, _, _ = fn(x, h2, c2, cp)
+    np.testing.assert_allclose(np.asarray(y1b), np.asarray(y2b),
+                               rtol=0, atol=1e-6)
+
+
+def test_lstm_ici_model_shape():
+    """Wire cost: B recurrence-serialized hidden gathers priced at B
+    latency adders (not one), single-axis degenerates to nothing."""
+    from gpuaudiobench_tpu.parallel.ici_model import (
+        collective_ms,
+        neuralamp_lstm_collectives,
+        predict,
+    )
+
+    cols = neuralamp_lstm_collectives(
+        tracks=128, block=512, hidden=128, axis_n=4)
+    gather, psum = cols
+    assert gather["kind"] == "all_gather"
+    assert gather["sequential_steps"] == 512
+    assert gather["bytes"] == 512 * 128 * 128 * 4
+    assert psum["kind"] == "psum"
+    pred = predict(cols)
+    per_step = collective_ms("all_gather", 128 * 128 * 4, 4)
+    assert abs(pred["collectives"][0]["predicted_ms"]
+               - 512 * per_step) < 1e-9
+    # The serialized latency term dominates: >= B * (n-1) hops.
+    assert pred["collectives"][0]["predicted_ms"] >= 512 * 3 * 1e-3
+    assert neuralamp_lstm_collectives(128, 512, 128, 1) == []
+
+
 def test_neuralamp_ici_model_shape():
     """Wire cost: per-layer gathers scale with context (not weights),
     single-axis degenerates to no collectives."""
