@@ -93,3 +93,23 @@ def test_reverb_example(tmp_path):
         assert w.getframerate() == 48_000
         pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01
+
+
+def test_ampsim_example(tmp_path):
+    out = tmp_path / "riff.wav"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "examples/ampsim.py", "--seconds", "1",
+         "--layers", "6", "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    # rc==0 already asserts the streamed-with-carried-tails ==
+    # one-shot-offline-inference equality the example performs.
+    assert "streamed inference matches offline: True" in r.stdout
+    with wave.open(str(out)) as w:
+        assert w.getframerate() == 48_000
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01
