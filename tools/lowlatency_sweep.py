@@ -26,6 +26,11 @@ WORKLOADS = [
     ("RndMem 16384 trk (512 MiB)", "RndMemRead",
      dict(n_tracks=16384), 64),
     ("BiquadChain 10 stages", "BiquadChain", dict(), 256),
+    ("PartConv 1 s IR (128 trk)", "PartConv", dict(), 256),
+    ("NeuralAmp TCN d10 (128 trk)", "NeuralAmp", dict(), 64),
+    ("NeuralAmp TCN d10 bf16", "NeuralAmp",
+     dict(neuralamp_dtype="bf16"), 64),
+    ("NeuralAmpLSTM H128 (128 trk)", "NeuralAmpLSTM", dict(), 64),
 ]
 
 
