@@ -71,10 +71,15 @@ class Conv1DBenchmark(StandardBufferBenchmark):
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import barrier_chain
 
+        # The IRs ride the barrier chain's carry rather than the
+        # closure: a capture would serialize trackCount*irLength floats
+        # into remote compile requests, which capacity probes at tens
+        # of thousands of tracks overflow (HTTP 413).
         return barrier_chain(
-            lambda x: conv1d_direct(x, self._ir_dev, self.edge_mode,
-                                    impl=self._impl),
+            lambda x, ir: conv1d_direct(x, ir, self.edge_mode,
+                                        impl=self._impl),
             self._resident_input,
+            self._ir_dev,
         )
 
     def cost_model(self):

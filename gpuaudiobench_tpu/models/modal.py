@@ -49,11 +49,12 @@ def _renorm_wrap(step, re0, im0):
     tiny = jnp.float32(1e-30)
 
     def renorm_step(carry):
-        (re, im), out = step(carry)
+        carry2, out = step(carry)
+        *consts, re, im = carry2
         mag = jnp.sqrt(re * re + im * im)
         scale = jnp.where(mag0 > 0, mag0 / jnp.maximum(mag, tiny),
                           jnp.float32(1.0))
-        return (re * scale, im * scale), out
+        return (*consts, re * scale, im * scale), out
 
     return renorm_step
 
@@ -228,29 +229,37 @@ class ModalFilterBankBenchmark(Benchmark):
                 re0 = padded(d["amp"] * d["state_re"])
                 im0 = padded(d["amp"] * d["state_im"])
 
+                # The mode tables ride in the carry (returned
+                # unchanged, so XLA aliases them): a closure capture
+                # would serialize 8 bytes/mode into the compiled
+                # module -- and into remote compile requests, which
+                # capacity searches at 10M+ modes overflow (HTTP 413).
                 def step(carry):
-                    re, im = carry
+                    cos_c, sin_c, re, im = carry
                     out_sn, re2, im2 = mp.modal_folded_step(
-                        cos_p, sin_p, re, im, s, t, tile
+                        cos_c, sin_c, re, im, s, t, tile
                     )
-                    return (re2, im2), probe(out_sn)
+                    return (cos_c, sin_c, re2, im2), probe(out_sn)
 
                 if self.cfg.modal_renorm:
                     step = _renorm_wrap(step, re0, im0)
-                return step, (re0, im0)
+                return step, (cos_p, sin_p, re0, im0)
 
         from gpuaudiobench_tpu.ops.modal import modal_bank_xla
 
+        # Mode tables in the carry for the same remote-compile-size
+        # reason as the Pallas path above.
         def step(carry):
-            re, im = carry
+            amp_c, cos_c, sin_c, re, im = carry
             out, re2, im2 = modal_bank_xla(
-                d["amp"], d["cos_w"], d["sin_w"], re, im, s, t
+                amp_c, cos_c, sin_c, re, im, s, t
             )
-            return (re2, im2), probe(out)
+            return (amp_c, cos_c, sin_c, re2, im2), probe(out)
 
         if self.cfg.modal_renorm:
             step = _renorm_wrap(step, d["state_re"], d["state_im"])
-        return step, (d["state_re"], d["state_im"])
+        return step, (d["amp"], d["cos_w"], d["sin_w"],
+                      d["state_re"], d["state_im"])
 
     def validate(self) -> ValidationData:
         if self.golden is None:  # verification == "none" (no golden)

@@ -149,16 +149,20 @@ class PartConvBenchmark(StandardBufferBenchmark):
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
-        x, h_re, h_im = self._resident_input, self._h_re, self._h_im
-        block = self._block
+        x, block = self._resident_input, self._block
 
+        # The IR spectra ride in the carry (returned unchanged, so XLA
+        # aliases them): a closure capture would serialize ~8 bytes per
+        # (track, partition, bin) into the compiled module -- and into
+        # remote compile requests, which 1024-track soaks / multi-k
+        # track capacity probes overflow (HTTP 413).
         def step(carry):
-            prev, head, fre, fim = carry
+            prev, head, fre, fim, h_re, h_im = carry
             y, head2, fre2, fim2 = block(
                 x, prev, head, fre, fim, h_re, h_im)
-            return (x, head2, fre2, fim2), probe(y)
+            return (x, head2, fre2, fim2, h_re, h_im), probe(y)
 
-        return step, self._timing_state
+        return step, (*self._timing_state, self._h_re, self._h_im)
 
     def cost_model(self):
         t, b = self.track_count, self.buffer_size

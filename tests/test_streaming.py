@@ -153,7 +153,7 @@ def test_modal_renorm_streaming(small_cfg):
         for _ in range(n_blocks):
             carry, out = step(carry)
             outs.append(np.asarray(out))
-        re, im = carry
+        *_, re, im = carry  # mode tables ride ahead of the state
         return np.stack(outs), np.asarray(re), np.asarray(im)
 
     out_ref, re_ref, im_ref = run(False)
@@ -164,7 +164,7 @@ def test_modal_renorm_streaming(small_cfg):
     cfg = small_cfg.replace(n_tracks=8, modal_renorm=True)
     b = create_benchmark("ModalFilterBank", cfg)
     b.setup()
-    _, (re0, im0) = b.stream_body()
+    _, (*_consts, re0, im0) = b.stream_body()
     mag0 = np.sqrt(np.asarray(re0) ** 2 + np.asarray(im0) ** 2)
     mag = np.sqrt(re_rn**2 + im_rn**2)
     np.testing.assert_allclose(mag, mag0, rtol=1e-5, atol=1e-7)
@@ -172,3 +172,44 @@ def test_modal_renorm_streaming(small_cfg):
     out_ref2, re2, _ = run(False)
     np.testing.assert_array_equal(out_ref2, out_ref)
     np.testing.assert_array_equal(re2, re_ref)
+
+
+def test_stream_body_embeds_no_large_constants():
+    """Mode tables / IR spectra / sample pools must ride the scan carry
+    as runtime arguments, not closure constants: a closure capture is
+    serialized into the compiled module and therefore into remote
+    compile requests, which large-workload soaks and capacity probes
+    overflow (observed: HTTP 413 on a 1024-track PartConv soak, ~395 MB
+    of embedded IR spectra). Lower the chained stream and bound the
+    serialized module size."""
+    import jax
+
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cases = [
+        ("PartConv", dict(n_tracks=128)),       # ~49 MB spectra if embedded
+        ("ModalFilterBank", dict(n_tracks=1024)),  # ~8 MB tables
+        ("Conv1D", dict(n_tracks=512)),         # ~2 MB IRs
+        ("RndMemRead", dict(rndmem_pool_mb=64)),  # 64 MB pool
+    ]
+    for name, kw in cases:
+        cfg = BenchConfig(n_runs=1, warmup=1, verification="none",
+                          write_latencies=False, device_timing=False, **kw)
+        b = create_benchmark(name, cfg)
+        b.setup()
+        step, carry = b.stream_body()
+
+        @jax.jit
+        def chained(c, _step=step):
+            def f(c, _):
+                return _step(c)
+
+            c, probes = jax.lax.scan(f, c, None, length=4)
+            return probes
+
+        low = chained.lower(carry)
+        n = len(low.compiler_ir("stablehlo").operation.get_asm(binary=True))
+        assert n < 2_000_000, (
+            f"{name}: {n / 1e6:.1f} MB serialized module -- a large "
+            "array is being captured as a compile-time constant")

@@ -128,11 +128,22 @@ def main() -> int:
     def reexcite(c):
         import jax.numpy as jnp
 
-        return jax.tree.map(
-            lambda a, b: (a + 0.5 * b).astype(a.dtype)
-            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
-            c, carry0,
-        )
+        def mix(a, b):
+            a_ = jnp.asarray(a)
+            if not jnp.issubdtype(a_.dtype, jnp.floating):
+                return a
+            # Pass-through constants (mode tables, IR spectra, sample
+            # pools) ride the carry unchanged so they stay runtime
+            # arguments instead of remote-compile payload; re-exciting
+            # them would corrupt the PROGRAM, not the state. A leaf
+            # still bit-identical to its initial value is such a
+            # constant (or un-evolved state, for which +0.5*initial is
+            # the identity anyway). Runs outside the timed region.
+            if bool(jnp.array_equal(a_, jnp.asarray(b))):
+                return a
+            return (a_ + 0.5 * jnp.asarray(b)).astype(a_.dtype)
+
+        return jax.tree.map(mix, c, carry0)
 
     @jax.jit
     def state_rms(c):
