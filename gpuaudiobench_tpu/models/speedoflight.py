@@ -244,13 +244,19 @@ class SolMxuBenchmark(_SolBenchmark):
         self.name = f"SOL_MXU_{dtype}"
         # bf16 inputs: products are exact in f32; accumulation of d
         # f32 roundings vs the f32 BLAS golden stays ~sqrt(d)*eps.
-        self.tolerance = 1e-3
+        # int8 is EXACT (s32 accumulation never rounds and never
+        # overflows at |operands| <= 127, d <= 4096: |sum| < 2^31).
+        self.tolerance = 1e-9 if dtype == "int8" else 1e-3
 
     def setup(self) -> None:
         self._reject_dp()
         import jax.numpy as jnp
 
-        from gpuaudiobench_tpu.ops.speedoflight import matmul_bf16, matmul_f32
+        from gpuaudiobench_tpu.ops.speedoflight import (
+            matmul_bf16,
+            matmul_f32,
+            matmul_int8,
+        )
 
         d = self.cfg.sol_matmul_dim
         a = generate_random_audio(d * d, self.cfg.seed).reshape(d, d)
@@ -264,15 +270,28 @@ class SolMxuBenchmark(_SolBenchmark):
             a = np.asarray(jnp.asarray(a, jnp.bfloat16))
             b = np.asarray(jnp.asarray(b, jnp.bfloat16))
             self._fn = matmul_bf16
+        elif self.dtype == "int8":
+            # Full-range int8 operands (the pre-cast discipline of the
+            # bf16 case: quantization happens at setup, never in the
+            # timed body).
+            a = np.clip(np.round(a * 127.0), -127, 127).astype(np.int8)
+            b = np.clip(np.round(b * 127.0), -127, 127).astype(np.int8)
+            self._fn = matmul_int8
         else:
             self._fn = matmul_f32
         self.host_a, self.host_b = a, b
         self._ra = dev.to_device(a)
         self._rb = dev.to_device(b)
-        # f32 BLAS golden (bf16 inputs upcast: products are f32-exact).
-        self.golden = (
-            a.astype(np.float32) @ b.astype(np.float32)
-        ).astype(np.float32)
+        if self.dtype == "int8":
+            # Exact integer golden; f64 holds it exactly (< 2^53).
+            g = a.astype(np.int64) @ b.astype(np.int64)
+            assert int(np.abs(g).max()) < 2**31
+            self.golden = g.astype(np.float64)
+        else:
+            # f32 BLAS golden (bf16 inputs upcast: products f32-exact).
+            self.golden = (
+                a.astype(np.float32) @ b.astype(np.float32)
+            ).astype(np.float32)
         self.track_alloc("matmulA", a.nbytes)
         self.track_alloc("matmulB", b.nbytes)
         self.track_alloc("matmulOut", d * d * 4)
@@ -304,23 +323,25 @@ class SolMxuBenchmark(_SolBenchmark):
     def total_elements(self) -> int:
         return self.cfg.sol_matmul_dim ** 2
 
+    _IN_BYTES = {"bf16": 2, "int8": 1, "f32": 4}
+    _UNIT = {"bf16": "mxu_bf16", "int8": "mxu_int8", "f32": "mxu"}
+
     def transfer_model(self):
         """iterate() uploads BOTH operands and reads one output back."""
         d = self.cfg.sol_matmul_dim
-        in_bytes = 2 if self.dtype == "bf16" else 4
+        in_bytes = self._IN_BYTES[self.dtype]
         return {"h2d_bytes": 2 * d * d * in_bytes, "d2h_bytes": d * d * 4}
 
     def bytes_processed(self) -> int:
         d = self.cfg.sol_matmul_dim
-        in_bytes = 2 if self.dtype == "bf16" else 4
-        return 2 * d * d * in_bytes + d * d * 4
+        return 2 * d * d * self._IN_BYTES[self.dtype] + d * d * 4
 
     def cost_model(self):
         d = self.cfg.sol_matmul_dim
         return {
             "flops": 2 * d**3,
             "hbm_bytes": self.bytes_processed(),
-            "unit": "mxu_bf16" if self.dtype == "bf16" else "mxu",
+            "unit": self._UNIT[self.dtype],
             "note": f"{d}^3 {self.dtype} matmul; this measurement IS "
                     "the mxu peak",
         }

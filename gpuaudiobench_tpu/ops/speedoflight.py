@@ -175,3 +175,11 @@ def matmul_f32(a: jax.Array, b: jax.Array) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+
+
+@jax.jit
+def matmul_int8(a: jax.Array, b: jax.Array) -> jax.Array:
+    """s8 x s8 -> s32-accumulated matmul: the MXU's integer rate (v5e
+    spec 394 TOPS, 2x the bf16 FLOP rate). Exact in int32 for the
+    operand magnitudes the SOL benchmark feeds it (|sum| < 2^31)."""
+    return jnp.dot(a, b, preferred_element_type=jnp.int32)

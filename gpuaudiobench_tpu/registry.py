@@ -69,6 +69,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "SOL_HBM": SolHbmStreamBenchmark,
         "SOL_MXU_bf16": lambda cfg: SolMxuBenchmark(cfg, "bf16"),
         "SOL_MXU_f32": lambda cfg: SolMxuBenchmark(cfg, "f32"),
+        "SOL_MXU_int8": lambda cfg: SolMxuBenchmark(cfg, "int8"),
     }
 
 
@@ -99,7 +100,8 @@ EXTENSION_NAMES: List[str] = ["BiquadChain", "PartConv", "NeuralAmp",
                               "NeuralAmpLSTM",
                               "MultiChipSuite", "ICIBandwidth",
                               "SOL_VPU", "SOL_VMEM", "SOL_HBM",
-                              "SOL_MXU_bf16", "SOL_MXU_f32"]
+                              "SOL_MXU_bf16", "SOL_MXU_f32",
+                              "SOL_MXU_int8"]
 
 # Suite categories (the WebGPU UI's five groups, webgpu/js/app.js:46-79).
 CATEGORIES = {
@@ -117,7 +119,7 @@ CATEGORIES = {
     # TPU extension: measured roofline denominators
     # (tools/calibrate_peaks.py persists their rates as the peaks).
     "speedoflight": ["SOL_VPU", "SOL_VMEM", "SOL_HBM",
-                     "SOL_MXU_bf16", "SOL_MXU_f32"],
+                     "SOL_MXU_bf16", "SOL_MXU_f32", "SOL_MXU_int8"],
 }
 
 BENCHMARK_DESCRIPTIONS = {
@@ -151,6 +153,7 @@ BENCHMARK_DESCRIPTIONS = {
     "SOL_HBM": "Speed-of-light: HBM stream bandwidth (measured peak)",
     "SOL_MXU_bf16": "Speed-of-light: MXU bf16 matmul (measured peak)",
     "SOL_MXU_f32": "Speed-of-light: delivered f32 matmul (measured peak)",
+    "SOL_MXU_int8": "Speed-of-light: MXU s8xs8->s32 matmul (measured peak)",
 }
 
 

@@ -33,6 +33,8 @@ from typing import Any, Dict, Optional, Tuple
 SPEC_PEAK = {
     "mxu_bf16_flops": 197e12,
     "mxu_f32_flops": 197e12 / 4,
+    # MXU integer rate: v5e spec 394 TOPS int8 (2x the bf16 FLOP rate).
+    "mxu_int8_flops": 394e12,
     "vpu_f32_flops": 3.9e12,
     "hbm_bytes_per_sec": 819e9,
     # VMEM round-trip pass rate (read+write) -- an ESTIMATE derived
@@ -48,6 +50,7 @@ V5E_PEAK = SPEC_PEAK
 UNIT_PEAK_KEY = {
     "mxu": "mxu_f32_flops",
     "mxu_bf16": "mxu_bf16_flops",
+    "mxu_int8": "mxu_int8_flops",
     "vpu": "vpu_f32_flops",
 }
 

@@ -17,7 +17,7 @@ def test_every_benchmark_has_a_cost_model(small_cfg):
         assert cost is not None, f"{name} lacks a cost model"
         assert cost["hbm_bytes"] > 0
         assert cost["flops"] >= 0
-        assert cost["unit"] in ("vpu", "mxu", "mxu_bf16", "none")
+        assert cost["unit"] in ("vpu", "mxu", "mxu_bf16", "mxu_int8", "none")
 
 
 def test_roofline_metrics_math():

@@ -11,7 +11,7 @@ from gpuaudiobench_tpu.harness.runner import run_benchmark
 from gpuaudiobench_tpu.registry import CATEGORIES, create_benchmark
 
 SOL_NAMES = ["SOL_VPU", "SOL_VMEM", "SOL_HBM",
-             "SOL_MXU_bf16", "SOL_MXU_f32"]
+             "SOL_MXU_bf16", "SOL_MXU_f32", "SOL_MXU_int8"]
 
 
 def test_speedoflight_category_registered():

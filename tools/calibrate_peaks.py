@@ -43,6 +43,7 @@ TARGETS = {
     "SOL_HBM": ("hbm_bytes_per_sec", "hbm_bytes"),
     "SOL_MXU_bf16": ("mxu_bf16_flops", "flops"),
     "SOL_MXU_f32": ("mxu_f32_flops", "flops"),
+    "SOL_MXU_int8": ("mxu_int8_flops", "flops"),
 }
 
 
