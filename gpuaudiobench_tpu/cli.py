@@ -60,7 +60,7 @@ def print_help() -> None:
     print("  --partconvHDtype [d]     f32 | f16 (PartConv IR-spectra storage)")
     print("  --neuralampChannels [n]  NeuralAmp TCN channel count (default: 128)")
     print("  --neuralampLayers [n]    NeuralAmp dilated-layer count (default: 10)")
-    print("  --neuralampDtype [d]     f32 | bf16 (NeuralAmp GEMM dtype)")
+    print("  --neuralampDtype [d]     f32 | bf16 | int8 (NeuralAmp GEMM dtype; int8 TCN-only)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")

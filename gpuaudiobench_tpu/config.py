@@ -178,7 +178,7 @@ class BenchConfig:
         if self.partconv_h_dtype not in ("f32", "f16"):
             raise ValueError(
                 f"invalid partconv H dtype: {self.partconv_h_dtype}")
-        if self.neuralamp_dtype not in ("f32", "bf16"):
+        if self.neuralamp_dtype not in ("f32", "bf16", "int8"):
             raise ValueError(
                 f"invalid NeuralAmp dtype: {self.neuralamp_dtype}")
         if not 1 <= self.neuralamp_channels <= 512:

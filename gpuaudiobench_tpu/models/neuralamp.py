@@ -52,6 +52,11 @@ from gpuaudiobench_tpu.utils import device as dev
 TOLERANCE = {
     ("tcn", "f32"): 1e-4,
     ("tcn", "bf16"): 2e-2,
+    # Dynamic per-tensor activation + per-output-channel weight int8:
+    # measured 2.4e-2 rel-to-peak at the default shape (and 2.2e-2 at
+    # C=512) -- the post-training-quantization envelope, ~2.6x the
+    # bf16 mode's error.
+    ("tcn", "int8"): 5e-2,
     ("lstm", "f32"): 1e-4,
     ("lstm", "bf16"): 1e-3,
 }
@@ -70,6 +75,12 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
         self.channels = cfg.neuralamp_channels
         self.layers = cfg.neuralamp_layers
         self.dtype = cfg.neuralamp_dtype
+        if (self.arch, self.dtype) not in TOLERANCE:
+            raise ValueError(
+                f"{self.name} does not support --neuralampDtype "
+                f"{self.dtype} (int8 is TCN-only: the LSTM's per-sample "
+                "GEMMs are issue-bound, not compute-bound, so the "
+                "integer path has nothing to win)")
         self.tolerance = TOLERANCE[(self.arch, self.dtype)]
         self.setup_standard_buffers()
 
@@ -137,8 +148,12 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
 
     def cost_model(self):
         t, s, c = self.track_count, self.buffer_size, self.channels
-        per = 2 if self.dtype == "bf16" else 4  # GEMM-operand bytes
-        unit = "mxu" if self.dtype == "f32" else "mxu_bf16"
+        # Activation storage bytes: int8 mode stores activations/tails
+        # in bf16 like the bf16 mode (quantization is per GEMM operand,
+        # not storage), so its traffic floor matches bf16's.
+        per = 2 if self.dtype in ("bf16", "int8") else 4
+        unit = {"f32": "mxu", "bf16": "mxu_bf16",
+                "int8": "mxu_int8"}[self.dtype]
         if self.arch == "lstm":
             return {
                 # One (T, H+1) x (H+1, 4H) gate GEMM + the dense out

@@ -98,6 +98,11 @@ def init_params(
 
 
 def param_bytes(channels: int, layers: int, dtype: str) -> int:
+    if dtype == "int8":
+        # 1-byte tap stacks + f32 per-output-channel scales and biases;
+        # w_in / w_out / b_out stay f32.
+        return (layers * (KERNEL * channels * channels + 2 * channels * 4)
+                + (3 * channels + 1) * 4)
     per = 2 if dtype == "bf16" else 4
     return (layers * (KERNEL * channels * channels + channels) + 3 * channels
             + 1) * per
@@ -107,9 +112,12 @@ def init_tails(
     tracks: int, channels: int, layers: int, dtype: str = "f32"
 ) -> Tuple[np.ndarray, ...]:
     """Zero-initialized carried state: one (T, (K-1)*2^l, C) tail per
-    layer (silence before the stream starts). bf16 mode carries the
-    tails in bf16 -- they are slices of the bf16-resident activations."""
-    npdt = np.dtype(jnp.bfloat16) if dtype == "bf16" else np.dtype(np.float32)
+    layer (silence before the stream starts). bf16 AND int8 modes carry
+    the tails in bf16 -- they are slices of the bf16-resident
+    activations (int8 quantization happens per GEMM operand, not in
+    storage)."""
+    npdt = (np.dtype(jnp.bfloat16) if dtype in ("bf16", "int8")
+            else np.dtype(np.float32))
     return tuple(
         np.zeros((tracks, ctx, channels), npdt)
         for ctx in context_lengths(layers)
@@ -119,13 +127,29 @@ def init_tails(
 def cast_params(params: Dict[str, np.ndarray], dtype: str):
     """Pre-cast tap matrices for the requested compute dtype (bf16 cast
     must happen OUTSIDE the timed body -- measured 2x MXU-rate penalty
-    otherwise)."""
+    otherwise).
+
+    int8 quantizes each layer's tap stack per OUTPUT channel
+    (symmetric, scale = max|w[:, :, d]| / 127, stored as ``w{l}`` int8
+    plus ``w{l}_s`` f32): per-output-channel scales factor out of the
+    contraction exactly, so the only weight error is the +/-0.5 LSB
+    rounding. w_in / w_out / biases stay f32 (O(C) work per sample
+    beside the layers' O(K*C^2))."""
     if dtype == "f32":
         return {k: jnp.asarray(v) for k, v in params.items()}
     out = {}
     for k, v in params.items():
         if k.startswith("w") and k != "w_in":
-            out[k] = jnp.asarray(v, jnp.bfloat16)
+            if dtype == "int8" and k != "w_out":
+                s = np.maximum(
+                    np.abs(v).max(axis=(0, 1)), 1e-12) / np.float32(127.0)
+                out[k] = jnp.asarray(
+                    np.clip(np.round(v / s), -127, 127).astype(np.int8))
+                out[k + "_s"] = jnp.asarray(s.astype(np.float32))
+            elif dtype == "int8":  # w_out stays f32
+                out[k] = jnp.asarray(v)
+            else:
+                out[k] = jnp.asarray(v, jnp.bfloat16)
         else:
             out[k] = jnp.asarray(v)
     return out
@@ -151,6 +175,18 @@ def tcn_block(x, tails, params, *, layers: int, dtype: str = "f32"):
         dot = functools.partial(
             jnp.einsum, precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=f32)
+    elif dtype == "int8":
+        # int8 GEMMs on bf16-resident activations: storage/traffic is
+        # the bf16 mode's; each layer dynamically quantizes its input
+        # to one per-tensor scale (max|ext|/127, the post-training
+        # dynamic-quantization idiom) and contracts s8 x s8 -> s32 on
+        # the MXU's integer path (2x the bf16 FLOP rate), dequantizing
+        # with scale_act * scale_w per output channel. Wins only where
+        # the workload is COMPUTE-bound (large C); at the default
+        # C=128 the bf16 mode is already at the HBM wall and int8
+        # cannot pass it -- the measured A/B documents that boundary.
+        act = jnp.bfloat16
+        dot = None  # layer GEMMs take the integer path below
     else:
         act = f32
         dot = functools.partial(
@@ -166,13 +202,31 @@ def tcn_block(x, tails, params, *, layers: int, dtype: str = "f32"):
         ctx = (KERNEL - 1) * d
         ext = jnp.concatenate([tails[l], h], axis=1)  # (T, B+ctx, C)
         new_tails.append(ext[:, -ctx:])
-        acc = params[f"b{l}"].astype(f32)
-        for j in range(KERNEL):
-            # Tap j sees the stream delayed by (KERNEL-1-j)*d samples.
-            seg = ext[:, j * d:j * d + b]
-            acc = acc + dot("tsc,cd->tsd", seg, params[f"w{l}"][j])
+        if dtype == "int8":
+            ext32 = ext.astype(f32)
+            s_a = jnp.maximum(jnp.max(jnp.abs(ext32)), 1e-12) / 127.0
+            ext_q = jnp.clip(
+                jnp.round(ext32 / s_a), -127, 127).astype(jnp.int8)
+            acc_i = None
+            for j in range(KERNEL):
+                seg = ext_q[:, j * d:j * d + b]
+                r = jnp.einsum("tsc,cd->tsd", seg, params[f"w{l}"][j],
+                               preferred_element_type=jnp.int32)
+                acc_i = r if acc_i is None else acc_i + r
+            acc = (acc_i.astype(f32) * (s_a * params[f"w{l}_s"])
+                   + params[f"b{l}"])
+        else:
+            acc = params[f"b{l}"].astype(f32)
+            for j in range(KERNEL):
+                # Tap j sees the stream delayed by (KERNEL-1-j)*d
+                # samples.
+                seg = ext[:, j * d:j * d + b]
+                acc = acc + dot("tsc,cd->tsd", seg, params[f"w{l}"][j])
         h = (h.astype(f32) + jnp.tanh(acc)).astype(act)  # residual block
-    y = dot("tsc,c->ts", h, params["w_out"]) + params["b_out"]
+    out_dot = dot if dot is not None else functools.partial(
+        jnp.einsum, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=f32)
+    y = out_dot("tsc,c->ts", h, params["w_out"]) + params["b_out"]
     return y.astype(f32), tuple(new_tails)
 
 

@@ -308,9 +308,11 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 [
                     {"value": "f32", "label": "f32 (HIGHEST precision)"},
                     {"value": "bf16", "label": "bf16 (MXU-native)"},
-                ],
-                "Contraction dtype; bf16 validates against its own "
-                "measured NN-inference contract",
+                ] + ([{"value": "int8",
+                       "label": "int8 (MXU integer path)"}]
+                     if name == "NeuralAmp" else []),
+                "Contraction dtype; bf16/int8 validate against their "
+                "own measured NN-inference contracts",
             ),
         ]
         if name == "NeuralAmp":

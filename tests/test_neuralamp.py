@@ -110,6 +110,50 @@ def test_bf16_within_its_contract():
     assert 1e-5 < v.max_error < 2e-2  # really bf16, really in contract
 
 
+def test_int8_within_its_contract():
+    """Dynamic per-tensor activation + per-output-channel weight int8:
+    in the 5e-2 PTQ contract, and really quantized (error far above the
+    bf16 mode's)."""
+    b = _bench(neuralamp_dtype="int8")
+    for _ in range(4):
+        b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages
+    assert 1e-4 < v.max_error < 5e-2
+    assert b.cost_model()["unit"] == "mxu_int8"
+    # Activation storage (the traffic that matters) matches the bf16
+    # mode -- the integer path only changes GEMM operands and shrinks
+    # the (small) weight read.
+    bf16_cost = _bench(neuralamp_dtype="bf16").cost_model()
+    d_weights = (na.param_bytes(16, 4, "bf16")
+                 - na.param_bytes(16, 4, "int8"))
+    assert b.cost_model()["hbm_bytes"] == bf16_cost["hbm_bytes"] - d_weights
+
+
+def test_int8_weights_are_int8():
+    """cast_params really emits int8 tap stacks + per-output-channel
+    scales, and the quantization round-trips within 1 LSB."""
+    import jax.numpy as jnp
+
+    params = na.init_params(42, 16, 3)
+    cp = na.cast_params(params, "int8")
+    for l in range(3):
+        assert cp[f"w{l}"].dtype == jnp.int8
+        s = np.asarray(cp[f"w{l}_s"])
+        back = np.asarray(cp[f"w{l}"], np.float32) * s
+        assert np.abs(back - params[f"w{l}"]).max() <= (s.max() * 0.5 + 1e-9)
+    assert cp["w_out"].dtype == jnp.float32
+
+
+def test_int8_rejected_for_lstm():
+    with pytest.raises(ValueError, match="int8 is TCN-only"):
+        NeuralAmpBenchmark(
+            BenchConfig(n_tracks=4, buffer_size=32, neuralamp_channels=8,
+                        neuralamp_dtype="int8"),
+            arch="lstm",
+        ).setup()
+
+
 def test_streaming_body_equals_iterate_stream():
     """stream_body's step must be the same program as iterate():
     stepping the carry k times reproduces the f64 reference block k."""
