@@ -14,6 +14,7 @@ STREAMING = [
     "RndMemRead", "BiquadChain", "PartConv", "NeuralAmp",
     "NeuralAmpLSTM", "MultiChipSuite", "ICIBandwidth",
     "SOL_VPU", "SOL_VMEM", "SOL_HBM", "SOL_MXU_bf16", "SOL_MXU_f32",
+    "SOL_MXU_int8",
 ]
 NON_STREAMING = ["datacopy0199", "datacopy2080", "datacopy5050",
                  "datacopy8020", "datacopy9901"]
