@@ -114,37 +114,43 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
         return (self.put_spec(t, "dp", None, None)
                 if self._sharding is not None else dev.to_device(t))
 
-    def _block(self, x, state):
+    def _block(self, x, state, params):
         if self.arch == "tcn":
             y, tails = na.tcn_block(
-                x, state, self._params, layers=self.layers,
-                dtype=self.dtype)
+                x, state, params, layers=self.layers, dtype=self.dtype)
             return y, tails
         y, h, c = na.lstm_block(
-            x, state[0], state[1], self._params, dtype=self.dtype)
+            x, state[0], state[1], params, dtype=self.dtype)
         return y, (h, c)
 
     def iterate(self) -> None:
         x = self.put_input(self.host_input)
-        y, self._state = self._block(x, self._state)
+        y, self._state = self._block(x, self._state, self._params)
         self.host_output = dev.from_device(y)
         self._invocations += 1
 
     def device_iterate(self) -> None:
-        y, _ = self._block(self._resident_input, self._timing_state)
+        y, _ = self._block(
+            self._resident_input, self._timing_state, self._params)
         dev.block(y)
 
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
-        x = self._resident_input
         block = self._block
 
-        def step(state):
-            y, state2 = block(x, state)
-            return state2, probe(y)
+        # The input block and the network weights ride the carry
+        # (returned unchanged, so XLA aliases them): a closure capture
+        # would serialize the tap matrices into the compiled module --
+        # ~2 MB at the default C=128, ~31.5 MB at C=512 -- and into
+        # remote compile requests, the PartConv HTTP 413 failure class.
+        def step(carry):
+            x, params, state = carry
+            y, state2 = block(x, state, params)
+            return (x, params, state2), probe(y)
 
-        return step, self._timing_state
+        return step, (self._resident_input, self._params,
+                      self._timing_state)
 
     def cost_model(self):
         t, s, c = self.track_count, self.buffer_size, self.channels

@@ -159,11 +159,15 @@ def test_streaming_body_equals_iterate_stream():
     stepping the carry k times reproduces the f64 reference block k."""
     b = _bench()
     step, carry = b.stream_body()
+    # The carry rides (input, params, state) so the weights stay
+    # runtime operands (not embedded constants); input and params must
+    # come back unchanged so XLA can alias them.
+    assert carry[0] is b._resident_input and carry[1] is b._params
     y = None
     for _ in range(4):
         carry, _ = step(carry)
     y, _ = na.tcn_block(
-        b._resident_input, carry, b._params,
+        b._resident_input, carry[2], b._params,
         layers=b.layers, dtype=b.dtype)
     ref = na.tcn_reference(b.host_input, 5, b.params_np, b.layers)
     peak = np.abs(ref).max()

@@ -135,6 +135,41 @@ def test_barrier_chain_runs_every_block():
     assert len(lat) == 1
 
 
+def test_barrier_chain_slice_probe_keeps_block_live():
+    """r3 probe-cost fix: barrier_chain's probe is a 1-element slice,
+    not the whole-block mean (which measured +26% saturated wall on
+    ICIBandwidth's 10 MiB output block, device tier identical). The
+    slice is only legal because optimization_barrier forces the full
+    block: pin that the OPTIMIZED executable still multiplies at the
+    full (256,256) shape -- without the barrier XLA would rewrite
+    probe((x*3)) as a 1-element slice-then-multiply."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpuaudiobench_tpu.harness.streaming import barrier_chain
+
+    x = jnp.arange(256 * 256, dtype=jnp.float32).reshape(256, 256)
+    step, carry = barrier_chain(lambda a: a * 3.0, x)
+
+    @jax.jit
+    def chained(c):
+        def f(c, _):
+            return step(c)
+
+        c, probes = jax.lax.scan(f, c, None, length=4)
+        return probes
+
+    probes = np.asarray(chained(carry))
+    assert probes.shape == (4, 1)
+    np.testing.assert_allclose(probes[:, 0], 0.0)  # x[0,0]*3 == 0
+    hlo = chained.lower(carry).compile().as_text()
+    assert any("multiply" in ln and "f32[256,256]" in ln
+               for ln in hlo.splitlines()), (
+        "full-shape multiply was dead-code-eliminated: the "
+        "optimization_barrier no longer keeps the block live")
+
+
 def test_modal_renorm_streaming(small_cfg):
     """cfg.modal_renorm keeps every mode's phasor magnitude pinned to
     its initial value across blocks while phases advance identically:
@@ -193,6 +228,12 @@ def test_stream_body_embeds_no_large_constants():
         ("ModalFilterBank", dict(n_tracks=1024)),  # ~8 MB tables
         ("Conv1D", dict(n_tracks=512)),         # ~2 MB IRs
         ("RndMemRead", dict(rndmem_pool_mb=64)),  # 64 MB pool
+        # ~31.5 MB tap matrices if embedded (the C=512 A/B regime)
+        ("NeuralAmp", dict(n_tracks=2, buffer_size=64,
+                           neuralamp_channels=512)),
+        # ~4.2 MB gate/out matrices if embedded
+        ("NeuralAmpLSTM", dict(n_tracks=2, buffer_size=64,
+                               neuralamp_channels=512)),
     ]
     for name, kw in cases:
         cfg = BenchConfig(n_runs=1, warmup=1, verification="none",

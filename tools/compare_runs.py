@@ -35,9 +35,20 @@ regressed. On co-located hardware (or to audit host-side dispatch-path
 changes, which a device-same cross-check would mask) pass
 --strict-wall to restore unconditional saturated gating.
 
+Waivers: a gating regression that a human has investigated and
+explained can be waived with --waive 'NAME:TIER:reason'. The waiver is
+surfaced in the output (verdict 'waived: reason'), applies to exactly
+one benchmark+tier, and MUST be consumed -- a waiver whose row does not
+actually gate is an error (exit 2), so stale waivers cannot outlive the
+regression they explained. This is the mechanism the wall-drift
+cross-check's "must gate and be explained by a human" clause resolves
+to: the explanation lives in the command (and in any test that pins
+it), not in a silently widened threshold.
+
 Usage:
   python tools/compare_runs.py OLD.json NEW.json [--threshold-pct 5]
                                [--strict-wall]
+                               [--waive 'NAME:TIER:reason' ...]
 """
 
 from __future__ import annotations
@@ -93,9 +104,16 @@ def verdict(old: float, new: float, noise_pct: float,
 
 
 def compare(old_path: str, new_path: str, threshold_pct: float = 5.0,
-            strict_wall: bool = False):
+            strict_wall: bool = False, waivers: dict | None = None):
     """Returns (rows, gating_regressions). Each row:
-    (benchmark, tier, old, new, delta_pct, verdict)."""
+    (benchmark, tier, old, new, delta_pct, verdict).
+
+    ``waivers`` maps (benchmark, tier) -> reason; a gating REGRESSED
+    row with a waiver becomes non-gating 'waived: reason'. Every
+    waiver must be consumed by an actually-gating row, else
+    ValueError -- a stale waiver is a bug, not a no-op.
+    """
+    waivers = dict(waivers or {})
     old_idx, new_idx = _index(old_path), _index(new_path)
     rows, gating = [], []
     for name, old_r in old_idx.items():
@@ -144,12 +162,18 @@ def compare(old_path: str, new_path: str, threshold_pct: float = 5.0,
                     and tier_verdicts.get("device") == "same"):
                 v = "wall-drift"
             tier_verdicts[tier] = v
+            if gates and v == "REGRESSED" and (name, tier) in waivers:
+                v = f"waived: {waivers.pop((name, tier))}"
             rows.append((name, tier, ov, nv, d, v))
             if gates and v == "REGRESSED":
                 gating.append((name, tier, d))
     for name in new_idx:
         if name not in old_idx:
             rows.append((name, "-", None, None, 0.0, "new benchmark"))
+    if waivers:
+        stale = ", ".join(f"{n}:{t}" for n, t in waivers)
+        raise ValueError(
+            f"unconsumed waiver(s) for rows that do not gate: {stale}")
     return rows, gating
 
 
@@ -164,10 +188,26 @@ def main(argv=None) -> int:
     ap.add_argument("--strict-wall", action="store_true",
                     help="gate saturated regressions even when the "
                          "device tier is unchanged (co-located rigs)")
+    ap.add_argument("--waive", action="append", default=[],
+                    metavar="NAME:TIER:REASON",
+                    help="waive one investigated gating regression; "
+                         "must actually gate or this errors (exit 2)")
     args = ap.parse_args(argv)
-    rows, gating = compare(args.old_json, args.new_json,
-                           args.threshold_pct,
-                           strict_wall=args.strict_wall)
+    waivers = {}
+    for w in args.waive:
+        parts = w.split(":", 2)
+        if len(parts) != 3 or not parts[2].strip():
+            print(f"--waive needs NAME:TIER:REASON, got {w!r}")
+            return 2
+        waivers[(parts[0], parts[1])] = parts[2].strip()
+    try:
+        rows, gating = compare(args.old_json, args.new_json,
+                               args.threshold_pct,
+                               strict_wall=args.strict_wall,
+                               waivers=waivers)
+    except ValueError as e:
+        print(f"error: {e}")
+        return 2
     print(f"{'benchmark':<28} {'tier':<10} {'old ms':>10} {'new ms':>10} "
           f"{'delta':>8}  verdict")
     for name, tier, ov, nv, d, v in rows:
