@@ -50,11 +50,13 @@ def stream_reverb(dry: np.ndarray, ir: np.ndarray) -> np.ndarray:
         num_partitions,
         partconv_block_ring,
         partition_spectra,
+        ring_aligned_spectra,
     )
 
     n_blocks = len(dry) // BLOCK
     p = num_partitions(ir.shape[1], BLOCK)
-    h_re, h_im = partition_spectra(jnp.asarray(ir), BLOCK)
+    h_re, h_im = ring_aligned_spectra(
+        *partition_spectra(jnp.asarray(ir), BLOCK))
     blocks = jnp.asarray(dry[: n_blocks * BLOCK].reshape(n_blocks, 1, BLOCK))
 
     def body(carry, x):

@@ -56,7 +56,8 @@ def print_help() -> None:
     print("  --impl [which]           auto | xla | pallas (default: auto)")
     print("  --irLength [n]           Conv1D/Conv1D_accel IR length")
     print("  --convEdgeMode [m]       clamp | bleed (Conv1D edge handling)")
-    print("  --partconvForm [f]       ring | shift (PartConv FDL form)")
+    print("  --partconvForm [f]       shift | ring (PartConv FDL form; "
+          "default shift)")
     print("  --partconvHDtype [d]     f32 | f16 (PartConv IR-spectra storage)")
     print("  --neuralampChannels [n]  NeuralAmp TCN channel count (default: 128)")
     print("  --neuralampLayers [n]    NeuralAmp dilated-layer count (default: 10)")

@@ -49,9 +49,13 @@ class BenchConfig:
     # Benchmark-specific knobs.
     ir_length: Optional[int] = None  # Conv1D default 1024, Conv1D_accel 512
     conv_edge_mode: str = "clamp"  # "clamp" (Metal/accel) | "bleed" (CUDA quirk)
-    # PartConv FDL form: "ring" (one-slot write + rotated-H gather; no
-    # FDL rewrite) | "shift" (textbook move-every-slot; the oracle).
-    partconv_form: str = "ring"
+    # PartConv FDL form: "shift" (textbook move-every-slot; DEFAULT --
+    # measured fastest saturated tier at both 128 and 2048 tracks on
+    # v5e) | "ring" (one-slot write + contiguous doubled-H window; no
+    # FDL rewrite -- wins the single-block device tier at scale but
+    # pays an unfused window copy in chained streams). The 2x2
+    # form x dtype A/B is in docs/BENCHMARKS.md (PartConv).
+    partconv_form: str = "shift"
     # IR-spectra storage dtype: "f32" | "f16". f16 halves the H read
     # (~25% of the HBM wall) at a MEASURED 1.9e-4 peak-relative error
     # vs the 1e-3 contract (bf16 was measured at 1.59e-3 and rejected,

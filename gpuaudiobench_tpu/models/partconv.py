@@ -39,6 +39,7 @@ from gpuaudiobench_tpu.ops.partconv import (
     partconv_block,
     partconv_block_ring,
     partition_spectra,
+    ring_aligned_spectra,
 )
 from gpuaudiobench_tpu.utils import device as dev
 from gpuaudiobench_tpu.utils.data import reverb_impulse_responses
@@ -91,6 +92,12 @@ class PartConvBenchmark(StandardBufferBenchmark):
 
         h_re, h_im = partition_spectra(
             dev.to_device(self.ir), self.buffer_size)
+        if self.cfg.partconv_form == "ring":
+            # Doubled index-negated planes: the per-block ring
+            # alignment becomes one contiguous dynamic_slice window
+            # (ops/partconv.py ring_aligned_spectra). 2x H storage for
+            # stream-rate reads.
+            h_re, h_im = ring_aligned_spectra(h_re, h_im)
         h_np = (np.asarray(h_re), np.asarray(h_im))
         if self.cfg.partconv_h_dtype == "f16":
             # Measured 1.9e-4 peak-relative vs the 1e-3 contract at the
@@ -108,7 +115,7 @@ class PartConvBenchmark(StandardBufferBenchmark):
         self._prev = self._put_state(zeros_prev)
         # Ring head (ops/partconv.py partconv_block_ring): the FDL
         # never shifts; the first block writes slot 0. The shift form
-        # (--partconvForm shift) carries the head untouched.
+        # (the default) carries the head untouched.
         self._head = np.int32(self.partitions - 1)
         if self.cfg.partconv_form == "ring":
             self._block = partconv_block_ring
@@ -122,7 +129,7 @@ class PartConvBenchmark(StandardBufferBenchmark):
         self._timing_state = (self._prev, self._head,
                               self._fdl_re, self._fdl_im)
         self._invocations = 0
-        self.track_alloc("irSpectra", 2 * zeros_fdl.nbytes)
+        self.track_alloc("irSpectra", h_np[0].nbytes + h_np[1].nbytes)
         self.track_alloc("fdl", 2 * zeros_fdl.nbytes)
         self.iterate()
 
@@ -173,10 +180,11 @@ class PartConvBenchmark(StandardBufferBenchmark):
             # forward + inverse FFT, plus the 8-flop complex MAC per
             # (partition, bin).
             "flops": int(t * (2 * fft_flops + 8 * p * bins)),
-            # Ring form: one FDL read + one (rotated-gather) H read per
-            # block, two planes each (FDL f32; H f32 or f16); the
-            # one-slot write and the x/y block traffic ride along. The
-            # shift form adds a full FDL rewrite.
+            # Ring form: one FDL read + one contiguous H2-window read
+            # (P slots of the doubled spectra) per block, two planes
+            # each (FDL f32; H f32 or f16); the one-slot write and the
+            # x/y block traffic ride along. The shift form adds a full
+            # FDL rewrite.
             "hbm_bytes": (
                 (2 if self.cfg.partconv_form == "ring" else 4)
                 * t * p * bins * 4         # FDL read (+rewrite if shift)

@@ -20,12 +20,26 @@ TPU-first design:
   re/im: complex64 never crosses host<->device on some PJRT runtimes --
   the ops/conv.py precompute_ir_spectra workaround -- and the VPU does
   the 4-mul complex product on real lanes anyway).
-* The delay line is a RING (partconv_block_ring, the default): the new
-  spectrum overwrites one slot and H is aligned by a rotated partition
-  gather fused into the MAC's read, so the FDL is read once and never
-  rewritten. The textbook shift form (partconv_block) is kept as the
-  equivalence oracle; it pays a full FDL read+write every block just
-  to move data one slot.
+* The delay line DEFAULT is the textbook SHIFT form (partconv_block):
+  a full sequential FDL rewrite every block. That sounds like the
+  wasteful choice -- it is an extra read+write pass over the FDL --
+  but on TPU sequential streams win: measured saturated tier on v5e,
+  shift = 0.174 ms at 128 tracks / 6.73 ms at 2048, vs the two ring
+  forms below. `--partconvForm ring` keeps the ring.
+* Ring form history (both measured, docs/BENCHMARKS.md): aligning H
+  to a never-moving FDL needs a rotation by the traced head. (a) A
+  rotated partition GATHER (jnp.take with a traced index vector)
+  measured 62 GB/s at 2048 tracks -- 9% of the stream peak, an 8.5x
+  cliff over shift -- XLA lowers the dynamic gather row-by-row.
+  (b) The shipped ring instead stores the spectra DOUBLED and
+  index-negated along the partition axis (ring_aligned_spectra:
+  H2[j] = H[(-j) mod P], shape (T, 2P, bins)), so the alignment
+  H[(head - s) mod P], s = 0..P-1 is the CONTIGUOUS window
+  H2[P-head : 2P-head] -- one dynamic_slice (2x H storage, no FDL
+  rewrite). That wins the single-block device tier at scale (4.90 ms
+  vs shift's 6.28 at 2048 tracks) but in the chained streaming scan
+  the window read stops fusing and costs a materialized copy
+  (saturated 8.70 ms vs shift's 6.73) -- hence shift as default.
 
 The partition spectra are computed once at setup on the device (the
 cuFFT-plan + precomputeImpulseResponseFFTs analog,
@@ -86,9 +100,11 @@ def partconv_block(x, prev, fdl_re, fdl_im, h_re, h_im):
     Returns (y, fdl_re', fdl_im'): y is the (T, B) output block; the
     caller carries (x, fdl') as the next block's (prev, fdl).
 
-    This form is the equivalence oracle for partconv_block_ring, which
-    is the default: the shift is two full HBM passes over the FDL
-    (read + write) that the ring form does not pay.
+    This is the DEFAULT form: the shift is two full sequential HBM
+    passes over the FDL (read + write) that the ring form does not
+    pay, and on TPU that sequential traffic still beats every measured
+    rotated-read alternative in the chained streaming tier (module
+    docstring; 2x2 A/B in docs/BENCHMARKS.md).
     """
     b = x.shape[1]
     sre, sim = _forward_spectrum(x, prev)
@@ -104,16 +120,33 @@ def partconv_block(x, prev, fdl_re, fdl_im, h_re, h_im):
     return _inverse_block(y_re, y_im, b), fdl_re, fdl_im
 
 
-@jax.jit
-def partconv_block_ring(x, prev, head, fdl_re, fdl_im, h_re, h_im):
-    """Ring-buffer form (the default): the delay line never moves.
+def ring_aligned_spectra(h_re, h_im):
+    """(T, P, bins) partition spectra -> (T, 2P, bins) doubled,
+    index-negated planes for partconv_block_ring: H2[j] = H[(-j) mod P]
+    for j = 0..2P-1, so the ring alignment H[(head - s) mod P],
+    s = 0..P-1 is the contiguous window H2[P-head : 2P-head] (one
+    dynamic_slice per block instead of a partition gather). Computed
+    once at setup (the static gather here is free); 2x H storage.
+    """
+    p = h_re.shape[1]
+    idx = (-jnp.arange(2 * p)) % p
+    return jnp.take(h_re, idx, axis=1), jnp.take(h_im, idx, axis=1)
 
-    The new spectrum overwrites ONE slot (head), and H is aligned to
-    the ring by a rotated partition gather fused into the MAC's read:
-    slot s holds the spectrum of the block (head - s) mod P blocks
-    ago, so Y = sum_s FDL[s] * H[(head - s) mod P]. Traffic per block
-    is one read of FDL + one (gathered) read of H; the shift form
-    additionally rewrites the whole FDL every block.
+
+@jax.jit
+def partconv_block_ring(x, prev, head, fdl_re, fdl_im, h2_re, h2_im):
+    """Ring-buffer form (--partconvForm ring): the FDL never moves.
+
+    The new spectrum overwrites ONE slot (head); slot s then holds the
+    spectrum of the block (head - s) mod P blocks ago, so
+    Y = sum_s FDL[s] * H[(head - s) mod P]. h2_re/h2_im are the
+    DOUBLED index-negated spectra from ring_aligned_spectra
+    ((T, 2P, bins)): the alignment is the contiguous window
+    H2[P-head : 2P-head], one dynamic_slice fused into the MAC's read
+    -- sequential HBM traffic, where a jnp.take partition gather
+    measured 9% of stream rate at 2048 tracks (module docstring).
+    Traffic per block is one read of FDL + one window read of H2; the
+    shift form additionally rewrites the whole FDL every block.
 
     head is an int32 scalar carried by the caller, incremented mod P
     here. Returns (y, head', fdl_re', fdl_im').
@@ -126,9 +159,10 @@ def partconv_block_ring(x, prev, head, fdl_re, fdl_im, h_re, h_im):
         fdl_re, sre[:, None], head, axis=1)
     fdl_im = jax.lax.dynamic_update_slice_in_dim(
         fdl_im, sim[:, None], head, axis=1)
-    idx = (head - jnp.arange(p, dtype=jnp.int32)) % p
-    hr = jnp.take(h_re, idx, axis=1).astype(jnp.float32)
-    hi = jnp.take(h_im, idx, axis=1).astype(jnp.float32)
+    hr = jax.lax.dynamic_slice_in_dim(
+        h2_re, p - head, p, axis=1).astype(jnp.float32)
+    hi = jax.lax.dynamic_slice_in_dim(
+        h2_im, p - head, p, axis=1).astype(jnp.float32)
     y_re = jnp.sum(fdl_re * hr - fdl_im * hi, axis=1)
     y_im = jnp.sum(fdl_re * hi + fdl_im * hr, axis=1)
     return _inverse_block(y_re, y_im, b), head, fdl_re, fdl_im

@@ -278,8 +278,10 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
             select(
                 "partconvForm", "FDL Form", d.partconv_form,
                 [
-                    {"value": "ring", "label": "ring (one-slot write)"},
-                    {"value": "shift", "label": "shift (textbook oracle)"},
+                    {"value": "shift", "label":
+                     "shift (sequential rewrite; measured fastest)"},
+                    {"value": "ring", "label":
+                     "ring (one-slot write + H2 window)"},
                 ],
                 "Frequency-domain delay line update strategy",
             ),

@@ -101,7 +101,7 @@ def test_runner_end_to_end_with_streaming():
 
 
 def test_ring_equals_shift_form():
-    """The ring-buffer FDL (default) and the textbook shift form are
+    """The ring-buffer FDL and the textbook shift form (default) are
     the same filter: identical outputs over > P blocks."""
     import jax.numpy as jnp
 
@@ -109,6 +109,7 @@ def test_ring_equals_shift_form():
         partconv_block,
         partconv_block_ring,
         partition_spectra,
+        ring_aligned_spectra,
     )
 
     rng = np.random.default_rng(11)
@@ -116,6 +117,7 @@ def test_ring_equals_shift_form():
     p = num_partitions(length, b)
     ir = rng.standard_normal((t, length)).astype(np.float32)
     h_re, h_im = partition_spectra(jnp.asarray(ir), b)
+    h2_re, h2_im = ring_aligned_spectra(h_re, h_im)  # ring takes H2
     fdl = np.zeros((t, p, b + 1), np.float32)
     prev_s = jnp.zeros((t, b)); fre_s = jnp.asarray(fdl); fim_s = jnp.asarray(fdl)
     prev_r = jnp.zeros((t, b)); fre_r = jnp.asarray(fdl); fim_r = jnp.asarray(fdl)
@@ -125,7 +127,7 @@ def test_ring_equals_shift_form():
         ys, fre_s, fim_s = partconv_block(
             x, prev_s, fre_s, fim_s, h_re, h_im)
         yr, head, fre_r, fim_r = partconv_block_ring(
-            x, prev_r, head, fre_r, fim_r, h_re, h_im)
+            x, prev_r, head, fre_r, fim_r, h2_re, h2_im)
         prev_s = prev_r = x
         # Same filter, different f32 summation order over partitions:
         # agreement to 1e-5 of the block's peak (measured ~1e-7).
