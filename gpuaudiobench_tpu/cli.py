@@ -56,8 +56,10 @@ def print_help() -> None:
     print("  --impl [which]           auto | xla | pallas (default: auto)")
     print("  --irLength [n]           Conv1D/Conv1D_accel IR length")
     print("  --convEdgeMode [m]       clamp | bleed (Conv1D edge handling)")
-    print("  --partconvForm [f]       shift | ring (PartConv FDL form; "
-          "default shift)")
+    print("  --partconvForm [f]       shift | ring | nupols (PartConv "
+          "FDL form; default shift)")
+    print("  --partconvTailChunk [k]  nupols tail partition size in "
+          "blocks (default 8)")
     print("  --partconvHDtype [d]     f32 | f16 (PartConv IR-spectra storage)")
     print("  --neuralampChannels [n]  NeuralAmp TCN channel count (default: 128)")
     print("  --neuralampLayers [n]    NeuralAmp dilated-layer count (default: 10)")
@@ -141,6 +143,7 @@ def parse_args(argv: List[str]):
         "--irLength": ("ir_length", int),
         "--convEdgeMode": ("conv_edge_mode", str),
         "--partconvForm": ("partconv_form", str),
+        "--partconvTailChunk": ("partconv_tail_chunk", int),
         "--partconvHDtype": ("partconv_h_dtype", str),
         "--neuralampChannels": ("neuralamp_channels", int),
         "--neuralampLayers": ("neuralamp_layers", int),

@@ -53,9 +53,17 @@ class BenchConfig:
     # measured fastest saturated tier at both 128 and 2048 tracks on
     # v5e) | "ring" (one-slot write + contiguous doubled-H window; no
     # FDL rewrite -- wins the single-block device tier at scale but
-    # pays an unfused window copy in chained streams). The 2x2
-    # form x dtype A/B is in docs/BENCHMARKS.md (PartConv).
+    # pays an unfused window copy in chained streams) | "nupols"
+    # (two-level Gardner non-uniform partitioning: K*B-sized tail
+    # partitions fired once per K blocks with the MAC spread across
+    # the window -- ~K-fold cut of the tail's per-block HBM traffic,
+    # the production long-IR scheme). The form A/Bs are in
+    # docs/BENCHMARKS.md (PartConv).
     partconv_form: str = "shift"
+    # nupols tail partition size, in blocks (K): tail partitions are
+    # K*B taps, head is exactly K B-sized partitions (the causality
+    # bound, ops/partconv.py module docstring).
+    partconv_tail_chunk: int = 8
     # IR-spectra storage dtype: "f32" | "f16". f16 halves the H read
     # (~25% of the HBM wall) at a MEASURED 1.9e-4 peak-relative error
     # vs the 1e-3 contract (bf16 was measured at 1.59e-3 and rejected,
@@ -176,7 +184,11 @@ class BenchConfig:
             raise ValueError(f"invalid dawsim mode: {self.dawsim_mode}")
         if self.conv_edge_mode not in ("clamp", "bleed"):
             raise ValueError(f"invalid conv edge mode: {self.conv_edge_mode}")
-        if self.partconv_form not in ("ring", "shift"):
+        if not 2 <= self.partconv_tail_chunk <= 64:
+            raise ValueError(
+                "partconv_tail_chunk must be in [2, 64], got "
+                f"{self.partconv_tail_chunk}")
+        if self.partconv_form not in ("ring", "shift", "nupols"):
             raise ValueError(
                 f"invalid partconv form: {self.partconv_form}")
         if self.partconv_h_dtype not in ("f32", "f16"):

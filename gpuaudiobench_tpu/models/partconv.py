@@ -30,12 +30,17 @@ from __future__ import annotations
 
 import math
 
+import jax
 import numpy as np
 
 from gpuaudiobench_tpu.harness.validation import ValidationData, compare_rel
 from gpuaudiobench_tpu.models.common import StandardBufferBenchmark
 from gpuaudiobench_tpu.ops.partconv import (
+    make_partconv_block_nupols,
     num_partitions,
+    nupols_init_state,
+    nupols_spectra,
+    nupols_tail_partitions,
     partconv_block,
     partconv_block_ring,
     partition_spectra,
@@ -90,47 +95,85 @@ class PartConvBenchmark(StandardBufferBenchmark):
         self.ir = reverb_impulse_responses(
             self.track_count, self.ir_length, self.cfg.seed)
 
-        h_re, h_im = partition_spectra(
-            dev.to_device(self.ir), self.buffer_size)
-        if self.cfg.partconv_form == "ring":
-            # Doubled index-negated planes: the per-block ring
-            # alignment becomes one contiguous dynamic_slice window
-            # (ops/partconv.py ring_aligned_spectra). 2x H storage for
-            # stream-rate reads.
-            h_re, h_im = ring_aligned_spectra(h_re, h_im)
-        h_np = (np.asarray(h_re), np.asarray(h_im))
-        if self.cfg.partconv_h_dtype == "f16":
-            # Measured 1.9e-4 peak-relative vs the 1e-3 contract at the
-            # default shape; halves the H read (docs/BENCHMARKS.md).
-            h_np = tuple(h.astype(np.float16) for h in h_np)
-        self._h_re = self._put_state(h_np[0])
-        self._h_im = self._put_state(h_np[1])
-        bins = self.buffer_size + 1
-        zeros_fdl = np.zeros(
-            (self.track_count, self.partitions, bins), np.float32)
-        zeros_prev = np.zeros(
-            (self.track_count, self.buffer_size), np.float32)
-        self._fdl_re = self._put_state(zeros_fdl)
-        self._fdl_im = self._put_state(zeros_fdl)
-        self._prev = self._put_state(zeros_prev)
-        # Ring head (ops/partconv.py partconv_block_ring): the FDL
-        # never shifts; the first block writes slot 0. The shift form
-        # (the default) carries the head untouched.
-        self._head = np.int32(self.partitions - 1)
-        if self.cfg.partconv_form == "ring":
-            self._block = partconv_block_ring
+        form = self.cfg.partconv_form
+        self.nupols_tail = 0
+        if form == "nupols":
+            self.nupols_tail = nupols_tail_partitions(
+                self.ir_length, self.buffer_size,
+                self.cfg.partconv_tail_chunk)
+            if self.nupols_tail == 0:
+                # The K-slot head covers the whole IR: nupols
+                # degenerates to (a padded) uniform head; run the
+                # cheaper exact-P shift form and say so in metadata.
+                form = "shift"
+        self._form = form
+
+        t = self.track_count
+        b = self.buffer_size
+        zeros_prev = np.zeros((t, b), np.float32)
+        if form == "nupols":
+            k = self.cfg.partconv_tail_chunk
+            m = self.nupols_tail
+            (hh_re, hh_im), (ht_re, ht_im) = nupols_spectra(
+                dev.to_device(self.ir), b, k)
+            h_np = tuple(np.asarray(a)
+                         for a in (hh_re, hh_im, ht_re, ht_im))
+            if self.cfg.partconv_h_dtype == "f16":
+                h_np = tuple(h.astype(np.float16) for h in h_np)
+            self._h = tuple(self._put_state(h) for h in h_np)
+            block = make_partconv_block_nupols(b, k, m)
+            self._block = lambda x, state, h: block(x, state, *h)
+            state_np = nupols_init_state(t, b, k, m)
+            self._state = jax.tree_util.tree_map(
+                lambda a: (self._put_state(a)
+                           if a.ndim else dev.to_device(a)), state_np)
+            fdl_bytes = 2 * state_np[6].nbytes  # tail FDL planes
         else:
-            def _shift_block(x, prev, head, fre, fim, h_re, h_im):
-                y, fre2, fim2 = partconv_block(
-                    x, prev, fre, fim, h_re, h_im)
-                return y, head, fre2, fim2
-            self._block = _shift_block
-        # Frozen state copies for the device-timing / streaming passes.
-        self._timing_state = (self._prev, self._head,
-                              self._fdl_re, self._fdl_im)
+            h_re, h_im = partition_spectra(
+                dev.to_device(self.ir), self.buffer_size)
+            if form == "ring":
+                # Doubled index-negated planes: the per-block ring
+                # alignment becomes one contiguous dynamic_slice
+                # window (ops/partconv.py ring_aligned_spectra). 2x H
+                # storage for stream-rate reads.
+                h_re, h_im = ring_aligned_spectra(h_re, h_im)
+            h_np = (np.asarray(h_re), np.asarray(h_im))
+            if self.cfg.partconv_h_dtype == "f16":
+                # Measured 1.9e-4 peak-relative vs the 1e-3 contract
+                # at the default shape; halves the H read
+                # (docs/BENCHMARKS.md).
+                h_np = tuple(h.astype(np.float16) for h in h_np)
+            self._h = tuple(self._put_state(h) for h in h_np)
+            bins = b + 1
+            zeros_fdl = np.zeros((t, self.partitions, bins), np.float32)
+            fdl = self._put_state(zeros_fdl)
+            fdl_im = self._put_state(zeros_fdl)
+            prev = self._put_state(zeros_prev)
+            # Ring head (ops/partconv.py partconv_block_ring): the FDL
+            # never shifts; the first block writes slot 0. The shift
+            # form (the default) carries the head untouched.
+            head = np.int32(self.partitions - 1)
+            if form == "ring":
+                def _ring(x, state, h):
+                    prev, head, fre, fim = state
+                    y, head2, fre2, fim2 = partconv_block_ring(
+                        x, prev, head, fre, fim, *h)
+                    return y, (x, head2, fre2, fim2)
+                self._block = _ring
+            else:
+                def _shift(x, state, h):
+                    prev, head, fre, fim = state
+                    y, fre2, fim2 = partconv_block(
+                        x, prev, fre, fim, *h)
+                    return y, (x, head, fre2, fim2)
+                self._block = _shift
+            self._state = (prev, head, fdl, fdl_im)
+            fdl_bytes = 2 * zeros_fdl.nbytes
+        # Frozen state copy for the device-timing / streaming passes.
+        self._timing_state = self._state
         self._invocations = 0
-        self.track_alloc("irSpectra", h_np[0].nbytes + h_np[1].nbytes)
-        self.track_alloc("fdl", 2 * zeros_fdl.nbytes)
+        self.track_alloc("irSpectra", sum(h.nbytes for h in h_np))
+        self.track_alloc("fdl", fdl_bytes)
         self.iterate()
 
     def _put_state(self, a: np.ndarray):
@@ -139,18 +182,13 @@ class PartConvBenchmark(StandardBufferBenchmark):
 
     def iterate(self) -> None:
         x = self.put_input(self.host_input)
-        y, self._head, self._fdl_re, self._fdl_im = self._block(
-            x, self._prev, self._head, self._fdl_re, self._fdl_im,
-            self._h_re, self._h_im)
-        self._prev = x
+        y, self._state = self._block(x, self._state, self._h)
         self.host_output = dev.from_device(y)
         self._invocations += 1
 
     def device_iterate(self) -> None:
-        prev, head, fre, fim = self._timing_state
-        y, _, _, _ = self._block(
-            self._resident_input, prev, head, fre, fim,
-            self._h_re, self._h_im)
+        y, _ = self._block(
+            self._resident_input, self._timing_state, self._h)
         dev.block(y)
 
     def stream_body(self):
@@ -164,18 +202,42 @@ class PartConvBenchmark(StandardBufferBenchmark):
         # remote compile requests, which 1024-track soaks / multi-k
         # track capacity probes overflow (HTTP 413).
         def step(carry):
-            prev, head, fre, fim, h_re, h_im = carry
-            y, head2, fre2, fim2 = block(
-                x, prev, head, fre, fim, h_re, h_im)
-            return (x, head2, fre2, fim2, h_re, h_im), probe(y)
+            state, h = carry
+            y, state2 = block(x, state, h)
+            return (state2, h), probe(y)
 
-        return step, (*self._timing_state, self._h_re, self._h_im)
+        return step, (self._timing_state, self._h)
 
     def cost_model(self):
         t, b = self.track_count, self.buffer_size
         p, bins = self.partitions, b + 1
+        if not hasattr(self, "_form"):  # pre-setup (tests poke shapes)
+            self._form = self.cfg.partconv_form
         n = 2 * b
         fft_flops = 2.5 * n * math.log2(n)  # real-FFT flop model
+        hdt = 2 if self.cfg.partconv_h_dtype == "f16" else 4
+        if self._form == "nupols":
+            k = self.cfg.partconv_tail_chunk
+            m = self.nupols_tail
+            kbins = k * b + 1
+            nk = 2 * k * b
+            fft_k = 2.5 * nk * math.log2(nk)
+            return {
+                # Head = K-slot uniform shift; tail FFTs + MAC + FDL
+                # push amortized over the K-block window; the spread
+                # accumulator adds per block.
+                "flops": int(t * (2 * fft_flops + 8 * k * bins
+                                  + (2 * fft_k + 8 * m * kbins) / k
+                                  + 2 * kbins)),
+                # Head FDL r+w + H read; tail per fire (/K): MAC FDL
+                # read (8 B/bin) + H read (2*hdt) + push rewrite
+                # (16 B/bin); acc r+w (16 B/bin) every block.
+                "hbm_bytes": int(
+                    t * (4 * k * bins * 4 + 2 * k * bins * hdt
+                         + (24 + 2 * hdt) * m * kbins / k
+                         + 16 * kbins + 2 * b * 4)),
+                "unit": "vpu",
+            }
         return {
             # forward + inverse FFT, plus the 8-flop complex MAC per
             # (partition, bin).
@@ -186,10 +248,9 @@ class PartConvBenchmark(StandardBufferBenchmark):
             # x/y block traffic ride along. The shift form adds a full
             # FDL rewrite.
             "hbm_bytes": (
-                (2 if self.cfg.partconv_form == "ring" else 4)
+                (2 if self._form == "ring" else 4)
                 * t * p * bins * 4         # FDL read (+rewrite if shift)
-                + 2 * t * p * bins
-                * (2 if self.cfg.partconv_h_dtype == "f16" else 4)  # H
+                + 2 * t * p * bins * hdt   # H
                 + 2 * t * b * 4),
             "unit": "vpu",  # XLA TPU FFT and the MAC run on the VPU
         }
@@ -211,12 +272,26 @@ class PartConvBenchmark(StandardBufferBenchmark):
         )
 
     def metadata(self):
-        return {
+        md = {
             "irLength": self.ir_length,
             "form": self.cfg.partconv_form,
+            "formResolved": self._form,  # nupols falls back to shift
+            #                              when the head covers the IR
             "hDtype": self.cfg.partconv_h_dtype,
             "partitions": self.partitions,
             "fftSize": 2 * self.buffer_size,
             "fdlBytes": 2 * self.track_count * self.partitions
             * (self.buffer_size + 1) * 4,
         }
+        if self._form == "nupols":
+            k = self.cfg.partconv_tail_chunk
+            md.update({
+                "nupolsTailChunk": k,
+                "nupolsHeadPartitions": k,
+                "nupolsTailPartitions": self.nupols_tail,
+                "nupolsTailFftSize": 2 * k * self.buffer_size,
+                "fdlBytes": 2 * self.track_count * 4 * (
+                    k * (self.buffer_size + 1)
+                    + self.nupols_tail * (k * self.buffer_size + 1)),
+            })
+        return md

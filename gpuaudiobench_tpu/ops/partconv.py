@@ -44,6 +44,29 @@ TPU-first design:
 The partition spectra are computed once at setup on the device (the
 cuFFT-plan + precomputeImpulseResponseFFTs analog,
 bench_conv1d_accel.cu:254-304).
+
+NON-UNIFORM form (--partconvForm nupols): the Gardner (1995)
+production-reverb scheme, two levels. Uniform partitioning reads the
+ENTIRE FDL and H every block -- O(irLength) HBM traffic per block --
+although the old spectra change only one slot per block. The nupols
+form keeps the first K*B taps in a K-slot uniform head (exactly the
+shift form above) and splits the tail into partitions of K*B taps
+processed at chunk granularity: one rfft(2KB) per K blocks, the tail
+MAC SPREAD across the K blocks of each window (a carried
+partial-spectrum accumulator; slots are statically group-assigned to
+block phases via lax.switch, so every read is a static slice), and
+one irfft(2KB) per window whose KB-sample result is served B at a
+time. Amortized tail traffic: each tail slot is read once per K
+blocks instead of every block -- a ~K-fold cut on the tail, which
+dominates for long IRs. Per-block cost stays near-uniform by
+construction (the MAC is spread); the window-boundary block adds the
+two 2KB FFTs and the newest slot's MAC term. Head size K*B is exactly
+the causality bound: the tail's first partition sits at tap offset
+K*B, so the chunk completing at block wK-1 is first needed for output
+block wK -- its spectrum (the m=0 term) is computed AT the boundary
+block, while every older slot (m >= 1) has a full window and is
+spread. The scheme is the SAME linear filter -- the fold-algebra
+golden and the shift-form oracle validate it unchanged.
 """
 
 from __future__ import annotations
@@ -166,3 +189,164 @@ def partconv_block_ring(x, prev, head, fdl_re, fdl_im, h2_re, h2_im):
     y_re = jnp.sum(fdl_re * hr - fdl_im * hi, axis=1)
     y_im = jnp.sum(fdl_re * hi + fdl_im * hr, axis=1)
     return _inverse_block(y_re, y_im, b), head, fdl_re, fdl_im
+
+
+# --- Non-uniform (two-level Gardner) form ------------------------------
+
+
+def nupols_tail_partitions(ir_length: int, block_size: int,
+                           k: int) -> int:
+    """Number of K*B-sized tail partitions (0 if the K-slot head
+    covers the whole IR; callers fall back to the shift form then)."""
+    head_taps = k * block_size
+    if ir_length <= head_taps:
+        return 0
+    return -(-(ir_length - head_taps) // head_taps)
+
+
+def nupols_spectra(ir: jax.Array, block_size: int, k: int):
+    """(T, L) IRs -> (head, tail) partition spectra for the nupols
+    form: head = exactly K partitions of B taps ((T, K, B+1) planes,
+    zero-padded H past L), tail = M partitions of K*B taps
+    ((T, M, K*B+1) planes). Requires L > K*B (else use the shift
+    form; nupols_tail_partitions == 0 says so)."""
+    t, l = ir.shape
+    head_taps = k * block_size
+    head_ir = jnp.zeros((t, head_taps), jnp.float32)
+    head_ir = head_ir.at[:, : min(l, head_taps)].set(
+        ir[:, :head_taps].astype(jnp.float32))
+    head = partition_spectra(head_ir, block_size)
+    tail = partition_spectra(
+        ir[:, head_taps:].astype(jnp.float32), head_taps)
+    return head, tail
+
+
+def _mac_groups(m: int, k: int):
+    """Statically split tail slots 1..m-1 into k contiguous groups
+    (block phase -> slot range), sizes as even as integers allow."""
+    slots = list(range(1, m))
+    bounds, acc = [], 0
+    for g in range(k):
+        n = len(slots) // k + (1 if g < len(slots) % k else 0)
+        bounds.append((1 + acc, 1 + acc + n))
+        acc += n
+    return bounds
+
+
+def make_partconv_block_nupols(block_size: int, k: int, m: int):
+    """Build the jitted nupols block for static (B, K, M).
+
+    State pytree (all float32 except blk):
+      prev        (T, B)      previous input block (head overlap-save)
+      hfdl_re/im  (T, K, B+1) head FDL (shift form)
+      blk         int32       block phase in [0, K)
+      chunk_full  (T, K*B)    the PREVIOUS completed input chunk
+      chunk_fill  (T, K*B)    the chunk being accumulated this window
+      tfdl_re/im  (T, M, KB+1) tail FDL of chunk spectra, newest first
+      acc_re/im   (T, KB+1)   spread partial MAC for the NEXT window
+      tail_out    (T, K*B)    tail time-domain output, current window
+
+    Returns block_fn(x, state, hh_re, hh_im, ht_re, ht_im) ->
+    (y, state'). Module docstring has the schedule derivation; the
+    fold-algebra golden and test_nupols_equals_shift_form pin it.
+    """
+    kb = k * block_size
+    groups = _mac_groups(m, k)
+
+    def _group_branch(lo, hi):
+        def branch(tfdl_re, tfdl_im, ht_re, ht_im):
+            if lo >= hi:
+                t = tfdl_re.shape[0]
+                z = jnp.zeros((t, kb + 1), jnp.float32)
+                return z, z
+            fr = tfdl_re[:, lo - 1: hi - 1]
+            fi = tfdl_im[:, lo - 1: hi - 1]
+            hr = ht_re[:, lo:hi].astype(jnp.float32)
+            hi_ = ht_im[:, lo:hi].astype(jnp.float32)
+            return (jnp.sum(fr * hr - fi * hi_, axis=1),
+                    jnp.sum(fr * hi_ + fi * hr, axis=1))
+        return branch
+
+    branches = [_group_branch(lo, hi) for lo, hi in groups]
+
+    @jax.jit
+    def block_fn(x, state, hh_re, hh_im, ht_re, ht_im):
+        (prev, hfdl_re, hfdl_im, blk, chunk_full, chunk_fill,
+         tfdl_re, tfdl_im, acc_re, acc_im, tail_out) = state
+        b = block_size
+
+        # Head: the uniform shift form over the first K partitions.
+        y_head, hfdl_re, hfdl_im = partconv_block(
+            x, prev, hfdl_re, hfdl_im, hh_re, hh_im)
+
+        # Window boundary (blk == 0): the chunk filled last window is
+        # complete. Compute its spectrum, push it into the tail FDL,
+        # finish the spread MAC with the newest (m=0) term, and emit
+        # this window's tail output.
+        def fire(ops):
+            (chunk_full, chunk_fill, tfdl_re, tfdl_im,
+             acc_re, acc_im, tail_out) = ops
+            seg = jnp.concatenate([chunk_full, chunk_fill], axis=1)
+            spec = jnp.fft.rfft(seg, axis=1)
+            sre = spec.real.astype(jnp.float32)
+            sim = spec.imag.astype(jnp.float32)
+            tfdl_re = jnp.concatenate(
+                [sre[:, None], tfdl_re[:, :-1]], axis=1)
+            tfdl_im = jnp.concatenate(
+                [sim[:, None], tfdl_im[:, :-1]], axis=1)
+            h0r = ht_re[:, 0].astype(jnp.float32)
+            h0i = ht_im[:, 0].astype(jnp.float32)
+            y_re = acc_re + sre * h0r - sim * h0i
+            y_im = acc_im + sre * h0i + sim * h0r
+            tail_out = jnp.fft.irfft(
+                jax.lax.complex(y_re, y_im), 2 * kb, axis=1
+            )[:, kb:].astype(jnp.float32)
+            zero = jnp.zeros_like(acc_re)
+            return (chunk_fill, jnp.zeros_like(chunk_fill),
+                    tfdl_re, tfdl_im, zero, zero, tail_out)
+
+        ops = (chunk_full, chunk_fill, tfdl_re, tfdl_im,
+               acc_re, acc_im, tail_out)
+        (chunk_full, chunk_fill, tfdl_re, tfdl_im,
+         acc_re, acc_im, tail_out) = jax.lax.cond(
+            blk == 0, fire, lambda o: o, ops)
+
+        # Spread MAC: this block's statically-assigned share of the
+        # m >= 1 tail slots accumulates toward the NEXT window.
+        pr, pi = jax.lax.switch(
+            blk, branches, tfdl_re, tfdl_im, ht_re, ht_im)
+        acc_re = acc_re + pr
+        acc_im = acc_im + pi
+
+        # Serve this block's slice of the tail output and accumulate
+        # the input into the filling chunk.
+        y = y_head + jax.lax.dynamic_slice_in_dim(
+            tail_out, blk * b, b, axis=1)
+        chunk_fill = jax.lax.dynamic_update_slice_in_dim(
+            chunk_fill, x, blk * b, axis=1)
+        blk = (blk + 1) % k
+
+        return y, (x, hfdl_re, hfdl_im, blk, chunk_full, chunk_fill,
+                   tfdl_re, tfdl_im, acc_re, acc_im, tail_out)
+
+    return block_fn
+
+
+def nupols_init_state(tracks: int, block_size: int, k: int, m: int):
+    """Zero state pytree for make_partconv_block_nupols (host-side
+    numpy; callers device_put the leaves)."""
+    import numpy as np
+
+    kb = k * block_size
+    z = np.zeros
+    return (z((tracks, block_size), np.float32),
+            z((tracks, k, block_size + 1), np.float32),
+            z((tracks, k, block_size + 1), np.float32),
+            np.int32(0),
+            z((tracks, kb), np.float32),
+            z((tracks, kb), np.float32),
+            z((tracks, m, kb + 1), np.float32),
+            z((tracks, m, kb + 1), np.float32),
+            z((tracks, kb + 1), np.float32),
+            z((tracks, kb + 1), np.float32),
+            z((tracks, kb), np.float32))

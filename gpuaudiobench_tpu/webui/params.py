@@ -282,8 +282,15 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                      "shift (sequential rewrite; measured fastest)"},
                     {"value": "ring", "label":
                      "ring (one-slot write + H2 window)"},
+                    {"value": "nupols", "label":
+                     "nupols (two-level Gardner, long-IR scheme)"},
                 ],
                 "Frequency-domain delay line update strategy",
+            ),
+            select(
+                "partconvTailChunk", "nupols Tail Chunk (blocks)",
+                d.partconv_tail_chunk, _opts([4, 8, 16, 32]),
+                "Tail partition size in blocks (nupols form only)",
             ),
             select(
                 "partconvHDtype", "IR-Spectra Dtype", d.partconv_h_dtype,
@@ -351,6 +358,7 @@ _FIELD_MAP = {
     "irLength": ("ir_length", int),
     "convEdgeMode": ("conv_edge_mode", str),
     "partconvForm": ("partconv_form", str),
+    "partconvTailChunk": ("partconv_tail_chunk", int),
     "partconvHDtype": ("partconv_h_dtype", str),
     "neuralampChannels": ("neuralamp_channels", int),
     "neuralampLayers": ("neuralamp_layers", int),

@@ -27,6 +27,7 @@ const char* kValueFlags[] = {
     "--nRuns",        "--warmup",           "--outputfile", "--verification",
     "--dawsim-mode",  "--dawsim-jitter-us", "--impl",       "--irLength",
     "--convEdgeMode", "--partconvForm",     "--partconvHDtype",
+    "--partconvTailChunk",
     "--neuralampChannels", "--neuralampLayers", "--neuralampDtype",
     "--poolMiB",      "--seed",             "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",

@@ -269,3 +269,43 @@ def test_search_matches_exhaustive_scan_randomized():
         assert cap == expected, (lo, hi, quantum, threshold)
         if expected is not None:
             assert ceiling == (expected == hi and hi <= threshold)
+
+
+def test_set_overrides_parse_and_render():
+    """--set FIELD=VALUE coerces to the dataclass type, rejects
+    unknown fields, lands in the record, and renders in the note."""
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import capacity as cap
+
+    ov = cap.parse_overrides(
+        ["partconv_form=nupols", "partconv_tail_chunk=16",
+         "modal_renorm=true"])
+    assert ov == {"partconv_form": "nupols", "partconv_tail_chunk": 16,
+                  "modal_renorm": True}
+    assert isinstance(ov["partconv_tail_chunk"], int)
+    with pytest.raises(SystemExit, match="unknown BenchConfig field"):
+        cap.parse_overrides(["not_a_field=1"])
+    with pytest.raises(SystemExit, match="FIELD=VALUE"):
+        cap.parse_overrides(["oops"])
+
+    rec = {
+        "benchmark": "PartConv", "knob": "n_tracks", "capacity": 128,
+        "ceiling_hit": False, "budget_exhausted": False,
+        "deadline_ms": 10.667, "buffer_size": 512, "fs": 48000,
+        "config_overrides": {"partconv_form": "nupols"},
+        "confirmation": {"saturated_p50_ms": 1.0,
+                         "saturated_p99_ms": 1.1, "device_p50_ms": 0.9},
+    }
+    fd, tmp = tempfile.mkstemp(suffix=".md")
+    os.close(fd)
+    try:
+        cap.render_md([rec], tmp)
+        text = open(tmp).read()
+    finally:
+        os.unlink(tmp)
+    assert "partconv_form=nupols" in text

@@ -218,3 +218,116 @@ def test_reverb_ir_properties():
     # deterministic for a seed
     np.testing.assert_array_equal(ir, reverb_impulse_responses(3, 1000,
                                                                seed=42))
+
+
+# --- nupols (two-level Gardner) form ------------------------------------
+
+
+def test_nupols_tail_partition_math():
+    from gpuaudiobench_tpu.ops.partconv import nupols_tail_partitions
+
+    assert nupols_tail_partitions(256, 8, 4) == 7  # head 32, tail 224/32
+    assert nupols_tail_partitions(33, 8, 4) == 1   # one tap past the head
+    assert nupols_tail_partitions(32, 8, 4) == 0   # head covers exactly
+    assert nupols_tail_partitions(16, 8, 4) == 0
+
+
+def test_nupols_equals_shift_form():
+    """The two-level Gardner form is the same linear filter as the
+    uniform shift form: identical outputs block-by-block over several
+    full tail windows, on a RANDOM (non-repeated) input stream."""
+    import jax.numpy as jnp
+
+    from gpuaudiobench_tpu.ops.partconv import (
+        make_partconv_block_nupols,
+        nupols_init_state,
+        nupols_spectra,
+        nupols_tail_partitions,
+        partconv_block,
+        partition_spectra,
+    )
+
+    rng = np.random.default_rng(7)
+    t, b, k = 3, 8, 4
+    length = 150  # head 32 taps, M = ceil(118/32) = 4 tail partitions
+    m = nupols_tail_partitions(length, b, k)
+    assert m == 4
+    ir = rng.standard_normal((t, length)).astype(np.float32)
+
+    # Uniform shift oracle.
+    p = num_partitions(length, b)
+    h_re, h_im = partition_spectra(jnp.asarray(ir), b)
+    prev_s = jnp.zeros((t, b))
+    fre_s = jnp.zeros((t, p, b + 1)); fim_s = jnp.zeros((t, p, b + 1))
+
+    # nupols under test.
+    (hh_re, hh_im), (ht_re, ht_im) = nupols_spectra(jnp.asarray(ir), b, k)
+    assert hh_re.shape == (t, k, b + 1)
+    assert ht_re.shape == (t, m, k * b + 1)
+    block = make_partconv_block_nupols(b, k, m)
+    state = tuple(jnp.asarray(a) for a in nupols_init_state(t, b, k, m))
+
+    n_blocks = (m + 3) * k + 3  # several full windows past steady state
+    for i in range(n_blocks):
+        x = jnp.asarray(rng.standard_normal((t, b)).astype(np.float32))
+        ys, fre_s, fim_s = partconv_block(x, prev_s, fre_s, fim_s,
+                                          h_re, h_im)
+        prev_s = x
+        yn, state = block(x, state, hh_re, hh_im, ht_re, ht_im)
+        ys, yn = np.asarray(ys), np.asarray(yn)
+        np.testing.assert_allclose(
+            yn, ys, atol=2e-5 * max(np.abs(ys).max(), 1e-9),
+            err_msg=f"block {i}")
+
+
+def test_nupols_runner_integration(small_cfg):
+    """nupols through the registry/runner: the fold-algebra golden
+    validates it unchanged across window boundaries."""
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    cfg = small_cfg.replace(
+        n_tracks=2, buffer_size=32, ir_length=600, n_runs=10,
+        partconv_form="nupols", partconv_tail_chunk=4,
+        pipeline_depth=9)  # odd depth: stream crosses window phases
+    bench = create_benchmark("PartConv", cfg)
+    bench.setup()
+    r = run_benchmark(bench, cfg, verbose=False)
+    assert r.validation.passed, r.validation.messages
+    assert r.metadata["formResolved"] == "nupols"
+    assert r.metadata["nupolsTailPartitions"] == 4  # ceil(472/128)
+    assert r.metadata["nupolsHeadPartitions"] == 4
+
+
+def test_nupols_headonly_falls_back_to_shift():
+    b = _bench(n_tracks=2, buffer_size=32, ir_length=128,
+               partconv_form="nupols", partconv_tail_chunk=8)
+    # head = 8*32 = 256 >= 128 taps: no tail, runs the shift form
+    assert b.metadata()["formResolved"] == "shift"
+    assert b.nupols_tail == 0
+    for _ in range(3):
+        b.iterate()
+    v = b.validate()
+    assert v.passed, v.messages
+
+
+def test_nupols_config_validation():
+    from gpuaudiobench_tpu.config import BenchConfig
+
+    with pytest.raises(ValueError, match="partconv_tail_chunk"):
+        BenchConfig(partconv_tail_chunk=1).validate()
+    with pytest.raises(ValueError, match="partconv form"):
+        BenchConfig(partconv_form="gardner").validate()
+
+
+def test_nupols_mac_groups_cover_every_slot():
+    """The spread-MAC group assignment must cover slots 1..M-1 exactly
+    once regardless of how K divides M."""
+    from gpuaudiobench_tpu.ops.partconv import _mac_groups
+
+    for m in (1, 2, 5, 11, 16, 33):
+        for k in (2, 4, 8):
+            got = []
+            for lo, hi in _mac_groups(m, k):
+                got.extend(range(lo, hi))
+            assert got == list(range(1, m)), (m, k)

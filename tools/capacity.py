@@ -128,7 +128,7 @@ def harness_probe(benchmark, field, args, device_timing=False):
             write_latencies=False,
             quiet=True,
             device_timing=device_timing,
-            **{field: value},
+            **dict(parse_overrides(args.set), **{field: value}),
         )
         b = create_benchmark(benchmark, cfg)
         b.setup()
@@ -148,6 +148,35 @@ def harness_probe(benchmark, field, args, device_timing=False):
         return valid and p99 <= deadline, detail
 
     return evaluate
+
+
+def parse_overrides(pairs):
+    """--set FIELD=VALUE list -> BenchConfig kwargs, coerced to the
+    dataclass field's type (unknown fields raise with the field list,
+    so a typo cannot silently probe the default config)."""
+    import dataclasses
+
+    from gpuaudiobench_tpu.config import BenchConfig
+
+    types = {f.name: f.type for f in dataclasses.fields(BenchConfig)}
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise SystemExit(f"--set needs FIELD=VALUE, got {pair!r}")
+        name, raw = pair.split("=", 1)
+        if name not in types:
+            raise SystemExit(
+                f"--set: unknown BenchConfig field {name!r}")
+        t = types[name]
+        if t in ("bool", bool):
+            out[name] = raw.lower() in ("1", "true", "yes", "on")
+        elif t in ("int", int) or "int" in str(t):
+            out[name] = int(raw)
+        elif t in ("float", float) or "float" in str(t):
+            out[name] = float(raw)
+        else:
+            out[name] = raw
+    return out
 
 
 def run_one(benchmark: str, args) -> dict:
@@ -220,6 +249,7 @@ def run_one(benchmark: str, args) -> dict:
         "fs": args.fs,
         "pipeline_depth": args.pipelineDepth,
         "saturated_reps": args.satReps,
+        "config_overrides": parse_overrides(args.set),
         "probes": details,
         "confirmation": confirm,
     }
@@ -263,6 +293,10 @@ def render_md(records, path):
                 else "below lo" if r["capacity"] is None
                 else ">= only (budget)" if r.get("budget_exhausted")
                 else "")
+        over = r.get("config_overrides") or {}
+        if over:
+            pairs = " ".join(f"{k}={v}" for k, v in sorted(over.items()))
+            note = f"{note}; {pairs}" if note else pairs
         lines.append(
             f"| {r['benchmark']} | {r['knob']} | "
             f"{r['capacity'] if r['capacity'] is not None else '—'} | "
@@ -313,6 +347,11 @@ def main(argv=None) -> int:
                          "several)")
     ap.add_argument("--md", default="",
                     help="write a markdown capacity table to this path")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="BenchConfig override applied to every probe "
+                         "(e.g. --set partconv_form=nupols); recorded "
+                         "in the JSON as config_overrides")
     args = ap.parse_args(argv)
 
     if len(args.benchmark) > 1 and (args.lo is not None or

@@ -28,6 +28,7 @@ INITIAL carry into every floating-point state leaf every N seconds
 pluck, useful to confirm the state responds to new energy mid-soak.
 
 Usage: python tools/soak.py [seconds] [output.md] [benchmark] [tracks]
+           [--set FIELD=VALUE ...]   # BenchConfig overrides
                             [reexcite_every] [--checkpoint PATH]
                             [--resume] [--renorm]
        (defaults: 60s, docs/RESULTS_r2_soak.md, ModalFilterBank, 1024,
@@ -44,6 +45,7 @@ from __future__ import annotations
 
 import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
+import os
 import sys
 import time
 
@@ -66,6 +68,14 @@ def main() -> int:
     if "--renorm" in argv:
         argv.remove("--renorm")
         renorm = True
+    overrides = []
+    while "--set" in argv:  # BenchConfig overrides, as tools/capacity.py
+        i = argv.index("--set")
+        if i + 1 >= len(argv):
+            print("--set requires a FIELD=VALUE argument")
+            return 1
+        overrides.append(argv[i + 1])
+        del argv[i:i + 2]
     if resume and not ckpt_path:
         print("--resume requires --checkpoint PATH")
         return 1
@@ -92,10 +102,14 @@ def main() -> int:
     from gpuaudiobench_tpu.utils.device import enable_compilation_cache
 
     enable_compilation_cache()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from capacity import parse_overrides
+
     cfg = BenchConfig(
         n_tracks=tracks,
         n_runs=1, warmup=1, write_latencies=False, device_timing=False,
         verification="none", modal_renorm=renorm,
+        **parse_overrides(overrides),
     )
     bench = create_benchmark(name, cfg)
     bench.setup()
@@ -250,7 +264,6 @@ def main() -> int:
         ]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    import os
 
     csv_path = os.path.splitext(out_path)[0] + ".csv"
     if csv_path == out_path:  # extensionless out_path
