@@ -309,3 +309,24 @@ def test_set_overrides_parse_and_render():
     finally:
         os.unlink(tmp)
     assert "partconv_form=nupols" in text
+
+
+def test_knob_override_requires_range_and_real_field():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import capacity as cap
+
+    class A:  # minimal args stand-in
+        knob = "ir_length"
+        lo = hi = quantum = None
+        set = []
+
+    with pytest.raises(SystemExit, match="--lo/--hi/--quantum"):
+        cap.run_one("PartConv", A)
+    A.lo, A.hi, A.quantum = 1, 2, 1
+    A.knob = "no_such_field"
+    with pytest.raises(SystemExit, match="unknown BenchConfig field"):
+        cap.run_one("PartConv", A)

@@ -181,10 +181,19 @@ def parse_overrides(pairs):
 
 def run_one(benchmark: str, args) -> dict:
     """Search one benchmark's capacity; returns the JSON-able record."""
-    field, lo, hi, quantum = knob_for(benchmark)
-    lo = args.lo if args.lo is not None else lo
-    hi = args.hi if args.hi is not None else hi
-    quantum = args.quantum if args.quantum is not None else quantum
+    if args.knob:
+        # Explicit knob (e.g. ir_length for the real-time IR-length
+        # capacity of PartConv): caller supplies the range.
+        if args.lo is None or args.hi is None or args.quantum is None:
+            raise SystemExit("--knob requires --lo/--hi/--quantum")
+        field, lo, hi, quantum = (args.knob, args.lo, args.hi,
+                                  args.quantum)
+        parse_overrides([f"{field}=0"])  # existence check (typed)
+    else:
+        field, lo, hi, quantum = knob_for(benchmark)
+        lo = args.lo if args.lo is not None else lo
+        hi = args.hi if args.hi is not None else hi
+        quantum = args.quantum if args.quantum is not None else quantum
     deadline = 1000.0 * args.bufferSize / args.fs
 
     print(f"capacity: {benchmark} knob={field} range=[{lo}, {hi}] "
@@ -352,6 +361,11 @@ def main(argv=None) -> int:
                     help="BenchConfig override applied to every probe "
                          "(e.g. --set partconv_form=nupols); recorded "
                          "in the JSON as config_overrides")
+    ap.add_argument("--knob", default="",
+                    metavar="FIELD",
+                    help="search this BenchConfig field instead of the "
+                         "benchmark's default knob (requires "
+                         "--lo/--hi/--quantum)")
     args = ap.parse_args(argv)
 
     if len(args.benchmark) > 1 and (args.lo is not None or

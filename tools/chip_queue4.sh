@@ -94,6 +94,21 @@ run_step cap_nupols 7200 python tools/capacity.py \
   --benchmark PartConv --set partconv_form=nupols \
   --lo 512 --hi 16384 --maxEvals 12 --json "$LOG/cap_nupols.json"
 
+# 3b. Real-time IR-LENGTH capacity at the 128-track default: how long
+# a reverb tail one chip sustains, uniform vs nupols (quantum = 1 s of
+# IR). hi bounds chosen to stay inside HBM so an allocation failure
+# cannot masquerade as a deadline miss (probe errors are recorded
+# distinctly either way).
+run_step cap_irlen_shift 7200 python tools/capacity.py \
+  --benchmark PartConv --knob ir_length \
+  --lo 48000 --hi 3840000 --quantum 48000 --maxEvals 10 \
+  --json "$LOG/cap_irlen_shift.json"
+run_step cap_irlen_nupols 7200 python tools/capacity.py \
+  --benchmark PartConv --knob ir_length \
+  --set partconv_form=nupols --set partconv_tail_chunk=16 \
+  --lo 48000 --hi 5760000 --quantum 48000 --maxEvals 10 \
+  --json "$LOG/cap_irlen_nupols.json"
+
 # 4. 120 s nupols soak at 1024 tracks.
 run_step soak_nupols1024 2400 python tools/soak.py 120 \
   "$LOG/soak_nupols1024.md" PartConv 1024 --set partconv_form=nupols
