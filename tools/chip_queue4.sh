@@ -51,6 +51,16 @@ run_step quietcheck 600 python -m gpuaudiobench_tpu.cli \
 grep -E "Run-to-run CV|Saturated|Device M" "$LOG/quietcheck.log" \
   | tee -a "$LOG/summary.log" || true
 
+# 0c. Finish the shift-form track-capacity search: the full-range run
+# measured 128..2048 sustaining (2048 = 6.39 ms) and 4096 missing
+# (16.9 ms) but its 3072 bisection step outlived the session budget
+# (the 4096-track depth-256 program took ~65 min in remote compile).
+# Coarser quantum + cached 2048/4096 compiles finish it in one fresh
+# compile.
+run_step cap_shift_finish 7200 python tools/capacity.py \
+  --benchmark PartConv --lo 2048 --hi 4096 --quantum 1024 \
+  --maxEvals 4 --json "$LOG/cap_shift.json"
+
 # 1. NUPOLS A/B at the two scales the shift baseline was measured.
 run_step nupols_128 1800 python -m gpuaudiobench_tpu.cli \
   --benchmark PartConv --partconvForm nupols \
