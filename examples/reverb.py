@@ -4,17 +4,18 @@ convolution.
 
 This is the user-facing shape of the PartConv extension benchmark
 (docs/BENCHMARKS.md "PartConv"): a long decaying-noise room IR is
-split into bufferSize partitions and streamed through the ring-buffer
-frequency-domain delay line (ops/partconv.py partconv_block_ring) one
-512-sample block at a time -- exactly the per-block step the benchmark
-times. At the end, the streamed wet signal is checked against a
-single offline float64 FFT convolution of the whole dry take: the
-block-by-block engine and the one-shot convolution must agree to
-float32 rounding (peak-relative), which is the property that makes the
-benchmark's latency a real reverb's latency.
+split into bufferSize partitions and streamed through the
+frequency-domain delay line one 512-sample block at a time -- exactly
+the per-block step the benchmark times, in any of the three FDL forms
+(--form ring | shift | nupols; nupols is the two-level Gardner
+long-IR scheme). At the end, the streamed wet signal is checked
+against a single offline float64 FFT convolution of the whole dry
+take: the block-by-block engine and the one-shot convolution must
+agree to float32 rounding (peak-relative), which is the property that
+makes the benchmark's latency a real reverb's latency.
 
 Run:  python examples/reverb.py [--seconds 3] [--rt60 1.2]
-                                [--out bell_hall.wav]
+                                [--form nupols] [--out bell_hall.wav]
 """
 
 from __future__ import annotations
@@ -40,14 +41,20 @@ def render_dry(seconds: float, modes: int, f0: float) -> np.ndarray:
     return np.asarray(blocks).ravel().astype(np.float32)
 
 
-def stream_reverb(dry: np.ndarray, ir: np.ndarray) -> np.ndarray:
-    """Stream dry (1-D) through the partitioned ring FDL, block by
-    block, the benchmark's exact step."""
+def stream_reverb(dry: np.ndarray, ir: np.ndarray,
+                  form: str = "ring", tail_chunk: int = 8) -> np.ndarray:
+    """Stream dry (1-D) through the partitioned FDL, block by block,
+    the benchmark's exact step — any of the three forms."""
     import jax
     import jax.numpy as jnp
 
     from gpuaudiobench_tpu.ops.partconv import (
+        make_partconv_block_nupols,
         num_partitions,
+        nupols_init_state,
+        nupols_spectra,
+        nupols_tail_partitions,
+        partconv_block,
         partconv_block_ring,
         partition_spectra,
         ring_aligned_spectra,
@@ -55,22 +62,55 @@ def stream_reverb(dry: np.ndarray, ir: np.ndarray) -> np.ndarray:
 
     n_blocks = len(dry) // BLOCK
     p = num_partitions(ir.shape[1], BLOCK)
-    h_re, h_im = ring_aligned_spectra(
-        *partition_spectra(jnp.asarray(ir), BLOCK))
     blocks = jnp.asarray(dry[: n_blocks * BLOCK].reshape(n_blocks, 1, BLOCK))
 
-    def body(carry, x):
-        prev, head, fre, fim = carry
-        y, head2, fre2, fim2 = partconv_block_ring(
-            x, prev, head, fre, fim, h_re, h_im)
-        return (x, head2, fre2, fim2), y
+    if form == "nupols":
+        m = nupols_tail_partitions(ir.shape[1], BLOCK, tail_chunk)
+        if m == 0:
+            raise SystemExit("--form nupols needs irLength > "
+                             f"{tail_chunk * BLOCK} taps (the K-block "
+                             "head); use --rt60 >= "
+                             f"{tail_chunk * BLOCK / FS + 0.1:.2f}")
+        (hh_re, hh_im), (ht_re, ht_im) = nupols_spectra(
+            jnp.asarray(ir), BLOCK, tail_chunk)
+        nblock = make_partconv_block_nupols(BLOCK, tail_chunk, m)
 
-    carry0 = (
-        jnp.zeros((1, BLOCK), jnp.float32),
-        jnp.int32(p - 1),
-        jnp.zeros((1, p, BLOCK + 1), jnp.float32),
-        jnp.zeros((1, p, BLOCK + 1), jnp.float32),
-    )
+        def body(carry, x):
+            y, carry2 = nblock(x, carry, hh_re, hh_im, ht_re, ht_im)
+            return carry2, y
+
+        carry0 = tuple(jnp.asarray(a)
+                       for a in nupols_init_state(1, BLOCK, tail_chunk, m))
+    elif form == "ring":
+        h_re, h_im = ring_aligned_spectra(
+            *partition_spectra(jnp.asarray(ir), BLOCK))
+
+        def body(carry, x):
+            prev, head, fre, fim = carry
+            y, head2, fre2, fim2 = partconv_block_ring(
+                x, prev, head, fre, fim, h_re, h_im)
+            return (x, head2, fre2, fim2), y
+
+        carry0 = (
+            jnp.zeros((1, BLOCK), jnp.float32),
+            jnp.int32(p - 1),
+            jnp.zeros((1, p, BLOCK + 1), jnp.float32),
+            jnp.zeros((1, p, BLOCK + 1), jnp.float32),
+        )
+    else:  # shift
+        h_re, h_im = partition_spectra(jnp.asarray(ir), BLOCK)
+
+        def body(carry, x):
+            prev, fre, fim = carry
+            y, fre2, fim2 = partconv_block(x, prev, fre, fim, h_re, h_im)
+            return (x, fre2, fim2), y
+
+        carry0 = (
+            jnp.zeros((1, BLOCK), jnp.float32),
+            jnp.zeros((1, p, BLOCK + 1), jnp.float32),
+            jnp.zeros((1, p, BLOCK + 1), jnp.float32),
+        )
+
     _, wet = jax.jit(lambda c, xs: jax.lax.scan(body, c, xs))(carry0, blocks)
     return np.asarray(wet).ravel()
 
@@ -84,6 +124,11 @@ def main(argv=None) -> int:
     ap.add_argument("--f0", type=float, default=220.0)
     ap.add_argument("--mix", type=float, default=0.35,
                     help="wet/dry mix (0 = dry, 1 = wet)")
+    ap.add_argument("--form", default="ring",
+                    choices=("ring", "shift", "nupols"),
+                    help="FDL form; nupols = the two-level Gardner "
+                         "long-IR scheme (--tail-chunk blocks/partition)")
+    ap.add_argument("--tail-chunk", type=int, default=8)
     ap.add_argument("--out", default="bell_hall.wav")
     args = ap.parse_args(argv)
 
@@ -91,7 +136,7 @@ def main(argv=None) -> int:
 
     dry = render_dry(args.seconds, args.modes, args.f0)
     ir = reverb_impulse_responses(1, max(BLOCK, int(args.rt60 * FS)))
-    wet = stream_reverb(dry, ir)
+    wet = stream_reverb(dry, ir, args.form, args.tail_chunk)
 
     # Stream == offline: one float64 FFT convolution of the whole take.
     n = len(wet)
@@ -116,7 +161,8 @@ def main(argv=None) -> int:
 
     print(f"wrote {args.out}: {n / FS:.2f} s, rt60 {args.rt60:.2f} s "
           f"({ir.shape[1]} taps = "
-          f"{-(-ir.shape[1] // BLOCK)} partitions), mix {args.mix}")
+          f"{-(-ir.shape[1] // BLOCK)} partitions, {args.form} FDL), "
+          f"mix {args.mix}")
     print(f"streamed convolution matches offline: {stream_ok} "
           f"(max err {err:.2e} vs peak {peak:.3f})")
     return 0 if stream_ok else 1

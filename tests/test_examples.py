@@ -95,6 +95,25 @@ def test_reverb_example(tmp_path):
     assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01
 
 
+def test_reverb_example_nupols(tmp_path):
+    """The same stream==offline equality proof through the two-level
+    Gardner form (rt60 chosen so the tail really exists: head =
+    4 blocks * 512 = 2048 taps < 0.25 s * 48k)."""
+    out = tmp_path / "hall_nu.wav"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "examples/reverb.py", "--seconds", "1",
+         "--modes", "256", "--rt60", "0.25", "--form", "nupols",
+         "--tail-chunk", "4", "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "streamed convolution matches offline: True" in r.stdout
+    assert "nupols FDL" in r.stdout
+
+
 def test_ampsim_example(tmp_path):
     out = tmp_path / "riff.wav"
     env = dict(os.environ)
