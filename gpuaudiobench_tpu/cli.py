@@ -68,6 +68,8 @@ def print_help() -> None:
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
     print("  --fdtdPerTrackReceivers  FDTD3D: one receiver cell per track")
+    print("  --fdtdRoom [n]           FDTD3D room cells per axis "
+          "(default 50; grid = n+2)")
     print("                           (WebGPU parity; default: broadcast)")
     print("  --dwgMinLen/--dwgMaxLen [n]  DWG delay-line length range")
     print("                           (CUDA default 100-2000; Metal used 64-1024)")
@@ -149,6 +151,7 @@ def parse_args(argv: List[str]):
         "--neuralampLayers": ("neuralamp_layers", int),
         "--neuralampDtype": ("neuralamp_dtype", str),
         "--poolMiB": ("rndmem_pool_mb", int),
+        "--fdtdRoom": ("fdtd_room", int),
         "--transferMiB": ("transfer_mib", int),
         "--dataParallel": ("data_parallel", int),
         "--modalModes": ("modal_num_modes", int),

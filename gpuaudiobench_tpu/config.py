@@ -106,6 +106,13 @@ class BenchConfig:
     # webgpu/js/benchmarks/FDTD3DBenchmark.js:57-67); default is the
     # CUDA/Metal single broadcast receiver.
     fdtd_per_track_receivers: bool = False
+    # FDTD3D room size in cells per axis (grid = room + 2 ghost cells).
+    # 50 = the CUDA/Metal reference (bench_fdtd3d.cuh:12-38); the
+    # WebGPU build exposes 10-100 (ParameterBuilder.js fdtdParams).
+    # Source/receiver scale with the room at the reference's fractions
+    # (ops/fdtd3d.py source_pos/receiver_pos: exact reference cells at
+    # room 50). VMEM bounds the Pallas kernel near ~room 100.
+    fdtd_room: int = 50
 
     # Implementation selection for the device compute path.
     # "auto" = pallas on TPU where available, xla otherwise.
@@ -184,6 +191,9 @@ class BenchConfig:
             raise ValueError(f"invalid dawsim mode: {self.dawsim_mode}")
         if self.conv_edge_mode not in ("clamp", "bleed"):
             raise ValueError(f"invalid conv edge mode: {self.conv_edge_mode}")
+        if not 8 <= self.fdtd_room <= 128:
+            raise ValueError(
+                f"fdtd_room must be in [8, 128], got {self.fdtd_room}")
         if not 2 <= self.partconv_tail_chunk <= 64:
             raise ValueError(
                 "partconv_tail_chunk must be in [2, 64], got "

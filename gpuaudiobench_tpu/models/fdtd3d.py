@@ -29,12 +29,13 @@ from gpuaudiobench_tpu.utils.data import generate_random_audio
 
 
 def fdtd3d_reference(x: np.ndarray, steps_per_sample: int = op.STEPS_PER_SAMPLE,
-                     receivers=None):
+                     receivers=None, n: int = op.GRID_N,
+                     source: tuple = op.SOURCE,
+                     receiver: tuple = op.RECEIVER):
     """Full float32 NumPy FDTD simulation (mirrors ops/fdtd3d.py update
     equations; the independent oracle for the fused TPU program).
     receivers: optional (xs, ys, zs) per-track arrays (WebGPU parity);
     None = the single broadcast receiver (CUDA/Metal)."""
-    n = op.GRID_N
     k1 = np.float32(op.DT_OVER_RHO_DX)
     k2 = np.float32(op.RHO_C2_DT_OVER_DX)
     absorb = np.float32(1.0 - op.ABSORPTION)
@@ -46,8 +47,8 @@ def fdtd3d_reference(x: np.ndarray, steps_per_sample: int = op.STEPS_PER_SAMPLE,
     idx = np.arange(n)
     edge = (idx == 0) | (idx == n - 1)
     boundary = edge[:, None, None] | edge[None, :, None] | edge[None, None, :]
-    sx, sy, sz = op.SOURCE
-    rx, ry, rz = op.RECEIVER
+    sx, sy, sz = source
+    rx, ry, rz = receiver
 
     tracks, s = x.shape
     src = x.sum(axis=0, dtype=np.float32) * np.float32(op.SOURCE_SCALE)
@@ -93,26 +94,31 @@ class FDTD3DBenchmark(Benchmark):
         t, s = self.track_count, self.buffer_size
         self.host_input = generate_random_audio(t * s, self.cfg.seed).reshape(t, s)
         self._resident_input = dev.to_device(self.host_input)
-        n = op.GRID_N
+        self._room = self.cfg.fdtd_room
+        n = self._n = op.grid_n(self._room)
+        self._source = op.source_pos(self._room)
+        self._receiver = op.receiver_pos(self._room)
         self.track_alloc("pressureField", n * n * n * 4)
         self.track_alloc("velocityFields", 3 * (n + 1) * n * n * 4)
         self.track_alloc("ioBuffers", t * s * 4 * 4)
         self._impl = dev.resolve_impl(self.cfg.impl)
         self._receivers = None
+        import functools
+
         if self.cfg.fdtd_per_track_receivers:
             # Per-track receiver cells (WebGPU parity): XLA path only --
             # the packed-plane Pallas kernel extracts the one broadcast
             # cell (documented; the gather of T cells per sample is an
             # XLA strength).
             self._impl = "xla"
-            self._receivers = op.receiver_line(t)
+            self._receivers = op.receiver_line(t, n)
             xs, ys, zs = self._receivers
-            n = op.GRID_N
             rcv_flat = dev.to_device(
                 (xs.astype(np.int64) * n * n + ys * n + zs).astype(np.int32)
             )
+            src = self._source
             self._block = lambda x, *fields: op.fdtd3d_block_multircv(
-                x, *fields, rcv_flat
+                x, *fields, rcv_flat, source=src
             )
             zero = op.zero_fields
         elif self._impl == "pallas":
@@ -123,27 +129,34 @@ class FDTD3DBenchmark(Benchmark):
                 zero_fields_div,
             )
 
-            self._block = fdtd3d_block_pallas_div
+            self._block = functools.partial(
+                fdtd3d_block_pallas_div,
+                source=self._source, receiver=self._receiver)
             zero = zero_fields_div
         else:
-            self._block = op.fdtd3d_block
+            self._block = functools.partial(
+                op.fdtd3d_block,
+                source=self._source, receiver=self._receiver)
             zero = op.zero_fields
         # Upload only the state the chosen kernel carries (the div form
         # needs 2 fields, not 4 -- and transfers are expensive on
         # relay-backed rigs).
-        self._zero_fields = tuple(dev.to_device(np.asarray(f)) for f in zero())
+        self._zero_fields = tuple(
+            dev.to_device(np.asarray(f)) for f in zero(n))
         from gpuaudiobench_tpu.utils.golden_cache import cached_golden
 
         self.golden = cached_golden(
             "fdtd3d",
             {
                 "seed": self.cfg.seed, "tracks": t, "samples": s,
-                "grid": op.GRID_N, "steps": op.STEPS_PER_SAMPLE,
-                "src": list(op.SOURCE), "rcv": list(op.RECEIVER),
+                "grid": n, "steps": op.STEPS_PER_SAMPLE,
+                "src": list(self._source), "rcv": list(self._receiver),
                 "perTrackRcv": bool(self.cfg.fdtd_per_track_receivers),
             },
             lambda: fdtd3d_reference(self.host_input,
-                                     receivers=self._receivers),
+                                     receivers=self._receivers, n=n,
+                                     source=self._source,
+                                     receiver=self._receiver),
         )
         self.host_output = None
         self.iterate()
@@ -176,7 +189,7 @@ class FDTD3DBenchmark(Benchmark):
         )
 
     def cost_model(self):
-        n, s = op.GRID_N, self.buffer_size
+        n, s = self._n, self.buffer_size
         cells = n ** 3
         substeps = s * op.STEPS_PER_SAMPLE
         fields_bytes = (cells + 3 * (n + 1) * n * n) * 4
@@ -200,13 +213,14 @@ class FDTD3DBenchmark(Benchmark):
     def metadata(self):
         return {
             "impl": self._impl,
-            "grid": [op.GRID_N] * 3,
+            "room": self._room,
+            "grid": [self._n] * 3,
             "stepsPerSample": op.STEPS_PER_SAMPLE,
             "soundSpeed": op.SOUND_SPEED,
             "spatialStep": op.SPATIAL_STEP,
             "timeStep": op.TIME_STEP,
             "absorption": op.ABSORPTION,
-            "source": list(op.SOURCE),
+            "source": list(self._source),
             "receiver": "per-track line" if self._receivers is not None
-                        else list(op.RECEIVER),
+                        else list(self._receiver),
         }

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 # Physics constants (bench_fdtd3d.cuh:145-174).
-ROOM = 50
+ROOM = 50  # reference default; --fdtdRoom makes it configurable
 GRID_N = ROOM + 2  # +2 ghost/boundary cells
 SOUND_SPEED = 343.0
 SPATIAL_STEP = 0.01
@@ -43,6 +43,26 @@ SOURCE = (26, 26, 6)
 RECEIVER = (41, 16, 26)
 SOURCE_SCALE = 0.1  # benchmark_constants.cuh FDTD3D_SOURCE_SCALE
 OUTPUT_SCALE = 0.1
+
+
+def grid_n(room: int) -> int:
+    return room + 2
+
+
+def source_pos(room: int) -> tuple:
+    """Source grid cell for a given room size: the reference's room
+    fractions (0.5, 0.5, 0.1) of (25,25,5)-in-50, floored, plus the
+    one-cell ghost offset. At room=50 this IS the reference's
+    (26, 26, 6) (bench_fdtd3d.cu source indexing); the WebGPU build
+    scales positions with its configurable grid the same way
+    (ParameterBuilder.js fdtdParams room 10-100)."""
+    return (room // 2 + 1, room // 2 + 1, room // 10 + 1)
+
+
+def receiver_pos(room: int) -> tuple:
+    """Receiver grid cell: room fractions (0.8, 0.3, 0.5) of
+    (40,15,25)-in-50 plus the ghost offset; (41, 16, 26) at room=50."""
+    return (room * 8 // 10 + 1, room * 3 // 10 + 1, room // 2 + 1)
 
 DT_OVER_RHO_DX = TIME_STEP / (AIR_DENSITY * SPATIAL_STEP)
 RHO_C2_DT_OVER_DX = AIR_DENSITY * SOUND_SPEED**2 * TIME_STEP / SPATIAL_STEP
@@ -76,7 +96,9 @@ def _fdtd_substep(p, vx, vy, vz, boundary):
     return p, vx, vy, vz
 
 
-@functools.partial(jax.jit, static_argnames=("steps_per_sample",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps_per_sample", "source", "receiver"))
 def fdtd3d_block(
     x: jax.Array,  # (tracks, S) input block
     p: jax.Array,  # (N, N, N) pressure
@@ -84,13 +106,17 @@ def fdtd3d_block(
     vy: jax.Array,  # (N, N+1, N)
     vz: jax.Array,  # (N, N, N+1)
     steps_per_sample: int = STEPS_PER_SAMPLE,
+    source: tuple = SOURCE,
+    receiver: tuple = RECEIVER,
 ):
     """Runs S samples x steps_per_sample FDTD steps in one program.
-    Returns (out (tracks, S), p', vx', vy', vz')."""
+    Returns (out (tracks, S), p', vx', vy', vz'). The grid size rides
+    the field shapes; source/receiver are static cells (the defaults
+    are the reference's room-50 positions)."""
     n = p.shape[0]
     boundary = _boundary_mask(n)
-    sx, sy, sz = SOURCE
-    rx, ry, rz = RECEIVER
+    sx, sy, sz = source
+    rx, ry, rz = receiver
     # Soft source: all tracks atomically add at the same cell
     # (bench_fdtd3d.cu:101-120) == sum over tracks.
     src_per_sample = jnp.sum(x, axis=0) * jnp.float32(SOURCE_SCALE)  # (S,)
@@ -126,18 +152,20 @@ def receiver_line(tracks: int, n: int = GRID_N):
     return xs, ys, zs
 
 
-@functools.partial(jax.jit, static_argnames=("steps_per_sample",))
+@functools.partial(
+    jax.jit, static_argnames=("steps_per_sample", "source"))
 def fdtd3d_block_multircv(
     x: jax.Array,       # (tracks, S)
     p: jax.Array, vx: jax.Array, vy: jax.Array, vz: jax.Array,
     rcv_flat: jax.Array,  # (tracks,) int32 flat indices into p.ravel()
     steps_per_sample: int = STEPS_PER_SAMPLE,
+    source: tuple = SOURCE,
 ):
     """Per-track-receiver variant (WebGPU parity: every track reads its
     own cell, fdtd3d.wgsl binding 18). Returns (out (tracks, S), fields')."""
     n = p.shape[0]
     boundary = _boundary_mask(n)
-    sx, sy, sz = SOURCE
+    sx, sy, sz = source
     src_per_sample = jnp.sum(x, axis=0) * jnp.float32(SOURCE_SCALE)
 
     def per_sample(carry, src_n):

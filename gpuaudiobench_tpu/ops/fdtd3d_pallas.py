@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 from gpuaudiobench_tpu.ops import fdtd3d as C
 
 PAD_N = C.GRID_N + 1  # 53: fits every staggered extent (52 or 53)
-PLANE = PAD_N * PAD_N  # 2809 lanes
+PLANE = PAD_N * PAD_N  # 2809 lanes at the reference's room 50
+
+
+def _pad_n(n: int) -> int:
+    return n + 1
 
 
 def _shift_down(a):
@@ -53,19 +57,21 @@ def _roll_lanes(a, shift):
 
 def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
                  out_ref, p_out, vx_out, vy_out, vz_out,
-                 *, buffer_size: int, steps_per_sample: int):
-    n = C.GRID_N
+                 *, buffer_size: int, steps_per_sample: int,
+                 n: int = C.GRID_N, source: tuple = C.SOURCE,
+                 receiver: tuple = C.RECEIVER):
+    pad_n = _pad_n(n)
     k1 = jnp.float32(C.DT_OVER_RHO_DX)
     k2 = jnp.float32(C.RHO_C2_DT_OVER_DX)
     absorb = jnp.float32(1.0 - C.ABSORPTION)
-    sx, sy, sz = C.SOURCE
-    rx, ry, rz = C.RECEIVER
+    sx, sy, sz = source
+    rx, ry, rz = receiver
 
-    shape = (PAD_N, PLANE)
+    shape = (pad_n, pad_n * pad_n)
     x_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    y_i = lane // PAD_N
-    z_i = lane % PAD_N
+    y_i = lane // pad_n
+    z_i = lane % pad_n
 
     valid = (x_i < n) & (y_i < n) & (z_i < n)
     edge = (
@@ -94,11 +100,11 @@ def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
     def substep(_, fields):
         p, vx, vy, vz = fields
         vx = vx - fmx * (p - _shift_down(p))  # k1 premultiplied into masks
-        vy = vy - fmy * (p - _roll_lanes(p, PAD_N))
+        vy = vy - fmy * (p - _roll_lanes(p, pad_n))
         vz = vz - fmz * (p - _roll_lanes(p, 1))
         div = (
             (_shift_up(vx) - vx)
-            + (_roll_lanes(vy, -PAD_N) - vy)
+            + (_roll_lanes(vy, -pad_n) - vy)
             + (_roll_lanes(vz, -1) - vz)
         )
         p = p * p_scale - k2m * div
@@ -123,7 +129,9 @@ def _fdtd_kernel(src_ref, p_in, vx_in, vy_in, vz_in,
 
 def _fdtd_kernel_div(src_ref, p_in, div_in,
                      out_ref, p_out, div_out,
-                     *, buffer_size: int, steps_per_sample: int):
+                     *, buffer_size: int, steps_per_sample: int,
+                     n: int = C.GRID_N, source: tuple = C.SOURCE,
+                     receiver: tuple = C.RECEIVER):
     """Divergence-form state: carry (p, div(v)) instead of
     (p, vx, vy, vz).
 
@@ -136,18 +144,18 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
     same update algebra as the field form, reassociated; equivalence-
     tested against it (tests/test_pallas_ops.py).
     """
-    n = C.GRID_N
+    pad_n = _pad_n(n)
     k1 = jnp.float32(C.DT_OVER_RHO_DX)
     k2 = jnp.float32(C.RHO_C2_DT_OVER_DX)
     absorb = jnp.float32(1.0 - C.ABSORPTION)
-    sx, sy, sz = C.SOURCE
-    rx, ry, rz = C.RECEIVER
+    sx, sy, sz = source
+    rx, ry, rz = receiver
 
-    shape = (PAD_N, PLANE)
+    shape = (pad_n, pad_n * pad_n)
     x_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    y_i = lane // PAD_N
-    z_i = lane % PAD_N
+    y_i = lane // pad_n
+    z_i = lane % pad_n
 
     valid = (x_i < n) & (y_i < n) & (z_i < n)
     edge = (
@@ -179,7 +187,7 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
 
     def substep_hom(p, div):
         s = _shift_up(p) + _shift_down(p)
-        s = s + (_roll_lanes(p, -PAD_N) + _roll_lanes(p, PAD_N))
+        s = s + (_roll_lanes(p, -pad_n) + _roll_lanes(p, pad_n))
         s = s + (_roll_lanes(p, -1) + _roll_lanes(p, 1))
         div = (div + c6 * p) - k1 * s
         p = p * p_scale - k2m * div
@@ -192,7 +200,7 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
 
     # Receiver tap: the cell index is static, so read it directly
     # instead of a full-field masked reduction per sample.
-    rcv_lane = ry * PAD_N + rz
+    rcv_lane = ry * pad_n + rz
 
     def per_sample(smp, fields):
         p, div = fields
@@ -223,18 +231,21 @@ def _fdtd_kernel_div(src_ref, p_in, div_in,
     div_out[...] = div * interior_b.astype(jnp.float32)
 
 
-def _pack(a3):
-    """(X<=53, Y<=53, Z<=53) field -> (53, 53*53) padded plane layout."""
-    padded = jnp.zeros((PAD_N, PAD_N, PAD_N), a3.dtype)
+def _pack(a3, pad_n: int = PAD_N):
+    """(X<=pad, Y<=pad, Z<=pad) field -> (pad, pad*pad) plane layout."""
+    padded = jnp.zeros((pad_n, pad_n, pad_n), a3.dtype)
     padded = jax.lax.dynamic_update_slice(padded, a3, (0, 0, 0))
-    return padded.reshape(PAD_N, PLANE)
+    return padded.reshape(pad_n, pad_n * pad_n)
 
 
-def _unpack(a2, shape):
-    return a2.reshape(PAD_N, PAD_N, PAD_N)[: shape[0], : shape[1], : shape[2]]
+def _unpack(a2, shape, pad_n: int = PAD_N):
+    return a2.reshape(pad_n, pad_n, pad_n)[
+        : shape[0], : shape[1], : shape[2]]
 
 
-@functools.partial(jax.jit, static_argnames=("steps_per_sample",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps_per_sample", "source", "receiver"))
 def fdtd3d_block_pallas(
     x: jax.Array,
     p: jax.Array,
@@ -242,30 +253,37 @@ def fdtd3d_block_pallas(
     vy: jax.Array,
     vz: jax.Array,
     steps_per_sample: int = C.STEPS_PER_SAMPLE,
+    source: tuple = C.SOURCE,
+    receiver: tuple = C.RECEIVER,
 ):
-    """Same contract as ops.fdtd3d.fdtd3d_block."""
+    """Same contract as ops.fdtd3d.fdtd3d_block; grid size rides
+    p.shape (room + 2 ghost cells)."""
     tracks, s = x.shape
+    n = p.shape[0]
+    pad_n = _pad_n(n)
     src = (jnp.sum(x, axis=0) * jnp.float32(C.SOURCE_SCALE)).reshape(1, s)
 
     kernel = functools.partial(
-        _fdtd_kernel, buffer_size=s, steps_per_sample=steps_per_sample
+        _fdtd_kernel, buffer_size=s, steps_per_sample=steps_per_sample,
+        n=n, source=source, receiver=receiver,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    plane = jax.ShapeDtypeStruct((PAD_N, PLANE), jnp.float32)
+    plane = jax.ShapeDtypeStruct((pad_n, pad_n * pad_n), jnp.float32)
     rcv, p_o, vx_o, vy_o, vz_o = pl.pallas_call(
         kernel,
         in_specs=[smem()] + [vmem() for _ in range(4)],
         out_specs=[smem()] + [vmem() for _ in range(4)],
         out_shape=[jax.ShapeDtypeStruct((1, s), x.dtype)] + [plane] * 4,
-    )(src, _pack(p), _pack(vx), _pack(vy), _pack(vz))
+    )(src, _pack(p, pad_n), _pack(vx, pad_n), _pack(vy, pad_n),
+      _pack(vz, pad_n))
     out = jnp.broadcast_to(rcv, (tracks, s))
     return (
         out,
-        _unpack(p_o, p.shape),
-        _unpack(vx_o, vx.shape),
-        _unpack(vy_o, vy.shape),
-        _unpack(vz_o, vz.shape),
+        _unpack(p_o, p.shape, pad_n),
+        _unpack(vx_o, vx.shape, pad_n),
+        _unpack(vy_o, vy.shape, pad_n),
+        _unpack(vz_o, vz.shape, pad_n),
     )
 
 
@@ -278,28 +296,37 @@ def zero_fields_div(n: int = C.GRID_N):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("steps_per_sample",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps_per_sample", "source", "receiver"))
 def fdtd3d_block_pallas_div(
     x: jax.Array,
     p: jax.Array,    # (N, N, N)
     div: jax.Array,  # (N, N, N) divergence of the velocity field
     steps_per_sample: int = C.STEPS_PER_SAMPLE,
+    source: tuple = C.SOURCE,
+    receiver: tuple = C.RECEIVER,
 ):
-    """Divergence-form block: returns (out (tracks, S), p', div')."""
+    """Divergence-form block: returns (out (tracks, S), p', div');
+    grid size rides p.shape (room + 2 ghost cells)."""
     tracks, s = x.shape
+    n = p.shape[0]
+    pad_n = _pad_n(n)
     src = (jnp.sum(x, axis=0) * jnp.float32(C.SOURCE_SCALE)).reshape(1, s)
 
     kernel = functools.partial(
-        _fdtd_kernel_div, buffer_size=s, steps_per_sample=steps_per_sample
+        _fdtd_kernel_div, buffer_size=s, steps_per_sample=steps_per_sample,
+        n=n, source=source, receiver=receiver,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    plane = jax.ShapeDtypeStruct((PAD_N, PLANE), jnp.float32)
+    plane = jax.ShapeDtypeStruct((pad_n, pad_n * pad_n), jnp.float32)
     rcv, p_o, div_o = pl.pallas_call(
         kernel,
         in_specs=[smem(), vmem(), vmem()],
         out_specs=[smem(), vmem(), vmem()],
         out_shape=[jax.ShapeDtypeStruct((1, s), x.dtype), plane, plane],
-    )(src, _pack(p), _pack(div))
+    )(src, _pack(p, pad_n), _pack(div, pad_n))
     out = jnp.broadcast_to(rcv, (tracks, s))
-    return out, _unpack(p_o, p.shape), _unpack(div_o, div.shape)
+    return (out, _unpack(p_o, p.shape, pad_n),
+            _unpack(div_o, div.shape, pad_n))

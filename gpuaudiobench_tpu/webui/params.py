@@ -208,6 +208,13 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
         ]
     if name == "FDTD3D":
         return [
+            slider(
+                "fdtdRoom", "Room Size", 10, 100, d.fdtd_room, 2,
+                "cells/axis",
+                "Room cells per axis (grid = room + 2 ghost cells; "
+                "WebGPU ParameterBuilder.js fdtdParams 10-100); "
+                "source/receiver scale at the reference fractions",
+            ),
             switch(
                 "fdtdPerTrackReceivers", "Per-Track Receivers",
                 d.fdtd_per_track_receivers,
@@ -371,6 +378,7 @@ _FIELD_MAP = {
     "minLoop": ("rndmem_min_loop", int),
     "maxLoop": ("rndmem_max_loop", int),
     "fdtdPerTrackReceivers": ("fdtd_per_track_receivers", bool),
+    "fdtdRoom": ("fdtd_room", int),
     "mesh": ("mesh", str),
     "solFmaK": ("sol_fma_k", int),
     "solVmemMiB": ("sol_vmem_mib", int),

@@ -29,7 +29,8 @@ const char* kValueFlags[] = {
     "--convEdgeMode", "--partconvForm",     "--partconvHDtype",
     "--partconvTailChunk",
     "--neuralampChannels", "--neuralampLayers", "--neuralampDtype",
-    "--poolMiB",      "--seed",             "--latenciesFile",
+    "--poolMiB",      "--fdtdRoom",         "--seed",
+    "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",
     "--dataParallel", "--modalModes",       "--pipelineDepth",
     "--saturatedReps",

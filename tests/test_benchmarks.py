@@ -120,3 +120,80 @@ def test_fdtd_source_receiver_ghost_offset():
 
     assert op.SOURCE == (26, 26, 6)
     assert op.RECEIVER == (41, 16, 26)
+
+
+def test_fdtd_room_positions_scale_and_match_reference():
+    """--fdtdRoom scales source/receiver at the reference's room
+    fractions; at room 50 they ARE the reference cells (26,26,6) /
+    (41,16,26) (bench_fdtd3d.cu indexing + ghost offset)."""
+    from gpuaudiobench_tpu.ops import fdtd3d as op
+
+    assert op.source_pos(50) == op.SOURCE
+    assert op.receiver_pos(50) == op.RECEIVER
+    assert op.grid_n(50) == op.GRID_N
+    # smaller room: positions stay interior (never in the ghost ring)
+    for room in (10, 16, 30, 100):
+        n = op.grid_n(room)
+        for c in op.source_pos(room) + op.receiver_pos(room):
+            assert 1 <= c <= n - 2, (room, c)
+
+
+def test_fdtd_room_configurable_validates(small_cfg):
+    """A non-default room runs end-to-end against its own full CPU-sim
+    golden (room 16: 18^3 grid)."""
+    cfg = small_cfg.replace(buffer_size=16, n_tracks=2, fdtd_room=16)
+    bench = create_benchmark("FDTD3D", cfg)
+    bench.setup()
+    v = bench.validate()
+    assert v.passed, v.messages[:3]
+    md = bench.metadata()
+    assert md["room"] == 16 and md["grid"] == [18, 18, 18]
+    from gpuaudiobench_tpu.ops import fdtd3d as op
+
+    assert md["source"] == list(op.source_pos(16))
+    # a different room gives a genuinely different acoustic path
+    cfg2 = small_cfg.replace(buffer_size=16, n_tracks=2, fdtd_room=24)
+    b2 = create_benchmark("FDTD3D", cfg2)
+    b2.setup()
+    assert b2.validate().passed
+    assert not np.array_equal(bench.host_output, b2.host_output)
+
+
+def test_fdtd_room_pallas_matches_xla_nondefault():
+    """The packed-plane Pallas kernel generalizes to non-default
+    grids: room 14 (16^3) field + div forms match the XLA oracle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpuaudiobench_tpu.ops import fdtd3d as op
+    from gpuaudiobench_tpu.ops.fdtd3d_pallas import (
+        fdtd3d_block_pallas,
+        fdtd3d_block_pallas_div,
+        zero_fields_div,
+    )
+
+    room = 14
+    n = op.grid_n(room)
+    src = op.source_pos(room)
+    rcv = op.receiver_pos(room)
+    rng = np.random.default_rng(3)
+    x = (rng.random((2, 8), dtype=np.float32) * 2 - 1).astype(np.float32)
+    ref, rp, *_ = op.fdtd3d_block(
+        x, *op.zero_fields(n), source=src, receiver=rcv)
+    with pltpu.force_tpu_interpret_mode():
+        out, op_, *_ = fdtd3d_block_pallas(
+            x, *op.zero_fields(n), source=src, receiver=rcv)
+        outd, pd, _ = fdtd3d_block_pallas_div(
+            x, *zero_fields_div(n), source=src, receiver=rcv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(op_), np.asarray(rp), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outd), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(rp), atol=1e-5)
+
+
+def test_fdtd_room_config_validation():
+    from gpuaudiobench_tpu.config import BenchConfig
+
+    with pytest.raises(ValueError, match="fdtd_room"):
+        BenchConfig(fdtd_room=4).validate()
+    with pytest.raises(ValueError, match="fdtd_room"):
+        BenchConfig(fdtd_room=200).validate()

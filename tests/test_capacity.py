@@ -83,8 +83,7 @@ def test_quantize():
 def test_knob_map():
     assert knob_for("ModalFilterBank")[0] == "modal_num_modes"
     assert knob_for("gain")[0] == "n_tracks"
-    with pytest.raises(SystemExit):
-        knob_for("FDTD3D")
+    assert knob_for("FDTD3D")[0] == "fdtd_room"  # --fdtdRoom load axis
     with pytest.raises(SystemExit):
         knob_for("SOL_VPU")
     with pytest.raises(SystemExit):

@@ -35,8 +35,7 @@ import json
 import sys
 
 # benchmark -> (BenchConfig field, lo, hi, quantum). Everything not
-# listed scales on the track axis. FDTD3D is excluded: its workload is
-# the fixed 52^3 grid (bench_fdtd3d.cuh:12-38), not the track count.
+# listed scales on the track axis.
 KNOBS = {
     "ModalFilterBank": ("modal_num_modes", 1024, 1 << 24, 1024),
     # FDL + IR spectra are ~0.77 MB/track at the 1 s default IR
@@ -47,9 +46,14 @@ KNOBS = {
     # the search must be able to cross it; past the hi an allocation
     # failure would masquerade as a deadline miss.
     "PartConv": ("n_tracks", 128, 12288, 128),
+    # FDTD3D's load axis is the room, not the track count (one shared
+    # acoustic field; --fdtdRoom, grid = room + 2). hi = 112 keeps the
+    # two packed VMEM field planes + temps inside v5e VMEM so an
+    # allocation failure cannot masquerade as a deadline miss.
+    "FDTD3D": ("fdtd_room", 16, 112, 2),
 }
 TRACK_KNOB = ("n_tracks", 128, 1 << 16, 128)
-EXCLUDED = ("FDTD3D", "NoOp", "SOL_", "datacopy")
+EXCLUDED = ("NoOp", "SOL_", "datacopy")
 
 
 def quantize(v: int, quantum: int, lo: int) -> int:
@@ -104,9 +108,9 @@ def search_capacity(evaluate, lo, hi, quantum, max_evals):
 def knob_for(benchmark: str):
     if any(benchmark.startswith(p) for p in EXCLUDED):
         raise SystemExit(
-            f"{benchmark}: no capacity knob (FDTD's workload is the fixed "
-            "grid; NoOp/speedoflight measure overhead, not load; datacopy* "
-            "are round-trip transfer benchmarks with no saturated tier)")
+            f"{benchmark}: no capacity knob (NoOp/speedoflight measure "
+            "overhead, not load; datacopy* are round-trip transfer "
+            "benchmarks with no saturated tier)")
     return KNOBS.get(benchmark, TRACK_KNOB)
 
 
