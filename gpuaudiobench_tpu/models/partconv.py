@@ -124,9 +124,13 @@ class PartConvBenchmark(StandardBufferBenchmark):
             block = make_partconv_block_nupols(b, k, m)
             self._block = lambda x, state, h: block(x, state, *h)
             state_np = nupols_init_state(t, b, k, m)
+            # blk (the only 0-dim leaf) stays a host scalar: an
+            # uncommitted operand is replicated under dp sharding,
+            # where a device_put would pin it to one device and
+            # conflict with the sharded leaves (the shift form's head
+            # scalar works the same way).
             self._state = jax.tree_util.tree_map(
-                lambda a: (self._put_state(a)
-                           if a.ndim else dev.to_device(a)), state_np)
+                lambda a: self._put_state(a) if a.ndim else a, state_np)
             fdl_bytes = 2 * state_np[6].nbytes  # tail FDL planes
         else:
             h_re, h_im = partition_spectra(

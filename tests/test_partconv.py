@@ -331,3 +331,18 @@ def test_nupols_mac_groups_cover_every_slot():
             for lo, hi in _mac_groups(m, k):
                 got.extend(range(lo, hi))
             assert got == list(range(1, m)), (m, k)
+
+
+def test_nupols_data_parallel_matches_single_device():
+    single = _bench(n_tracks=8, buffer_size=32, ir_length=600,
+                    partconv_form="nupols", partconv_tail_chunk=4)
+    for _ in range(6):
+        single.iterate()
+    sharded = _bench(n_tracks=8, buffer_size=32, ir_length=600,
+                     partconv_form="nupols", partconv_tail_chunk=4,
+                     data_parallel=8)
+    for _ in range(6):
+        sharded.iterate()
+    np.testing.assert_allclose(
+        single.host_output, sharded.host_output, rtol=0, atol=1e-6)
+    assert sharded.validate().passed
