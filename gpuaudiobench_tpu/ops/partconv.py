@@ -53,17 +53,19 @@ form keeps the first K*B taps in a K-slot uniform head (exactly the
 shift form above) and splits the tail into partitions of K*B taps
 processed at chunk granularity: one rfft(2KB) per K blocks, the tail
 MAC SPREAD across the K blocks of each window (a carried
-partial-spectrum accumulator; slots are statically group-assigned to
-block phases via lax.switch, so every read is a static slice), and
-one irfft(2KB) per window whose KB-sample result is served B at a
-time. Amortized tail traffic: each tail slot is read once per K
-blocks instead of every block -- a ~K-fold cut on the tail, which
-dominates for long IRs. Per-block cost stays near-uniform by
-construction (the MAC is spread); the window-boundary block adds the
-two 2KB FFTs and the newest slot's MAC term. Head size K*B is exactly
-the causality bound: the tail's first partition sits at tap offset
-K*B, so the chunk completing at block wK-1 is first needed for output
-block wK -- its spectrum (the m=0 term) is computed AT the boundary
+partial-spectrum accumulator; each block phase reads its L-slot share
+of the doubled ring FDL as one contiguous dynamic_slice), and one
+irfft(2KB) per window whose KB-sample result is served B at a time.
+Amortized tail traffic: each tail slot is read once per K blocks
+instead of every block -- a ~K-fold cut on the tail, which dominates
+for long IRs. Per-block cost is near-uniform BY CONSTRUCTION: there
+is no conditional on any large array (the window FFTs run every block
+and cost microseconds; only small-array state updates are gated by
+select) -- see make_partconv_block_nupols for why the first design's
+lax.cond was measured and removed. Head size K*B is exactly the
+causality bound: the tail's first partition sits at tap offset K*B,
+so the chunk completing at block wK-1 is first needed for output
+block wK -- its spectrum (the m=0 term) folds in AT the boundary
 block, while every older slot (m >= 1) has a full window and is
 spread. The scheme is the SAME linear filter -- the fold-algebra
 golden and the shift-form oracle validate it unchanged.
@@ -207,134 +209,167 @@ def nupols_tail_partitions(ir_length: int, block_size: int,
 def nupols_spectra(ir: jax.Array, block_size: int, k: int):
     """(T, L) IRs -> (head, tail) partition spectra for the nupols
     form: head = exactly K partitions of B taps ((T, K, B+1) planes,
-    zero-padded H past L), tail = M partitions of K*B taps
-    ((T, M, K*B+1) planes). Requires L > K*B (else use the shift
-    form; nupols_tail_partitions == 0 says so)."""
+    zero-padded H past L), tail = M partitions of K*B taps padded to
+    1 + K*nupols_group_len entries ((T, 1+K*L, K*B+1) planes; the pad
+    is zero so every spread-MAC phase reads a static window length).
+    Requires L > K*B (else use the shift form;
+    nupols_tail_partitions == 0 says so)."""
     t, l = ir.shape
     head_taps = k * block_size
     head_ir = jnp.zeros((t, head_taps), jnp.float32)
     head_ir = head_ir.at[:, : min(l, head_taps)].set(
         ir[:, :head_taps].astype(jnp.float32))
     head = partition_spectra(head_ir, block_size)
-    tail = partition_spectra(
+    t_re, t_im = partition_spectra(
         ir[:, head_taps:].astype(jnp.float32), head_taps)
-    return head, tail
+    # Pad the tail H to 1 + K*L entries (zeros past M) so every block
+    # phase of the spread MAC reads the same static window length and
+    # out-of-history reads contribute exactly zero.
+    mm = t_re.shape[1]
+    want = 1 + k * nupols_group_len(mm, k)
+    if want > mm:
+        pad = jnp.zeros((t, want - mm, t_re.shape[2]), jnp.float32)
+        t_re = jnp.concatenate([t_re, pad], axis=1)
+        t_im = jnp.concatenate([t_im, pad], axis=1)
+    return head, (t_re, t_im)
 
 
-def _mac_groups(m: int, k: int):
-    """Statically split tail slots 1..m-1 into k contiguous groups
-    (block phase -> slot range), sizes as even as integers allow."""
-    slots = list(range(1, m))
-    bounds, acc = [], 0
-    for g in range(k):
-        n = len(slots) // k + (1 if g < len(slots) % k else 0)
-        bounds.append((1 + acc, 1 + acc + n))
-        acc += n
-    return bounds
+def nupols_group_len(m: int, k: int) -> int:
+    """Per-block share of the m >= 1 tail slots: the spread MAC reads
+    L = ceil((M-1)/K) slots per block (tail spectra padded with zero
+    H entries so every phase reads the same static length)."""
+    return max(1, -(-(m - 1) // k))
 
 
 def make_partconv_block_nupols(block_size: int, k: int, m: int):
     """Build the jitted nupols block for static (B, K, M).
 
-    State pytree (all float32 except blk):
-      prev        (T, B)      previous input block (head overlap-save)
-      hfdl_re/im  (T, K, B+1) head FDL (shift form)
-      blk         int32       block phase in [0, K)
-      chunk_full  (T, K*B)    the PREVIOUS completed input chunk
-      chunk_fill  (T, K*B)    the chunk being accumulated this window
-      tfdl_re/im  (T, M, KB+1) tail FDL of chunk spectra, newest first
-      acc_re/im   (T, KB+1)   spread partial MAC for the NEXT window
-      tail_out    (T, K*B)    tail time-domain output, current window
+    Schedule (second design; the first routed the tail FDL through a
+    window-boundary lax.cond whose outputs XLA does not alias -- a
+    measured full-plane copy per block (0.461 vs shift's 0.174 ms at
+    the default IR) and a doubled HBM footprint. This form has NO
+    conditional on large arrays):
+
+    * the window FFTs run UNCONDITIONALLY every block -- rfft/irfft of
+      (T, 2KB) cost microseconds of VPU time; only their USE is gated
+      by `select` on small arrays (spectra, chunk buffers, tail_out);
+    * the tail FDL is a doubled, index-negated RING
+      (G[j] = ring slot (-j) mod M, j = 0..2M-1; one gated one-slot
+      write per plane, duplicated at j and j+M) so the per-phase MAC
+      share -- slots for m in [1 + blk*L, 1 + (blk+1)*L) -- is ONE
+      contiguous dynamic_slice window of L = nupols_group_len slots,
+      paired with the matching (small, dynamic) H window; tail H is
+      padded with zero entries past M so every phase reads the same
+      static length and padded reads contribute exactly zero.
+
+    State pytree (float32 except the two int32 scalars):
+      prev        (T, B)       previous input block (head overlap-save)
+      hfdl_re/im  (T, K, B+1)  head FDL (shift form)
+      blk         int32        block phase in [0, K)
+      latest      int32        ring slot of the newest chunk spectrum
+      chunk_full  (T, K*B)     the PREVIOUS completed input chunk
+      chunk_fill  (T, K*B)     the chunk being accumulated this window
+      g_re/g_im   (T, 2M, KB+1) doubled index-negated tail FDL
+      acc_re/im   (T, KB+1)    spread partial MAC for the NEXT window
+      tail_out    (T, K*B)     tail time-domain output, current window
 
     Returns block_fn(x, state, hh_re, hh_im, ht_re, ht_im) ->
-    (y, state'). Module docstring has the schedule derivation; the
-    fold-algebra golden and test_nupols_equals_shift_form pin it.
+    (y, state'); ht planes must carry 1 + K*L entries
+    (nupols_spectra pads). Module docstring has the alignment
+    derivation; the fold-algebra golden and
+    test_nupols_equals_shift_form pin it.
     """
     kb = k * block_size
-    groups = _mac_groups(m, k)
-
-    def _group_branch(lo, hi):
-        def branch(tfdl_re, tfdl_im, ht_re, ht_im):
-            if lo >= hi:
-                t = tfdl_re.shape[0]
-                z = jnp.zeros((t, kb + 1), jnp.float32)
-                return z, z
-            fr = tfdl_re[:, lo - 1: hi - 1]
-            fi = tfdl_im[:, lo - 1: hi - 1]
-            hr = ht_re[:, lo:hi].astype(jnp.float32)
-            hi_ = ht_im[:, lo:hi].astype(jnp.float32)
-            return (jnp.sum(fr * hr - fi * hi_, axis=1),
-                    jnp.sum(fr * hi_ + fi * hr, axis=1))
-        return branch
-
-    branches = [_group_branch(lo, hi) for lo, hi in groups]
+    ell = nupols_group_len(m, k)
 
     @jax.jit
     def block_fn(x, state, hh_re, hh_im, ht_re, ht_im):
-        (prev, hfdl_re, hfdl_im, blk, chunk_full, chunk_fill,
-         tfdl_re, tfdl_im, acc_re, acc_im, tail_out) = state
+        (prev, hfdl_re, hfdl_im, blk, latest, chunk_full, chunk_fill,
+         g_re, g_im, acc_re, acc_im, tail_out) = state
         b = block_size
+        fire = blk == 0
 
         # Head: the uniform shift form over the first K partitions.
         y_head, hfdl_re, hfdl_im = partconv_block(
             x, prev, hfdl_re, hfdl_im, hh_re, hh_im)
 
-        # Window boundary (blk == 0): the chunk filled last window is
-        # complete. Compute its spectrum, push it into the tail FDL,
-        # finish the spread MAC with the newest (m=0) term, and emit
-        # this window's tail output.
-        def fire(ops):
-            (chunk_full, chunk_fill, tfdl_re, tfdl_im,
-             acc_re, acc_im, tail_out) = ops
-            seg = jnp.concatenate([chunk_full, chunk_fill], axis=1)
-            spec = jnp.fft.rfft(seg, axis=1)
-            sre = spec.real.astype(jnp.float32)
-            sim = spec.imag.astype(jnp.float32)
-            tfdl_re = jnp.concatenate(
-                [sre[:, None], tfdl_re[:, :-1]], axis=1)
-            tfdl_im = jnp.concatenate(
-                [sim[:, None], tfdl_im[:, :-1]], axis=1)
-            h0r = ht_re[:, 0].astype(jnp.float32)
-            h0i = ht_im[:, 0].astype(jnp.float32)
-            y_re = acc_re + sre * h0r - sim * h0i
-            y_im = acc_im + sre * h0i + sim * h0r
-            tail_out = jnp.fft.irfft(
-                jax.lax.complex(y_re, y_im), 2 * kb, axis=1
-            )[:, kb:].astype(jnp.float32)
-            zero = jnp.zeros_like(acc_re)
-            return (chunk_fill, jnp.zeros_like(chunk_fill),
-                    tfdl_re, tfdl_im, zero, zero, tail_out)
+        # Window spectrum, computed every block (cheap), used on fire:
+        # at block wK the chunk filled last window is complete, so
+        # seg = [X_{w-2}, X_{w-1}] and S = S^T_{w-1}.
+        seg = jnp.concatenate([chunk_full, chunk_fill], axis=1)
+        spec = jnp.fft.rfft(seg, axis=1)
+        sre = spec.real.astype(jnp.float32)
+        sim = spec.imag.astype(jnp.float32)
 
-        ops = (chunk_full, chunk_fill, tfdl_re, tfdl_im,
-               acc_re, acc_im, tail_out)
-        (chunk_full, chunk_fill, tfdl_re, tfdl_im,
-         acc_re, acc_im, tail_out) = jax.lax.cond(
-            blk == 0, fire, lambda o: o, ops)
+        # Ring write: on fire, advance the slot and store S at G index
+        # (-slot) mod M and its +M twin; otherwise write back what is
+        # there (a one-slot no-op, never a full-plane move).
+        latest = jax.lax.rem(latest + fire.astype(jnp.int32), m)
+        j_w = jax.lax.rem(m - latest, m)  # (-latest) mod m in [0, m)
+        old_re = jax.lax.dynamic_slice_in_dim(g_re, j_w, 1, axis=1)
+        old_im = jax.lax.dynamic_slice_in_dim(g_im, j_w, 1, axis=1)
+        put_re = jnp.where(fire, sre[:, None], old_re)
+        put_im = jnp.where(fire, sim[:, None], old_im)
+        for j in (j_w, j_w + m):
+            g_re = jax.lax.dynamic_update_slice_in_dim(
+                g_re, put_re, j, axis=1)
+            g_im = jax.lax.dynamic_update_slice_in_dim(
+                g_im, put_im, j, axis=1)
 
-        # Spread MAC: this block's statically-assigned share of the
-        # m >= 1 tail slots accumulates toward the NEXT window.
-        pr, pi = jax.lax.switch(
-            blk, branches, tfdl_re, tfdl_im, ht_re, ht_im)
-        acc_re = acc_re + pr
-        acc_im = acc_im + pi
+        # Window output: finish last window's spread MAC with the
+        # newest (m=0) term and inverse-transform; gated into tail_out
+        # on fire.
+        h0r = ht_re[:, 0].astype(jnp.float32)
+        h0i = ht_im[:, 0].astype(jnp.float32)
+        y_re = acc_re + sre * h0r - sim * h0i
+        y_im = acc_im + sre * h0i + sim * h0r
+        t_new = jnp.fft.irfft(
+            jax.lax.complex(y_re, y_im), 2 * kb, axis=1
+        )[:, kb:].astype(jnp.float32)
+        tail_out = jnp.where(fire, t_new, tail_out)
+        zero = jnp.zeros_like(acc_re)
+        acc_re = jnp.where(fire, zero, acc_re)
+        acc_im = jnp.where(fire, zero, acc_im)
 
-        # Serve this block's slice of the tail output and accumulate
-        # the input into the filling chunk.
+        # Spread MAC: this phase's L-slot share of the m >= 1 slots,
+        # toward the NEXT window. m in [m_lo, m_lo + L) needs ring
+        # slots (latest - (m-1)) mod M = G indices
+        # (m - 1 - latest) mod M ascending -> one contiguous window
+        # starting at (m_lo - 1 - latest) mod M; H entries past M are
+        # zero-padded so out-of-history reads contribute nothing.
+        m_lo = 1 + blk * ell
+        j0 = jax.lax.rem(m_lo - 1 - latest + 2 * m, m)
+        gw_re = jax.lax.dynamic_slice_in_dim(g_re, j0, ell, axis=1)
+        gw_im = jax.lax.dynamic_slice_in_dim(g_im, j0, ell, axis=1)
+        hw_re = jax.lax.dynamic_slice_in_dim(
+            ht_re, m_lo, ell, axis=1).astype(jnp.float32)
+        hw_im = jax.lax.dynamic_slice_in_dim(
+            ht_im, m_lo, ell, axis=1).astype(jnp.float32)
+        acc_re = acc_re + jnp.sum(gw_re * hw_re - gw_im * hw_im, axis=1)
+        acc_im = acc_im + jnp.sum(gw_re * hw_im + gw_im * hw_re, axis=1)
+
+        # Serve this block's slice of the tail output; rotate and
+        # refill the chunk buffers (small selects).
         y = y_head + jax.lax.dynamic_slice_in_dim(
             tail_out, blk * b, b, axis=1)
+        chunk_full = jnp.where(fire, chunk_fill, chunk_full)
+        chunk_fill = jnp.where(fire, jnp.zeros_like(chunk_fill),
+                               chunk_fill)
         chunk_fill = jax.lax.dynamic_update_slice_in_dim(
             chunk_fill, x, blk * b, axis=1)
-        blk = (blk + 1) % k
+        blk = jax.lax.rem(blk + 1, k)
 
-        return y, (x, hfdl_re, hfdl_im, blk, chunk_full, chunk_fill,
-                   tfdl_re, tfdl_im, acc_re, acc_im, tail_out)
+        return y, (x, hfdl_re, hfdl_im, blk, latest, chunk_full,
+                   chunk_fill, g_re, g_im, acc_re, acc_im, tail_out)
 
     return block_fn
 
 
 def nupols_init_state(tracks: int, block_size: int, k: int, m: int):
     """Zero state pytree for make_partconv_block_nupols (host-side
-    numpy; callers device_put the leaves)."""
+    numpy; callers device_put the leaves). The ring starts at slot
+    m-1 so the first fire advances it to slot 0 (all-zero history
+    reads are harmless either way)."""
     import numpy as np
 
     kb = k * block_size
@@ -343,10 +378,11 @@ def nupols_init_state(tracks: int, block_size: int, k: int, m: int):
             z((tracks, k, block_size + 1), np.float32),
             z((tracks, k, block_size + 1), np.float32),
             np.int32(0),
+            np.int32(m - 1),
             z((tracks, kb), np.float32),
             z((tracks, kb), np.float32),
-            z((tracks, m, kb + 1), np.float32),
-            z((tracks, m, kb + 1), np.float32),
+            z((tracks, 2 * m, kb + 1), np.float32),
+            z((tracks, 2 * m, kb + 1), np.float32),
             z((tracks, kb + 1), np.float32),
             z((tracks, kb + 1), np.float32),
             z((tracks, kb), np.float32))

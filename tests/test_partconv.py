@@ -263,7 +263,12 @@ def test_nupols_equals_shift_form():
     # nupols under test.
     (hh_re, hh_im), (ht_re, ht_im) = nupols_spectra(jnp.asarray(ir), b, k)
     assert hh_re.shape == (t, k, b + 1)
-    assert ht_re.shape == (t, m, k * b + 1)
+    # tail H is padded to 1 + K*L entries (static spread-MAC windows)
+    from gpuaudiobench_tpu.ops.partconv import nupols_group_len
+
+    ell = nupols_group_len(m, k)
+    assert ht_re.shape == (t, 1 + k * ell, k * b + 1)
+    assert np.all(np.asarray(ht_re)[:, m:] == 0)
     block = make_partconv_block_nupols(b, k, m)
     state = tuple(jnp.asarray(a) for a in nupols_init_state(t, b, k, m))
 
@@ -320,17 +325,20 @@ def test_nupols_config_validation():
         BenchConfig(partconv_form="gardner").validate()
 
 
-def test_nupols_mac_groups_cover_every_slot():
-    """The spread-MAC group assignment must cover slots 1..M-1 exactly
-    once regardless of how K divides M."""
-    from gpuaudiobench_tpu.ops.partconv import _mac_groups
+def test_nupols_phase_windows_cover_every_slot():
+    """The spread-MAC phase windows [1 + g*L, 1 + (g+1)*L) must cover
+    slots 1..M-1, with everything past M hitting zero-padded H."""
+    from gpuaudiobench_tpu.ops.partconv import nupols_group_len
 
-    for m in (1, 2, 5, 11, 16, 33):
-        for k in (2, 4, 8):
+    for m in (1, 2, 5, 11, 16, 33, 58):
+        for k in (2, 4, 8, 16):
+            ell = nupols_group_len(m, k)
             got = []
-            for lo, hi in _mac_groups(m, k):
-                got.extend(range(lo, hi))
-            assert got == list(range(1, m)), (m, k)
+            for g in range(k):
+                got.extend(range(1 + g * ell, 1 + (g + 1) * ell))
+            assert got[0] == 1 and len(got) == k * ell
+            assert set(range(1, m)) <= set(got), (m, k)
+            assert max(got) < 1 + k * ell  # inside the padded H
 
 
 def test_nupols_data_parallel_matches_single_device():
