@@ -46,6 +46,45 @@ run_step cap_fdtd 9000 python tools/capacity.py \
   --benchmark FDTD3D --maxEvals 10 \
   --verification none --confirmVerification spot \
   --json "$LOG/cap_fdtd.json"
+
+# 3. nupols v2 A/B (the cond-free redesign): the four regimes v1 was
+# measured in -- default IR at 128/2048 tracks (v1: 0.461 / 8.87 sat
+# vs shift 0.174 / 6.73), 10 s IR at 128 tracks K=8/K=16 (v1: 1.468 /
+# 1.203 vs shift 4.137), and the 1024-track 10 s case v1 OOM'd at
+# 16.3 GB (v2's single-buffered ring should fit at ~8 GB).
+run_step nupols2_128 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --partconvForm nupols \
+  --nRuns 5 --warmup 2 --pipelineDepth 256 --verification spot \
+  --outputfile "$LOG/nupols2_128.csv"
+run_step nupols2_2048 1800 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --partconvForm nupols --nTracks 2048 \
+  --nRuns 3 --warmup 2 --pipelineDepth 64 --verification spot \
+  --outputfile "$LOG/nupols2_2048.csv"
+run_step nupols2_longir_128 2400 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --partconvForm nupols --irLength 480000 \
+  --nRuns 3 --warmup 2 --pipelineDepth 64 --verification spot \
+  --outputfile "$LOG/nupols2_longir_128.csv"
+run_step nupols2_longir16_128 2400 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --partconvForm nupols --partconvTailChunk 16 \
+  --irLength 480000 \
+  --nRuns 3 --warmup 2 --pipelineDepth 64 --verification spot \
+  --outputfile "$LOG/nupols2_longir16_128.csv"
+run_step nupols2_longir_1024 3600 python -m gpuaudiobench_tpu.cli \
+  --benchmark PartConv --partconvForm nupols --partconvTailChunk 16 \
+  --irLength 480000 --nTracks 1024 \
+  --nRuns 3 --warmup 2 --pipelineDepth 16 --verification spot \
+  --outputfile "$LOG/nupols2_longir_1024.csv"
+grep -hE "Saturated|Device M|Validation" "$LOG"/nupols2_*.log \
+  2>/dev/null | tee -a "$LOG/summary.log" || true
+
+# 4. nupols v2 track capacity at the default IR + 120 s soak.
+run_step cap_nupols2 7200 python tools/capacity.py \
+  --benchmark PartConv --set partconv_form=nupols \
+  --lo 512 --hi 8192 --quantum 512 --maxEvals 8 \
+  --json "$LOG/cap_nupols2.json"
+run_step soak_nupols1024 2400 python tools/soak.py 120 \
+  "$LOG/soak_nupols1024.md" PartConv 1024 --set partconv_form=nupols
+
 grep -h "RESULT" "$LOG"/cap_*.log 2>/dev/null \
   | tee -a "$LOG/summary.log" || true
 
