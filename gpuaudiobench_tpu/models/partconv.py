@@ -131,8 +131,8 @@ class PartConvBenchmark(StandardBufferBenchmark):
             # scalar works the same way).
             self._state = jax.tree_util.tree_map(
                 lambda a: self._put_state(a) if a.ndim else a, state_np)
-            fdl_bytes = (state_np[7].nbytes
-                         + state_np[8].nbytes)  # doubled tail ring
+            fdl_bytes = (state_np[9].nbytes
+                         + state_np[10].nbytes)  # doubled tail ring
         else:
             h_re, h_im = partition_spectra(
                 dev.to_device(self.ir), self.buffer_size)

@@ -267,11 +267,18 @@ def make_partconv_block_nupols(block_size: int, k: int, m: int):
       hfdl_re/im  (T, K, B+1)  head FDL (shift form)
       blk         int32        block phase in [0, K)
       latest      int32        ring slot of the newest chunk spectrum
+      last_re/im  (T, KB+1)    the newest chunk spectrum itself
       chunk_full  (T, K*B)     the PREVIOUS completed input chunk
       chunk_fill  (T, K*B)     the chunk being accumulated this window
       g_re/g_im   (T, 2M, KB+1) doubled index-negated tail FDL
       acc_re/im   (T, KB+1)    spread partial MAC for the NEXT window
       tail_out    (T, K*B)     tail time-domain output, current window
+
+    The ring write never READS G: the newest spectrum rides the carry
+    (last_re/im) and is re-written into its (fire-gated-stationary)
+    slot every block -- idempotent on non-fire blocks -- because a
+    read-modify-write of the carried G measured as a full-plane copy
+    per block in the chained scan (XLA would not alias the buffer).
 
     Returns block_fn(x, state, hh_re, hh_im, ht_re, ht_im) ->
     (y, state'); ht planes must carry 1 + K*L entries
@@ -284,7 +291,8 @@ def make_partconv_block_nupols(block_size: int, k: int, m: int):
 
     @jax.jit
     def block_fn(x, state, hh_re, hh_im, ht_re, ht_im):
-        (prev, hfdl_re, hfdl_im, blk, latest, chunk_full, chunk_fill,
+        (prev, hfdl_re, hfdl_im, blk, latest, last_re, last_im,
+         chunk_full, chunk_fill,
          g_re, g_im, acc_re, acc_im, tail_out) = state
         b = block_size
         fire = blk == 0
@@ -301,28 +309,29 @@ def make_partconv_block_nupols(block_size: int, k: int, m: int):
         sre = spec.real.astype(jnp.float32)
         sim = spec.imag.astype(jnp.float32)
 
-        # Ring write: on fire, advance the slot and store S at G index
-        # (-slot) mod M and its +M twin; otherwise write back what is
-        # there (a one-slot no-op, never a full-plane move).
+        # Ring write: on fire, advance the slot and take the new
+        # spectrum into the carried last_re/im; EVERY block re-writes
+        # last into its slot at G index (-latest) mod M and the +M
+        # twin -- idempotent on non-fire blocks (same value, same
+        # slot), and crucially G is never read before being written,
+        # so the DUS can update the carried buffer in place.
         latest = jax.lax.rem(latest + fire.astype(jnp.int32), m)
+        last_re = jnp.where(fire, sre, last_re)
+        last_im = jnp.where(fire, sim, last_im)
         j_w = jax.lax.rem(m - latest, m)  # (-latest) mod m in [0, m)
-        old_re = jax.lax.dynamic_slice_in_dim(g_re, j_w, 1, axis=1)
-        old_im = jax.lax.dynamic_slice_in_dim(g_im, j_w, 1, axis=1)
-        put_re = jnp.where(fire, sre[:, None], old_re)
-        put_im = jnp.where(fire, sim[:, None], old_im)
         for j in (j_w, j_w + m):
             g_re = jax.lax.dynamic_update_slice_in_dim(
-                g_re, put_re, j, axis=1)
+                g_re, last_re[:, None], j, axis=1)
             g_im = jax.lax.dynamic_update_slice_in_dim(
-                g_im, put_im, j, axis=1)
+                g_im, last_im[:, None], j, axis=1)
 
         # Window output: finish last window's spread MAC with the
         # newest (m=0) term and inverse-transform; gated into tail_out
         # on fire.
         h0r = ht_re[:, 0].astype(jnp.float32)
         h0i = ht_im[:, 0].astype(jnp.float32)
-        y_re = acc_re + sre * h0r - sim * h0i
-        y_im = acc_im + sre * h0i + sim * h0r
+        y_re = acc_re + last_re * h0r - last_im * h0i
+        y_im = acc_im + last_re * h0i + last_im * h0r
         t_new = jnp.fft.irfft(
             jax.lax.complex(y_re, y_im), 2 * kb, axis=1
         )[:, kb:].astype(jnp.float32)
@@ -359,8 +368,9 @@ def make_partconv_block_nupols(block_size: int, k: int, m: int):
             chunk_fill, x, blk * b, axis=1)
         blk = jax.lax.rem(blk + 1, k)
 
-        return y, (x, hfdl_re, hfdl_im, blk, latest, chunk_full,
-                   chunk_fill, g_re, g_im, acc_re, acc_im, tail_out)
+        return y, (x, hfdl_re, hfdl_im, blk, latest, last_re, last_im,
+                   chunk_full, chunk_fill, g_re, g_im, acc_re, acc_im,
+                   tail_out)
 
     return block_fn
 
@@ -379,6 +389,8 @@ def nupols_init_state(tracks: int, block_size: int, k: int, m: int):
             z((tracks, k, block_size + 1), np.float32),
             np.int32(0),
             np.int32(m - 1),
+            z((tracks, kb + 1), np.float32),
+            z((tracks, kb + 1), np.float32),
             z((tracks, kb), np.float32),
             z((tracks, kb), np.float32),
             z((tracks, 2 * m, kb + 1), np.float32),
