@@ -77,6 +77,15 @@ run_step nupols2_longir_1024 3600 python -m gpuaudiobench_tpu.cli \
 grep -hE "Saturated|Device M|Validation" "$LOG"/nupols2_*.log \
   2>/dev/null | tee -a "$LOG/summary.log" || true
 
+# 3c. IR-length capacity under v2.1 (the v2 search in chip_queue4 ran
+# with the whole-G copy and topped out near the uniform form; the
+# read-free ring should push well past it).
+run_step cap_irlen_nupols2 7200 python tools/capacity.py \
+  --benchmark PartConv --knob ir_length \
+  --set partconv_form=nupols --set partconv_tail_chunk=16 \
+  --lo 48000 --hi 5760000 --quantum 48000 --maxEvals 10 \
+  --json "$LOG/cap_irlen_nupols2.json"
+
 # 4. nupols v2 track capacity at the default IR + 120 s soak.
 run_step cap_nupols2 7200 python tools/capacity.py \
   --benchmark PartConv --set partconv_form=nupols \
