@@ -40,6 +40,25 @@ def _pad_n(n: int) -> int:
     return n + 1
 
 
+def _vmem_limit_bytes(pad_n: int, working_planes: int) -> int:
+    """Mosaic scoped-VMEM budget for a kernel whose working set is
+    ~`working_planes` (pad, pad*pad) f32 planes (carried fields +
+    stencil temporaries).
+
+    Mosaic's default scoped-VMEM limit is 16 MiB; v5e has 128 MiB of
+    VMEM. At the reference room (50^3, 595 KiB planes) the default is
+    ample, but the --fdtdRoom knob (WebGPU ParameterBuilder fdtdParams,
+    10-100) scales planes cubically: room 80 was measured needing
+    19.9 MiB and failing compile at the default. Request the measured
+    working set plus ~35% headroom, clamped to just under the physical
+    VMEM so oversized rooms still fail with a clear compiler error
+    rather than silently thrashing.
+    """
+    plane = pad_n * pad_n * pad_n * 4  # (pad, pad*pad) f32
+    want = working_planes * plane + (4 << 20)
+    return max(16 << 20, min(127 << 20, want))
+
+
 def _shift_down(a):
     """rows: out[k] = a[k-1], zero row at k=0 (x-1 shift)."""
     return jnp.concatenate([jnp.zeros((1, a.shape[1]), a.dtype), a[:-1]], axis=0)
@@ -275,6 +294,10 @@ def fdtd3d_block_pallas(
         in_specs=[smem()] + [vmem() for _ in range(4)],
         out_specs=[smem()] + [vmem() for _ in range(4)],
         out_shape=[jax.ShapeDtypeStruct((1, s), x.dtype)] + [plane] * 4,
+        # 4 carried fields + in/out copies + stencil temps; the div
+        # form measured ~9 planes, this one carries 2 more fields.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes(pad_n, 18)),
     )(src, _pack(p, pad_n), _pack(vx, pad_n), _pack(vy, pad_n),
       _pack(vz, pad_n))
     out = jnp.broadcast_to(rcv, (tracks, s))
@@ -326,6 +349,10 @@ def fdtd3d_block_pallas_div(
         in_specs=[smem(), vmem(), vmem()],
         out_specs=[smem(), vmem(), vmem()],
         out_shape=[jax.ShapeDtypeStruct((1, s), x.dtype), plane, plane],
+        # Measured working set at room 80: 19.9 MiB = ~8.7 planes
+        # (2 carried fields + in/out + substep temporaries).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes(pad_n, 12)),
     )(src, _pack(p, pad_n), _pack(div, pad_n))
     out = jnp.broadcast_to(rcv, (tracks, s))
     return (out, _unpack(p_o, p.shape, pad_n),
