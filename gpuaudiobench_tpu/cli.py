@@ -68,9 +68,9 @@ def print_help() -> None:
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
     print("  --fdtdPerTrackReceivers  FDTD3D: one receiver cell per track")
+    print("                           (WebGPU parity; default: broadcast)")
     print("  --fdtdRoom [n]           FDTD3D room cells per axis "
           "(default 50; grid = n+2)")
-    print("                           (WebGPU parity; default: broadcast)")
     print("  --dwgMinLen/--dwgMaxLen [n]  DWG delay-line length range")
     print("                           (CUDA default 100-2000; Metal used 64-1024)")
     print("  --modalModes [n]         ModalFilterBank mode count")

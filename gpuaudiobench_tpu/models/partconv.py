@@ -124,15 +124,18 @@ class PartConvBenchmark(StandardBufferBenchmark):
             block = make_partconv_block_nupols(b, k, m)
             self._block = lambda x, state, h: block(x, state, *h)
             state_np = nupols_init_state(t, b, k, m)
-            # blk (the only 0-dim leaf) stays a host scalar: an
+            # The 0-dim leaves (blk, the ring head) stay host scalars: an
             # uncommitted operand is replicated under dp sharding,
             # where a device_put would pin it to one device and
             # conflict with the sharded leaves (the shift form's head
             # scalar works the same way).
             self._state = jax.tree_util.tree_map(
                 lambda a: self._put_state(a) if a.ndim else a, state_np)
-            fdl_bytes = (state_np[9].nbytes
-                         + state_np[10].nbytes)  # doubled tail ring
+            # Head FDL planes + the DOUBLED tail ring (2M slots per
+            # plane), from the allocated leaves so metadata can never
+            # drift from the real footprint again.
+            fdl_bytes = (state_np[1].nbytes + state_np[2].nbytes
+                         + state_np[9].nbytes + state_np[10].nbytes)
         else:
             h_re, h_im = partition_spectra(
                 dev.to_device(self.ir), self.buffer_size)
@@ -178,6 +181,7 @@ class PartConvBenchmark(StandardBufferBenchmark):
         self._timing_state = self._state
         self._invocations = 0
         self.track_alloc("irSpectra", sum(h.nbytes for h in h_np))
+        self._fdl_bytes = fdl_bytes
         self.track_alloc("fdl", fdl_bytes)
         self.iterate()
 
@@ -235,12 +239,13 @@ class PartConvBenchmark(StandardBufferBenchmark):
                                   + (2 * fft_k + 8 * m * kbins) / k
                                   + 2 * kbins)),
                 # Head FDL r+w + H read; tail per fire (/K): MAC FDL
-                # read (8 B/bin) + H read (2*hdt) + push rewrite
-                # (16 B/bin); acc r+w (16 B/bin) every block.
+                # read (8 B/bin) + H read (2*hdt); every block: the
+                # idempotent ring write (2 slots x 2 planes = 16 B/bin,
+                # M-independent) + acc r+w (16 B/bin).
                 "hbm_bytes": int(
                     t * (4 * k * bins * 4 + 2 * k * bins * hdt
-                         + (24 + 2 * hdt) * m * kbins / k
-                         + 16 * kbins + 2 * b * 4)),
+                         + (8 + 2 * hdt) * m * kbins / k
+                         + 32 * kbins + 2 * b * 4)),
                 "unit": "vpu",
             }
         return {
@@ -285,8 +290,9 @@ class PartConvBenchmark(StandardBufferBenchmark):
             "hDtype": self.cfg.partconv_h_dtype,
             "partitions": self.partitions,
             "fftSize": 2 * self.buffer_size,
-            "fdlBytes": 2 * self.track_count * self.partitions
-            * (self.buffer_size + 1) * 4,
+            # The allocated footprint (setup's track_alloc source),
+            # incl. the nupols tail ring's DOUBLED (2M-slot) planes.
+            "fdlBytes": self._fdl_bytes,
         }
         if self._form == "nupols":
             k = self.cfg.partconv_tail_chunk
@@ -295,8 +301,5 @@ class PartConvBenchmark(StandardBufferBenchmark):
                 "nupolsHeadPartitions": k,
                 "nupolsTailPartitions": self.nupols_tail,
                 "nupolsTailFftSize": 2 * k * self.buffer_size,
-                "fdlBytes": 2 * self.track_count * 4 * (
-                    k * (self.buffer_size + 1)
-                    + self.nupols_tail * (k * self.buffer_size + 1)),
             })
         return md

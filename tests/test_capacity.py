@@ -249,6 +249,40 @@ def test_budget_exhaustion_is_disclosed(tmp_path, monkeypatch):
     assert rec["capacity"] == 512  # 128 -> 256 -> 512, budget spent
 
 
+def test_budget_exhaustion_mid_bisection_is_disclosed(tmp_path,
+                                                      monkeypatch):
+    """If a miss WAS observed but the budget ran out before bisection
+    narrowed the boundary to --quantum, the record must still disclose
+    the capacity as a lower bound, with the unrefined gap."""
+    import capacity as cap
+
+    threshold = 5000  # passes 128..4096, fails 8192; budget of 7
+    # probes spends 128/256/512/1024/2048/4096/8192 on the ascent and
+    # leaves the (4096, 8192) gap unbisected.
+
+    def fake_harness_probe(benchmark, field, args, device_timing=False):
+        def probe(v):
+            ok = v <= threshold
+            return ok, {"value": v, "saturated_p50_ms": 0.1,
+                        "saturated_p99_ms": 0.1 if ok else 99.0,
+                        "valid": True, "device_p50_ms": 0.05}
+        return probe
+
+    monkeypatch.setattr(cap, "harness_probe", fake_harness_probe)
+    out = tmp_path / "cap.json"
+    rc = cap.main([
+        "--benchmark", "gain", "--lo", "128", "--hi", str(128 * 1024),
+        "--quantum", "128", "--maxEvals", "7", "--json", str(out),
+    ])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["capacity"] == 4096
+    assert rec["budget_exhausted"] is True
+    assert rec["boundary_gap"] == 8192 - 4096
+    md = cap.render_md([rec])
+    assert ">= only (budget; boundary gap 4096)" in md
+
+
 def test_search_matches_exhaustive_scan_randomized():
     """Property: with a generous budget, the search returns exactly the
     largest grid value passing a monotone oracle, for random

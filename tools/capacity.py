@@ -246,16 +246,26 @@ def run_one(benchmark: str, args) -> dict:
             print(f"  confirmation at {field}={capacity} FAILED: {e}",
                   file=sys.stderr)
 
-    # Budget exhausted during the ascent: no miss was ever observed and
-    # hi was not reached, so `capacity` is a certified lower bound only.
+    # Budget-ended searches are lower bounds, not capacities, and must
+    # say so. Two cases: (a) ascent exhausted -- no miss was ever
+    # observed and hi was not reached; (b) bisection exhausted -- a miss
+    # WAS observed but the pass/fail boundary was only localized to a
+    # gap coarser than --quantum.
+    fail_vals = [v for v, ok in probes if not ok]
+    pass_vals = [v for v, ok in probes if ok]
+    boundary_gap = (min(fail_vals) - max(pass_vals)
+                    if fail_vals and pass_vals else None)
     budget_exhausted = (capacity is not None and not ceiling
-                        and all(ok for _, ok in probes))
+                        and (not fail_vals
+                             or (boundary_gap is not None
+                                 and boundary_gap > quantum)))
     record = {
         "benchmark": benchmark,
         "knob": field,
         "capacity": capacity,
         "ceiling_hit": ceiling,
         "budget_exhausted": budget_exhausted,
+        "boundary_gap": boundary_gap,
         "deadline_ms": deadline,
         "margin": args.margin,
         "buffer_size": args.bufferSize,
@@ -270,9 +280,17 @@ def run_one(benchmark: str, args) -> dict:
     if capacity is None:
         print(f"RESULT: {benchmark} misses deadline even at {field}={lo}")
         return record
-    qualifier = (" (>= search ceiling; raise --hi)" if ceiling
-                 else " (>= only: probe budget exhausted before a miss; "
-                      "raise --maxEvals)" if budget_exhausted else "")
+    if ceiling:
+        qualifier = " (>= search ceiling; raise --hi)"
+    elif budget_exhausted and fail_vals:
+        qualifier = (f" (>= only: budget ended bisection with the "
+                     f"boundary localized to a {boundary_gap}-wide gap, "
+                     f"not --quantum {quantum}; raise --maxEvals)")
+    elif budget_exhausted:
+        qualifier = (" (>= only: probe budget exhausted before a miss; "
+                     "raise --maxEvals)")
+    else:
+        qualifier = ""
     print(f"RESULT: {benchmark} sustains {field}={capacity}{qualifier} "
           f"at buffer {args.bufferSize} @ {args.fs} Hz "
           f"(sat p99 {confirm['saturated_p99_ms']} ms vs "
@@ -286,8 +304,9 @@ def run_one(benchmark: str, args) -> dict:
     return record
 
 
-def render_md(records, path):
-    """Append-free markdown table of capacity records (docs artifact)."""
+def render_md(records, path=None):
+    """Markdown table of capacity records (docs artifact). Returns the
+    markdown string; writes it to `path` when one is given."""
     lines = [
         "# Real-time capacity (saturated p99 vs buffer deadline)",
         "",
@@ -302,10 +321,16 @@ def render_md(records, path):
     ]
     for r in records:
         c = r.get("confirmation") or {}
-        note = (">= search ceiling" if r["ceiling_hit"]
-                else "below lo" if r["capacity"] is None
-                else ">= only (budget)" if r.get("budget_exhausted")
-                else "")
+        if r["ceiling_hit"]:
+            note = ">= search ceiling"
+        elif r["capacity"] is None:
+            note = "below lo"
+        elif r.get("budget_exhausted"):
+            gap = r.get("boundary_gap")
+            note = (f">= only (budget; boundary gap {gap})"
+                    if gap is not None else ">= only (budget)")
+        else:
+            note = ""
         over = r.get("config_overrides") or {}
         if over:
             pairs = " ".join(f"{k}={v}" for k, v in sorted(over.items()))
@@ -316,9 +341,12 @@ def render_md(records, path):
             f"{c.get('saturated_p50_ms', '—')} | "
             f"{c.get('saturated_p99_ms', '—')} | "
             f"{c.get('device_p50_ms', '—')} | {note} |")
-    with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"written: {path}")
+    text = "\n".join(lines) + "\n"
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+        print(f"written: {path}")
+    return text
 
 
 def main(argv=None) -> int:

@@ -12,13 +12,13 @@ Exit code: 0 = all checks passed or only warnings; 1 = a failure.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
+
 import argparse
 import json
 import os
 import subprocess
 import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 OK, WARN, FAIL = "ok", "warn", "FAIL"
 

@@ -13,9 +13,7 @@ from __future__ import annotations
 import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
 import json
-import os
 import sys
-import tempfile
 
 from capacity import render_md
 
@@ -40,16 +38,7 @@ def main(argv=None) -> int:
     groups: dict = {}
     for r in records:
         groups.setdefault((r["buffer_size"], r["fs"]), []).append(r)
-    sections = []
-    for key in sorted(groups):
-        fd, tmp = tempfile.mkstemp(suffix=".md")
-        os.close(fd)
-        try:
-            render_md(groups[key], tmp)
-            with open(tmp) as f:
-                sections.append(f.read())
-        finally:
-            os.unlink(tmp)
+    sections = [render_md(groups[key]) for key in sorted(groups)]
     with open(out, "w") as f:
         f.write("\n".join(sections))
     print(f"written: {out} ({len(records)} records, "
