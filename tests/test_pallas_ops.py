@@ -314,6 +314,31 @@ def test_fdtd_div_form_matches_field_form(rng):
     )
 
 
+def test_fdtd_vmem_budget_scales_with_grid():
+    """The Mosaic scoped-VMEM request must cover the measured working
+    set at every legal --fdtdRoom (room 80 = 19.9 MiB measured, the
+    default 16 MiB limit failed to compile) while never exceeding
+    physical VMEM."""
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.ops import fdtd3d as C
+    from gpuaudiobench_tpu.ops.fdtd3d_pallas import _vmem_limit_bytes
+
+    # Reference room: default limit untouched (archived r2/r3 suite
+    # numbers compiled under it).
+    assert _vmem_limit_bytes(C.GRID_N + 1, 12) == 16 << 20
+    # The measured failure point: budget must exceed the 19.9 MiB
+    # working set Mosaic reported at room 80 (pad 83).
+    assert _vmem_limit_bytes(83, 12) > int(19.9 * (1 << 20))
+    prev = 0
+    for room in range(8, 129, 2):  # the BenchConfig-legal knob range
+        pad = room + 2 + 1
+        lim = _vmem_limit_bytes(pad, 12)
+        assert lim >= prev  # monotone in grid size
+        assert 16 << 20 <= lim <= 127 << 20
+        prev = lim
+    BenchConfig(fdtd_room=128)  # the range above matches the config gate
+
+
 def test_modal_sample_unroll_divides():
     """_sample_unroll must return a divisor of the buffer (the kernel
     indexes out_ref at ng*unroll without a tail loop) capped at
