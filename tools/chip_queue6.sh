@@ -49,4 +49,14 @@ run_step cap_fdtd 9000 python tools/capacity.py \
 grep -h "RESULT" "$LOG"/cap_*.log 2>/dev/null \
   | tee -a "$LOG/summary.log" || true
 
+# 3. The post-default-flip suite regen chip_queue4 queued but lost
+# when its session host died at NoOp setup: the committed
+# RESULTS_r3_tpu_v5e.json still records PartConv form=ring while the
+# shipped default is shift. Snapshot the committed JSON for the
+# noise-aware gate, regen, compare.
+git show HEAD:docs/RESULTS_r3_tpu_v5e.json > /tmp/r3_committed.json
+run_step regen 10800 bash tools/regen_artifacts.sh r3
+run_step compare 600 python tools/compare_runs.py \
+  /tmp/r3_committed.json docs/RESULTS_r3_tpu_v5e.json
+
 note "=== chip_queue6 done ==="
