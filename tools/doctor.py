@@ -12,13 +12,17 @@ Exit code: 0 = all checks passed or only warnings; 1 = a failure.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# tests load this file via importlib from the repo root, where tools/
+# is not on sys.path; make _pathfix resolvable from any load style.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
-import argparse
-import json
-import os
-import subprocess
-import sys
+import argparse  # noqa: E402
+import json  # noqa: E402
+import subprocess  # noqa: E402
 
 OK, WARN, FAIL = "ok", "warn", "FAIL"
 
