@@ -232,7 +232,18 @@ def run_one(benchmark: str, args) -> dict:
     confirm = None
     if capacity is not None:
         # Archive-grade confirmation at the found capacity with device
-        # timing on (the searched probes skip it for speed).
+        # timing on (the searched probes skip it for speed). Release
+        # everything the search held first: near an HBM wall the failed
+        # over-capacity probes leave the arena fragmented enough that a
+        # size which passed as a probe can RESOURCE_EXHAUSTED as the
+        # confirmation (measured: PartConv nupols ir_length=1536000,
+        # chip_queue5).
+        import gc
+
+        import jax
+
+        gc.collect()
+        jax.clear_caches()
         cargs = argparse.Namespace(**vars(args))
         if args.confirmVerification:
             cargs.verification = args.confirmVerification

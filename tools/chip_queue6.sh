@@ -49,7 +49,29 @@ run_step cap_fdtd 9000 python tools/capacity.py \
 grep -h "RESULT" "$LOG"/cap_*.log 2>/dev/null \
   | tee -a "$LOG/summary.log" || true
 
-# 3. The post-default-flip suite regen chip_queue4 queued but lost
+# 3. Fresh-process confirmation of the nupols IR-length capacity:
+# chip_queue5's search measured ir_length=1536000 sustaining (sat p99
+# 0.896 ms) but its in-process confirmation RESOURCE_EXHAUSTED after
+# four failed over-capacity probes fragmented the arena. Validate the
+# winner from a clean process; if it genuinely does not fit with
+# validation on, step down one IR quantum-chunk at a time.
+for irlen in 1536000 1488000 1344000; do
+  if timeout 2400 python -m gpuaudiobench_tpu.cli \
+      --benchmark PartConv --partconvForm nupols --partconvTailChunk 16 \
+      --irLength "$irlen" --nRuns 3 --warmup 2 --pipelineDepth 64 \
+      --verification spot \
+      --outputfile "$LOG/nupols_ircap_confirm.csv" \
+      >"$LOG/nupols_ircap_${irlen}.log" 2>&1; then
+    note "OK    nupols_ircap_confirm (irLength=$irlen)"
+    grep -hE "Saturated|Device M|Validation" \
+      "$LOG/nupols_ircap_${irlen}.log" | tee -a "$LOG/summary.log" || true
+    break
+  else
+    note "FAIL  nupols_ircap_confirm irLength=$irlen (stepping down)"
+  fi
+done
+
+# 4. The post-default-flip suite regen chip_queue4 queued but lost
 # when its session host died at NoOp setup: the committed
 # RESULTS_r3_tpu_v5e.json still records PartConv form=ring while the
 # shipped default is shift. Snapshot the committed JSON for the
