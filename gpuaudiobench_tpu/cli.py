@@ -64,6 +64,8 @@ def print_help() -> None:
     print("  --neuralampChannels [n]  NeuralAmp TCN channel count (default: 128)")
     print("  --neuralampLayers [n]    NeuralAmp dilated-layer count (default: 10)")
     print("  --neuralampDtype [d]     f32 | bf16 | int8 (NeuralAmp GEMM dtype; int8 TCN-only)")
+    print("  --sessionEqStages [k]    DAWSessionMix per-track EQ cascade "
+          "depth (default: 4)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
@@ -150,6 +152,7 @@ def parse_args(argv: List[str]):
         "--neuralampChannels": ("neuralamp_channels", int),
         "--neuralampLayers": ("neuralamp_layers", int),
         "--neuralampDtype": ("neuralamp_dtype", str),
+        "--sessionEqStages": ("session_eq_stages", int),
         "--poolMiB": ("rndmem_pool_mb", int),
         "--fdtdRoom": ("fdtd_room", int),
         "--transferMiB": ("transfer_mib", int),

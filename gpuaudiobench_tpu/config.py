@@ -79,6 +79,9 @@ class BenchConfig:
     neuralamp_channels: int = 128
     neuralamp_layers: int = 10
     neuralamp_dtype: str = "f32"
+    # DAWSessionMix: per-track EQ-cascade depth (models/session.py);
+    # the reverb IR length rides the shared --irLength knob.
+    session_eq_stages: int = 4
     seed: int = 42
     # datacopy* base pool (CUDA default 10 MiB; the poster also measured
     # 100 MiB and 1 GiB variants, BASELINE.md tab5/tab8).
@@ -204,6 +207,12 @@ class BenchConfig:
         if self.partconv_h_dtype not in ("f32", "f16"):
             raise ValueError(
                 f"invalid partconv H dtype: {self.partconv_h_dtype}")
+        if not 1 <= self.session_eq_stages <= 16:
+            # Staggered cutoffs 0.25 - 0.0125*k stay positive through
+            # 16 stages (models/session.py).
+            raise ValueError(
+                f"session_eq_stages ({self.session_eq_stages}) must be "
+                "in [1, 16]")
         if self.neuralamp_dtype not in ("f32", "bf16", "int8"):
             raise ValueError(
                 f"invalid NeuralAmp dtype: {self.neuralamp_dtype}")

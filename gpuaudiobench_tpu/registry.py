@@ -31,6 +31,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
     from gpuaudiobench_tpu.models.noop import NoOpBenchmark
     from gpuaudiobench_tpu.models.partconv import PartConvBenchmark
     from gpuaudiobench_tpu.models.rndmem import RndMemBenchmark
+    from gpuaudiobench_tpu.models.session import DAWSessionMixBenchmark
     from gpuaudiobench_tpu.models.speedoflight import (
         SolHbmStreamBenchmark,
         SolMxuBenchmark,
@@ -61,6 +62,7 @@ def _factories() -> Dict[str, Callable[[BenchConfig], Benchmark]]:
         "PartConv": PartConvBenchmark,
         "NeuralAmp": NeuralAmpBenchmark,
         "NeuralAmpLSTM": lambda cfg: NeuralAmpBenchmark(cfg, "lstm"),
+        "DAWSessionMix": DAWSessionMixBenchmark,
         "MultiChipSuite": MultiChipSuiteBenchmark,
         "ICIBandwidth": ICIBandwidthBenchmark,
         # speedoflight: measured roofline denominators.
@@ -97,7 +99,7 @@ BENCHMARK_NAMES: List[str] = [
 # Extensions: workloads present in the reference tree but unregistered
 # there (kernels_extra.metal), registered here for completeness.
 EXTENSION_NAMES: List[str] = ["BiquadChain", "PartConv", "NeuralAmp",
-                              "NeuralAmpLSTM",
+                              "NeuralAmpLSTM", "DAWSessionMix",
                               "MultiChipSuite", "ICIBandwidth",
                               "SOL_VPU", "SOL_VMEM", "SOL_HBM",
                               "SOL_MXU_bf16", "SOL_MXU_f32",
@@ -114,6 +116,9 @@ CATEGORIES = {
     "memory": ["RndMemRead"],
     # TPU extension: neural audio inference (the MXU workload class).
     "neural": ["NeuralAmp", "NeuralAmpLSTM"],
+    # TPU extension: the composite production workload (EQ cascades ->
+    # reverb send bus -> stereo mixdown in one jitted block).
+    "session": ["DAWSessionMix"],
     # TPU extension: the multi-chip layer as runnable workloads.
     "multichip": ["MultiChipSuite", "ICIBandwidth"],
     # TPU extension: measured roofline denominators
@@ -146,6 +151,8 @@ BENCHMARK_DESCRIPTIONS = {
                  "(extension)",
     "NeuralAmpLSTM": "Streaming LSTM amp-model inference (per-sample "
                      "recurrence; extension)",
+    "DAWSessionMix": "Full mixing-session graph: per-track EQ cascade -> "
+                     "reverb send bus -> stereo mixdown (extension)",
     "MultiChipSuite": "Sharded dp/tp/sp/pp pipeline over --mesh (extension)",
     "ICIBandwidth": "Interconnect ring ppermute + psum (extension)",
     "SOL_VPU": "Speed-of-light: VPU f32 FMA throughput (measured peak)",

@@ -309,6 +309,20 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "(measured 1.9e-4 peak-relative at f16)",
             ),
         ]
+    if name == "DAWSessionMix":
+        return [
+            slider(
+                "sessionEqStages", "EQ Stages per Track", 1, 16,
+                d.session_eq_stages, 1, "",
+                "Per-track biquad-cascade depth (staggered cutoffs)",
+            ),
+            slider(
+                "irLength", "Reverb IR Length", 512, 192000, 48000,
+                512, "samples",
+                "Send-bus reverb tail; partitions = "
+                "ceil(irLength/bufferSize)",
+            ),
+        ]
     if name in ("NeuralAmp", "NeuralAmpLSTM"):
         out = [
             select(
@@ -370,6 +384,7 @@ _FIELD_MAP = {
     "neuralampChannels": ("neuralamp_channels", int),
     "neuralampLayers": ("neuralamp_layers", int),
     "neuralampDtype": ("neuralamp_dtype", str),
+    "sessionEqStages": ("session_eq_stages", int),
     "modalModes": ("modal_num_modes", int),
     "modalRenorm": ("modal_renorm", bool),
     "dwgMinLen": ("dwg_min_length", int),

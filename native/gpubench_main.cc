@@ -29,6 +29,7 @@ const char* kValueFlags[] = {
     "--convEdgeMode", "--partconvForm",     "--partconvHDtype",
     "--partconvTailChunk",
     "--neuralampChannels", "--neuralampLayers", "--neuralampDtype",
+    "--sessionEqStages",
     "--poolMiB",      "--fdtdRoom",         "--seed",
     "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",

@@ -12,7 +12,7 @@ STREAMING = [
     "NoOp", "gain", "GainStats", "IIRFilter", "Conv1D", "Conv1D_accel",
     "FFT1D", "ModalFilterBank", "DWG1DNaive", "DWG1DAccel", "FDTD3D",
     "RndMemRead", "BiquadChain", "PartConv", "NeuralAmp",
-    "NeuralAmpLSTM", "MultiChipSuite", "ICIBandwidth",
+    "NeuralAmpLSTM", "DAWSessionMix", "MultiChipSuite", "ICIBandwidth",
     "SOL_VPU", "SOL_VMEM", "SOL_HBM", "SOL_MXU_bf16", "SOL_MXU_f32",
     "SOL_MXU_int8",
 ]
