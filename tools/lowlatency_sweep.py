@@ -31,6 +31,7 @@ WORKLOADS = [
     ("NeuralAmp TCN d10 bf16", "NeuralAmp",
      dict(neuralamp_dtype="bf16"), 64),
     ("NeuralAmpLSTM H128 (128 trk)", "NeuralAmpLSTM", dict(), 64),
+    ("DAWSessionMix (128 strips, 1 s rev)", "DAWSessionMix", dict(), 256),
 ]
 
 
