@@ -132,3 +132,25 @@ def test_ampsim_example(tmp_path):
         assert w.getframerate() == 48_000
         pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01
+
+
+def test_session_example(tmp_path):
+    out = tmp_path / "mix.wav"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "examples/session.py", "--seconds", "0.7",
+         "--tracks", "4", "--modes", "128", "--rt60", "0.3",
+         "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    # rc==0 already asserts the block-streamed session == one-shot
+    # offline render equality the example performs internally.
+    assert "streamed session matches offline: True" in r.stdout
+    with wave.open(str(out)) as w:
+        assert w.getframerate() == 48_000
+        assert w.getnchannels() == 2
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    assert float(np.sqrt(np.mean((pcm / 32767.0) ** 2))) > 0.01
