@@ -32,6 +32,12 @@ WORKLOADS = [
      dict(n_tracks=1024, buffer_size=2048)),
     ("datacopy5050 1 MiB (buf 8192)", "datacopy5050",
      dict(transfer_mib=1, buffer_size=8192)),
+    # The DAW workload itself under DAW pacing: the composite session
+    # at a buffer large enough that its round trip fits the deadline
+    # on the relay rig (10.667 ms at 512 is below the ~28 ms RPC
+    # floor; 8192 gives 170 ms of headroom).
+    ("DAWSessionMix 128 strips (buf 8192)", "DAWSessionMix",
+     dict(buffer_size=8192)),
 ]
 
 
