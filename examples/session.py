@@ -61,7 +61,7 @@ def stream_session(tracks: np.ndarray, stage_coeffs, send, pan2,
     import jax
     import jax.numpy as jnp
 
-    from gpuaudiobench_tpu.models.session import _make_session_core
+    from gpuaudiobench_tpu.models.session import make_session_core
     from gpuaudiobench_tpu.ops.partconv import num_partitions
 
     t, n = tracks.shape
@@ -74,7 +74,7 @@ def stream_session(tracks: np.ndarray, stage_coeffs, send, pan2,
     from gpuaudiobench_tpu.ops.partconv import partition_spectra
 
     h_re, h_im = partition_spectra(jnp.asarray(ir), BLOCK)
-    core = _make_session_core("xla", len(stage_coeffs))
+    core = make_session_core("xla", len(stage_coeffs))
     coeffs = jnp.asarray(np.array(stage_coeffs, np.float32))
     send_d, pan2_d = jnp.asarray(send), jnp.asarray(pan2)
 

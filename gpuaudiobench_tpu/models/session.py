@@ -137,7 +137,7 @@ def session_reference(
     return (dry + wet * rev).astype(np.float32)
 
 
-def _make_session_core(impl: str, n_stages: int):
+def make_session_core(impl: str, n_stages: int):
     """One session block: (mix (2, B), eq', bus_block, fdl_re', fdl_im')."""
     import jax
     import jax.numpy as jnp
@@ -218,7 +218,7 @@ class DAWSessionMixBenchmark(StandardBufferBenchmark):
         self._timing = (self._eq, self._prev, self._fre, self._fim)
 
         self._impl = self.resolve_impl()
-        self._step = jax.jit(_make_session_core(self._impl, self.eq_stages))
+        self._step = jax.jit(make_session_core(self._impl, self.eq_stages))
         self._invocations = 0
 
         self.track_alloc("irSpectra", sum(h.nbytes for h in h_np))
