@@ -43,6 +43,8 @@ def _label(r: dict) -> str:
     used to hand-write, derived from the result's own metadata."""
     name = r["benchmark"]
     md = r.get("metadata") or {}
+    if "eqStages" in md:
+        return f"{name} ({md['eqStages']}-stage EQ, IR {md['irLength']})"
     if "irLength" in md:
         return f"{name} (IR {md['irLength']})"
     if "numModes" in md:
