@@ -134,16 +134,37 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
             self._resident_input, self._timing_state, self._params)
         dev.block(y)
 
+    # Weights above this ride the streaming carry instead of the
+    # closure: closure-captured arrays serialize into the compiled
+    # module and into remote compile requests (the PartConv HTTP 413
+    # failure class; TCN C=512 is ~31.5 MB, and the module-size budget
+    # tests/test_streaming.py enforces is 2 MB). BELOW it they stay
+    # closure constants on purpose -- params-in-carry demotes the
+    # weights from compile-time constants to runtime operands, which
+    # measured +70% saturated on NeuralAmpLSTM's latency-bound
+    # per-sample scan (r3 chip_queue6 compare: 0.59 -> 1.00 ms/block;
+    # closure restores 0.576, A/B'd on-chip). The default LSTM (H=128,
+    # ~0.5 MB) embeds; H=512 (~4 MB) and every TCN width (>=2 MB,
+    # measured carry-insensitive) ride the carry.
+    _STREAM_CONST_BYTES = 1024 * 1024
+
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
         block = self._block
+        params_bytes = sum(int(v.nbytes) for v in self._params.values())
 
-        # The input block and the network weights ride the carry
-        # (returned unchanged, so XLA aliases them): a closure capture
-        # would serialize the tap matrices into the compiled module --
-        # ~2 MB at the default C=128, ~31.5 MB at C=512 -- and into
-        # remote compile requests, the PartConv HTTP 413 failure class.
+        if params_bytes <= self._STREAM_CONST_BYTES:
+            x, params = self._resident_input, self._params
+
+            def step(state):
+                y, state2 = block(x, state, params)
+                return state2, probe(y)
+
+            return step, self._timing_state
+
+        # Large nets: input + weights ride the carry (returned
+        # unchanged, so XLA aliases them).
         def step(carry):
             x, params, state = carry
             y, state2 = block(x, state, params)
