@@ -214,3 +214,20 @@ def neuralamp_lstm_collectives(
         {"label": "output psum", "kind": "psum",
          "bytes": tracks * block * 4, "axis_n": axis_n},
     ]
+
+
+def session_collectives(block: int, axis_n: int) -> List[Dict[str, Any]]:
+    """Track-sharded DAWSessionMix (--dataParallel), one block: the
+    per-track EQ cascades and the pan/send partial products are local
+    to each rank's track shard; the only cross-device traffic is the
+    psum that materializes the (replicated) reverb-bus block and the
+    stereo dry mix -- 3 x B floats of partial sums (bus + 2 pan rows),
+    independent of track count. The stereo PartConv reverb then runs
+    replicated (2-track bus, compute-local). This is why the session
+    scales embarrassingly in T: wire cost is O(B), work is O(T)."""
+    if axis_n <= 1:
+        return []
+    return [
+        {"label": "bus + stereo-mix psum", "kind": "psum",
+         "bytes": 3 * block * 4, "axis_n": axis_n},
+    ]

@@ -468,3 +468,20 @@ def test_partconv_ici_model_is_partition_independent():
     pred = predict(cols)
     assert 0 < pred["predicted_total_ms"] < 1.0  # well under the deadline
     assert partconv_collectives(128, 513, 1) == []
+
+
+def test_session_ici_model_is_track_independent():
+    """DAWSessionMix under dp crosses the wire with O(B) bytes (the bus
+    + stereo-mix psum) regardless of track count -- the property that
+    makes the composite session embarrassingly data-parallel."""
+    from gpuaudiobench_tpu.parallel.ici_model import (
+        predict,
+        session_collectives,
+    )
+
+    cols = session_collectives(block=512, axis_n=4)
+    assert [c["kind"] for c in cols] == ["psum"]
+    assert cols[0]["bytes"] == 3 * 512 * 4  # no track term
+    pred = predict(cols)
+    assert 0 < pred["predicted_total_ms"] < 0.1
+    assert session_collectives(512, 1) == []
