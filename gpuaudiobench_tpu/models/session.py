@@ -316,7 +316,7 @@ class DAWSessionMixBenchmark(StandardBufferBenchmark):
         return (self.total_elements() + 2 * self.buffer_size) * 4
 
     def metadata(self):
-        return {
+        md = {
             "eqStages": self.eq_stages,
             "irLength": self.ir_length,
             "partitions": self.partitions,
@@ -324,3 +324,12 @@ class DAWSessionMixBenchmark(StandardBufferBenchmark):
             "replayClamp": self._replay_clamp(),
             "impl": self._impl,
         }
+        if self.cfg.data_parallel > 1:
+            from gpuaudiobench_tpu.parallel.ici_model import (
+                predict,
+                session_collectives,
+            )
+
+            md["ici_model"] = predict(session_collectives(
+                self.buffer_size, self.cfg.data_parallel))
+        return md

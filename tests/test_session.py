@@ -174,3 +174,13 @@ def test_registered_and_ui_schema():
     assert {"sessionEqStages", "irLength"} <= ids
     cfg = apply_params(BenchConfig(), {"sessionEqStages": 8})
     assert cfg.session_eq_stages == 8
+
+
+def test_dp_metadata_carries_ici_prediction():
+    bdp = _bench(n_tracks=8, buffer_size=64, ir_length=300,
+                 data_parallel=4)
+    md = bdp.metadata()
+    assert "ici_model" in md
+    assert md["ici_model"]["predicted_total_ms"] > 0
+    assert "ici_model" not in _bench(
+        n_tracks=8, buffer_size=64, ir_length=300).metadata()
