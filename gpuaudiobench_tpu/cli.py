@@ -66,6 +66,10 @@ def print_help() -> None:
     print("  --neuralampDtype [d]     f32 | bf16 | int8 (NeuralAmp GEMM dtype; int8 TCN-only)")
     print("  --sessionEqStages [k]    DAWSessionMix per-track EQ cascade "
           "depth (default: 4)")
+    print("  --iirForm [f]            scan | blockstate (IIRFilter "
+          "recurrence form; default scan)")
+    print("  --iirBlockM [m]          blockstate samples per step "
+          "(default: 16; must divide bufferSize)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")
@@ -153,6 +157,8 @@ def parse_args(argv: List[str]):
         "--neuralampLayers": ("neuralamp_layers", int),
         "--neuralampDtype": ("neuralamp_dtype", str),
         "--sessionEqStages": ("session_eq_stages", int),
+        "--iirForm": ("iir_form", str),
+        "--iirBlockM": ("iir_block_m", int),
         "--poolMiB": ("rndmem_pool_mb", int),
         "--fdtdRoom": ("fdtd_room", int),
         "--transferMiB": ("transfer_mib", int),

@@ -82,6 +82,14 @@ class BenchConfig:
     # DAWSessionMix: per-track EQ-cascade depth (models/session.py);
     # the reverb IR length rides the shared --irLength knob.
     session_eq_stages: int = 4
+    # IIRFilter recurrence form: "scan" (the per-sample sequential
+    # recurrence, the reference's semantics and the DEFAULT) |
+    # "blockstate" (linear-recurrence block advance: m samples per
+    # step via precomputed Toeplitz taps, chain length S/m --
+    # ops/iir.py blockstate_tables). Same filter; A/B in
+    # docs/BENCHMARKS.md.
+    iir_form: str = "scan"
+    iir_block_m: int = 16
     seed: int = 42
     # datacopy* base pool (CUDA default 10 MiB; the poster also measured
     # 100 MiB and 1 GiB variants, BASELINE.md tab5/tab8).
@@ -207,6 +215,17 @@ class BenchConfig:
         if self.partconv_h_dtype not in ("f32", "f16"):
             raise ValueError(
                 f"invalid partconv H dtype: {self.partconv_h_dtype}")
+        if self.iir_form not in ("scan", "blockstate"):
+            raise ValueError(f"invalid iir form: {self.iir_form}")
+        if not 2 <= self.iir_block_m <= 128:
+            raise ValueError(
+                f"iir_block_m ({self.iir_block_m}) must be in [2, 128]")
+        if (self.iir_form == "blockstate"
+                and self.buffer_size % self.iir_block_m != 0):
+            raise ValueError(
+                f"iir_block_m ({self.iir_block_m}) must divide "
+                f"buffer_size ({self.buffer_size}) for the blockstate "
+                "form")
         if not 1 <= self.session_eq_stages <= 16:
             # Staggered cutoffs 0.25 - 0.0125*k stay positive through
             # 16 stages (models/session.py).

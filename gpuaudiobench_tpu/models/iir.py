@@ -57,15 +57,36 @@ class IIRBenchmark(StandardBufferBenchmark):
         self.host_state = None
         self._impl = self.resolve_impl()
 
+        # Recurrence form (--iirForm): "scan" = the per-sample
+        # sequential recurrence (reference semantics); "blockstate" =
+        # m samples per step via precomputed tables (ops/iir.py). The
+        # tables are ~m^2 floats -- deliberate closure constants (the
+        # NeuralAmpLSTM streaming-form lesson, docs/BENCHMARKS.md).
+        if self.cfg.iir_form == "blockstate":
+            from gpuaudiobench_tpu.ops.iir import (
+                blockstate_tables,
+                iir_biquad_blockstate,
+            )
+
+            taps, u = blockstate_tables(self.coeffs, self.cfg.iir_block_m)
+            taps_d, u_d = self.put_replicated(taps), self.put_replicated(u)
+
+            def filt(x, c, z):
+                return iir_biquad_blockstate(x, c, taps_d, u_d, z)
+        else:
+            impl = self._impl
+
+            def filt(x, c, z):
+                return iir_biquad(x, c, z, impl=impl)
+        self._filter = filt
+
         # Fuse output+state into one flat device array so the readback is
         # a single transfer (one RPC on relay-backed runtimes).
         import jax
         import jax.numpy as jnp
 
-        impl = self._impl
-
         def _step(x, c, z):
-            y, z2 = iir_biquad(x, c, z, impl=impl)
+            y, z2 = filt(x, c, z)
             return z2, jnp.concatenate([y.ravel(), z2.ravel()])
 
         self._step = jax.jit(_step)
@@ -86,20 +107,18 @@ class IIRBenchmark(StandardBufferBenchmark):
         self._invocations += 1
 
     def device_iterate(self) -> None:
-        y, _ = iir_biquad(
-            self._resident_input, self._coeffs_dev, self._timing_state,
-            impl=self._impl,
-        )
+        y, _ = self._filter(
+            self._resident_input, self._coeffs_dev, self._timing_state)
         dev.block(y)
 
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
-        impl = self._impl
+        filt = self._filter
         x, c = self._resident_input, self._coeffs_dev
 
         def step(z):
-            y, z2 = iir_biquad(x, c, z, impl=impl)
+            y, z2 = filt(x, c, z)
             return z2, probe(y)
 
         return step, self._timing_state
@@ -136,8 +155,12 @@ class IIRBenchmark(StandardBufferBenchmark):
 
     def metadata(self):
         b0, b1, b2, a1, a2 = (float(c) for c in self.coeffs)
-        return {
+        md = {
             "filter": "butterworth_lowpass_fs4",
             "coefficients": {"b0": b0, "b1": b1, "b2": b2, "a1": a1, "a2": a2},
             "impl": self._impl,
+            "form": self.cfg.iir_form,
         }
+        if self.cfg.iir_form == "blockstate":
+            md["blockM"] = self.cfg.iir_block_m
+        return md

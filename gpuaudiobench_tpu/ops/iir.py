@@ -321,3 +321,73 @@ def iir_cascade_pallas_chain(
         ],
     )(xt, c, zt)
     return y.T, zout.reshape(k, 2, tracks).transpose(0, 2, 1)
+
+
+# -- block-state form: the recurrence advanced m samples per step ------------
+#
+# The biquad is LINEAR, so the per-sample dependency chain is not
+# fundamental: with s[n] = (w[n], w[n-1]) and A = [[-a1, -a2], [1, 0]],
+#
+#   s[n] = A s[n-1] + (x[n], 0)
+#   w[n0+j] = (A^{j+1} s_prev)[0] + sum_{i<=j} p_{j-i} x[n0+i],
+#
+# where p_k = (A^k)[0,0] is the w-impulse response. One m-sample chunk
+# is therefore ONE (T, m) x (m, m) lower-triangular-Toeplitz product
+# plus a (T, 2) x (2, m) state term -- all-parallel inside the chunk --
+# and the sequential chain shrinks from S scan steps to S/m, at
+# ~(m/2 + 2) MACs/sample vs the scan's ~6. The scan kernel measures
+# ~9% of the measured VPU peak at 65536 tracks (issue-latency-bound on
+# the 512-long dependency chain), which is the headroom this form
+# trades FLOPs for. Same filter: tests pin bit-level-class agreement
+# (<= 1e-5 abs) against the sequential f32 reference.
+
+
+def blockstate_tables(coeffs, m: int):
+    """Host-side f64-derived coefficient tables for the m-sample
+    block-state form: (taps (m, m) lower-triangular Toeplitz of p_k,
+    u (m, 2) rows of A^{j+1}[0, :]), float32.
+
+    Tables depend only on (a1, a2, m): build once at setup from the
+    concrete coefficients (the cuFFT-plan analog), never in-graph.
+    """
+    import numpy as np
+
+    _, _, _, a1, a2 = (float(c) for c in coeffs)
+    a = np.array([[-a1, -a2], [1.0, 0.0]], np.float64)
+    powers = [np.eye(2)]
+    for _ in range(m):
+        powers.append(a @ powers[-1])
+    p = np.array([powers[k][0, 0] for k in range(m)])
+    taps = np.zeros((m, m))
+    for j in range(m):
+        taps[j, : j + 1] = p[j::-1]
+    u = np.stack([powers[j + 1][0, :] for j in range(m)])
+    return taps.astype(np.float32), u.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def iir_biquad_blockstate(x: jax.Array, coeffs: jax.Array,
+                          taps: jax.Array, u: jax.Array,
+                          state: jax.Array):
+    """Block-state biquad: x (tracks, S); coeffs (5,) = b0,b1,b2,a1,a2
+    (only b* are read -- a* live in the tables); taps/u from
+    blockstate_tables(m); state (tracks, 2) = (z1, z2).
+    Returns (y, new_state). S must be a multiple of m.
+    """
+    b0, b1, b2 = coeffs[0], coeffs[1], coeffs[2]
+    m = taps.shape[0]
+    tracks, s = x.shape
+    hi = jax.lax.Precision.HIGHEST
+    xc = x.reshape(tracks, s // m, m).transpose(1, 0, 2)  # (chunks, T, m)
+
+    def chunk(carry, xk):
+        # carry: (T, 2) = s_prev = (w[-1], w[-2]) entering this chunk.
+        w = (jnp.einsum("ti,ji->tj", xk, taps, precision=hi)
+             + jnp.einsum("tc,jc->tj", carry, u, precision=hi))
+        wm1 = jnp.concatenate([carry[:, :1], w[:, :-1]], axis=1)
+        wm2 = jnp.concatenate([carry[:, 1:2], wm1[:, :-1]], axis=1)
+        y = b0 * w + b1 * wm1 + b2 * wm2
+        return w[:, -1:-3:-1], y  # new (z1, z2) = (w[m-1], w[m-2])
+
+    z, yc = jax.lax.scan(chunk, state, xc)
+    return yc.transpose(1, 0, 2).reshape(tracks, s), z

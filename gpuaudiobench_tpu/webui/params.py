@@ -153,6 +153,26 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
                 "1 GiB variants)",
             ),
         ]
+    if name == "IIRFilter":
+        return [
+            select(
+                "iirForm", "Recurrence Form", d.iir_form,
+                [
+                    {"value": "scan", "label":
+                     "scan (per-sample recurrence, reference form)"},
+                    {"value": "blockstate", "label":
+                     "blockstate (m samples per step, chain S/m)"},
+                ],
+                "Same filter; blockstate trades FLOPs for a shorter "
+                "sequential chain",
+            ),
+            select(
+                "iirBlockM", "Blockstate m", d.iir_block_m,
+                _opts([8, 16, 32, 64]),
+                "Samples advanced per step (blockstate form only; "
+                "must divide bufferSize)",
+            ),
+        ]
     if name == "Conv1D":
         return [
             slider(
@@ -385,6 +405,8 @@ _FIELD_MAP = {
     "neuralampLayers": ("neuralamp_layers", int),
     "neuralampDtype": ("neuralamp_dtype", str),
     "sessionEqStages": ("session_eq_stages", int),
+    "iirForm": ("iir_form", str),
+    "iirBlockM": ("iir_block_m", int),
     "modalModes": ("modal_num_modes", int),
     "modalRenorm": ("modal_renorm", bool),
     "dwgMinLen": ("dwg_min_length", int),

@@ -29,7 +29,7 @@ const char* kValueFlags[] = {
     "--convEdgeMode", "--partconvForm",     "--partconvHDtype",
     "--partconvTailChunk",
     "--neuralampChannels", "--neuralampLayers", "--neuralampDtype",
-    "--sessionEqStages",
+    "--sessionEqStages", "--iirForm",  "--iirBlockM",
     "--poolMiB",      "--fdtdRoom",         "--seed",
     "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",

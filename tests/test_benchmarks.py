@@ -197,3 +197,34 @@ def test_fdtd_room_config_validation():
         BenchConfig(fdtd_room=4).validate()
     with pytest.raises(ValueError, match="fdtd_room"):
         BenchConfig(fdtd_room=200).validate()
+
+
+def test_iir_blockstate_form_validates(small_cfg):
+    """--iirForm blockstate runs the same contract end-to-end: carried
+    state across iterations, output + state validation, streaming."""
+    cfg = small_cfg.replace(buffer_size=512, iir_form="blockstate",
+                            iir_block_m=16)
+    bench = create_benchmark("IIRFilter", cfg)
+    bench.setup()
+    for _ in range(4):
+        bench.iterate()
+    v = bench.validate()
+    assert v.passed, v.messages[:3]
+    assert bench.metadata()["form"] == "blockstate"
+    step, carry = bench.stream_body()
+    carry, probe = step(carry)
+    assert probe.shape == (1,)
+
+
+def test_iir_blockstate_config_bounds():
+    import pytest
+
+    from gpuaudiobench_tpu.config import BenchConfig
+
+    with pytest.raises(ValueError, match="divide"):
+        BenchConfig(iir_form="blockstate", buffer_size=100,
+                    iir_block_m=16).validate()
+    with pytest.raises(ValueError, match="iir form"):
+        BenchConfig(iir_form="fir").validate()
+    # scan form never constrains the buffer size
+    BenchConfig(iir_form="scan", buffer_size=100).validate()

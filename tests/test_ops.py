@@ -265,3 +265,31 @@ def test_kaiser_window_ir():
     assert k_edge < r_edge * 0.1
     with pytest.raises(ValueError):
         generate_impulse_response(64, 0.25, window="nope")
+
+
+@pytest.mark.parametrize("m", [4, 16, 32])
+@pytest.mark.parametrize("fc", [0.25, 0.0625, 0.01])
+def test_iir_blockstate_matches_sequential(rng, m, fc):
+    """The block-state form is the SAME filter: y within 1e-5 abs and
+    state within its 1e-3 contract of the sequential f32 reference,
+    including near-unit-circle poles (fc=0.01) and carried state
+    across blocks."""
+    from gpuaudiobench_tpu.ops.iir import (
+        blockstate_tables,
+        iir_biquad_blockstate,
+    )
+    from gpuaudiobench_tpu.utils.data import biquad_lowpass_coefficients
+
+    coeffs = biquad_lowpass_coefficients(fc)
+    x = rng.uniform(-1, 1, (8, 128)).astype(np.float32)
+    z = rng.uniform(-0.5, 0.5, (8, 2)).astype(np.float32)
+    taps, u = blockstate_tables(coeffs, m)
+    c = jnp.asarray(np.array(coeffs, np.float32))
+    yd, zd = x, z
+    yr, zr = x, z
+    for _ in range(3):  # carried state across 3 blocks
+        yd, zd = iir_biquad_blockstate(
+            jnp.asarray(x), c, jnp.asarray(taps), jnp.asarray(u), zd)
+        yr, zr = _iir_ref(x, coeffs, zr)
+    assert np.abs(np.asarray(yd) - yr).max() < 1e-5
+    assert np.abs(np.asarray(zd) - zr).max() < 1e-3
