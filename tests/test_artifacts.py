@@ -239,20 +239,14 @@ def test_compare_runs_tool(tmp_path):
                       "--waive", "gain:saturated:stale"]) == 2
     assert comp.main([str(po), str(pn), "--waive", "gain:saturated"]) == 2
 
-    # Shipped artifacts: r2 -> r3 must carry no gating regressions
-    # beyond the ONE investigated waiver: the r3 whole-block mean
-    # probe briefly taxed ICIBandwidth's 10 MiB output block (+26%
-    # saturated wall, device tier identical; fixed in
-    # streaming.slice_probe, regen queued). Drop the waiver when the
-    # post-fix regen ships -- it will then error as unconsumed.
+    # Shipped artifacts: r2 -> r3 must carry no gating regressions.
+    # (An earlier r3 artifact needed an ICIBandwidth waiver for the
+    # whole-block mean-probe tax; the slice_probe fix + post-fix regen
+    # shipped, so the waiver was dropped as unconsumed.)
     r2 = os.path.join(DOCS, "RESULTS_r2_tpu_v5e.json")
     r3 = os.path.join(DOCS, "RESULTS_r3_tpu_v5e.json")
     if os.path.exists(r2) and os.path.exists(r3):
-        _, gating = comp.compare(r2, r3, waivers={
-            ("ICIBandwidth", "saturated"):
-                "r3 mean-probe tax on the 10 MiB output block; "
-                "slice_probe fix shipped, regen queued",
-        })
+        _, gating = comp.compare(r2, r3)
         assert gating == [], gating
 
 
