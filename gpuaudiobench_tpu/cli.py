@@ -69,7 +69,8 @@ def print_help() -> None:
     print("  --iirForm [f]            scan | blockstate (IIRFilter "
           "recurrence form; default scan)")
     print("  --iirBlockM [m]          blockstate samples per step "
-          "(default: 16; must divide bufferSize)")
+          "(default 0 = auto: 128 pallas / 16 xla, "
+          "clamped to a bufferSize divisor)")
     print("  --poolMiB [n]            RndMemRead pool size (default: 512)")
     print("  --transferMiB [n]        datacopy* pool size (default: 10)")
     print("  --dataParallel [n]       Shard tracks over n devices (default: 1)")

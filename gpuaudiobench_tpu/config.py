@@ -87,9 +87,12 @@ class BenchConfig:
     # "blockstate" (linear-recurrence block advance: m samples per
     # step via precomputed Toeplitz taps, chain length S/m --
     # ops/iir.py blockstate_tables). Same filter; A/B in
-    # docs/BENCHMARKS.md.
+    # docs/BENCHMARKS.md. iir_block_m = 0 means auto (128 on the
+    # Pallas path, where the chunk matmul saturates the MXU at full
+    # shape; 16 on the XLA path), always clamped to the largest
+    # divisor of buffer_size (ops/iir.py blockstate_effective_m).
     iir_form: str = "scan"
-    iir_block_m: int = 16
+    iir_block_m: int = 0
     seed: int = 42
     # datacopy* base pool (CUDA default 10 MiB; the poster also measured
     # 100 MiB and 1 GiB variants, BASELINE.md tab5/tab8).
@@ -217,15 +220,10 @@ class BenchConfig:
                 f"invalid partconv H dtype: {self.partconv_h_dtype}")
         if self.iir_form not in ("scan", "blockstate"):
             raise ValueError(f"invalid iir form: {self.iir_form}")
-        if not 2 <= self.iir_block_m <= 128:
+        if self.iir_block_m != 0 and not 2 <= self.iir_block_m <= 128:
             raise ValueError(
-                f"iir_block_m ({self.iir_block_m}) must be in [2, 128]")
-        if (self.iir_form == "blockstate"
-                and self.buffer_size % self.iir_block_m != 0):
-            raise ValueError(
-                f"iir_block_m ({self.iir_block_m}) must divide "
-                f"buffer_size ({self.buffer_size}) for the blockstate "
-                "form")
+                f"iir_block_m ({self.iir_block_m}) must be 0 (auto) "
+                "or in [2, 128]")
         if not 1 <= self.session_eq_stages <= 16:
             # Staggered cutoffs 0.25 - 0.0125*k stay positive through
             # 16 stages (models/session.py).

@@ -64,15 +64,26 @@ class IIRBenchmark(StandardBufferBenchmark):
         # NeuralAmpLSTM streaming-form lesson, docs/BENCHMARKS.md).
         if self.cfg.iir_form == "blockstate":
             from gpuaudiobench_tpu.ops.iir import (
+                blockstate_effective_m,
                 blockstate_tables,
                 iir_biquad_blockstate,
+                iir_biquad_blockstate_pallas,
             )
 
-            taps, u = blockstate_tables(self.coeffs, self.cfg.iir_block_m)
+            # m = 0 means auto: 128 on the Pallas path (full-shape MXU
+            # chunk matmul), 16 on XLA; always clamped to a divisor of
+            # the buffer size.
+            req = self.cfg.iir_block_m or (
+                128 if self._impl == "pallas" else 16)
+            self._block_m = blockstate_effective_m(self.buffer_size, req)
+            taps, u = blockstate_tables(self.coeffs, self._block_m)
             taps_d, u_d = self.put_replicated(taps), self.put_replicated(u)
-
-            def filt(x, c, z):
-                return iir_biquad_blockstate(x, c, taps_d, u_d, z)
+            if self._impl == "pallas":
+                def filt(x, c, z):
+                    return iir_biquad_blockstate_pallas(x, c, taps_d, u_d, z)
+            else:
+                def filt(x, c, z):
+                    return iir_biquad_blockstate(x, c, taps_d, u_d, z)
         else:
             impl = self._impl
 
@@ -162,5 +173,5 @@ class IIRBenchmark(StandardBufferBenchmark):
             "form": self.cfg.iir_form,
         }
         if self.cfg.iir_form == "blockstate":
-            md["blockM"] = self.cfg.iir_block_m
+            md["blockM"] = self._block_m
         return md

@@ -340,6 +340,17 @@ def iir_cascade_pallas_chain(
 # the 512-long dependency chain), which is the headroom this form
 # trades FLOPs for. Same filter: tests pin bit-level-class agreement
 # (<= 1e-5 abs) against the sequential f32 reference.
+#
+# Two implementations:
+# * xla (iir_biquad_blockstate): lax.scan over chunk-major einsums --
+#   measured SLOWER than the scan kernel at every size (the chunk-major
+#   transposes add two full HBM passes; docs/BENCHMARKS.md A/B).
+# * pallas (iir_biquad_blockstate_pallas): at m = 128 the chunk update
+#   is a single full-shape (128, 128) @ (128, Tb) MXU matmul inside the
+#   same one-read/one-write tile the scan kernel uses, so the sample
+#   chain collapses from S dependent VPU steps to S/128 dependent MXU
+#   dispatches with NO extra HBM traffic -- the FLOP trade the XLA
+#   variant wanted, minus the layout passes it drowned in.
 
 
 def blockstate_tables(coeffs, m: int):
@@ -391,3 +402,102 @@ def iir_biquad_blockstate(x: jax.Array, coeffs: jax.Array,
 
     z, yc = jax.lax.scan(chunk, state, xc)
     return yc.transpose(1, 0, 2).reshape(tracks, s), z
+
+
+def _iir_blockstate_kernel(x_ref, t_ref, u_ref, c_ref, z_ref,
+                           y_ref, zout_ref, *, m: int):
+    """Block-state biquad kernel: x (S, Tb) sample-major, tracks on
+    lanes, the m-sample chunk loop in-kernel.
+
+    Per chunk: w = taps @ x_chunk on the MXU (full-shape at m = 128)
+    plus the rank-2 entering-state term as two VPU outer products; y is
+    the b-weighted combination of w with its 1- and 2-sample shifts
+    (boundary rows come from the carried state); the new state is w's
+    last two rows. One x read + one y write per tile -- identical HBM
+    traffic to _iir_kernel, S/m sequential steps instead of S.
+
+    t_ref: (m, m) Toeplitz taps; u_ref: (m, 2) state-response rows
+    (both from blockstate_tables); c_ref: (1, 8) = b0,b1,b2,... row;
+    z_ref/zout_ref: (2, Tb) state rows.
+    """
+    b0 = c_ref[0, 0]
+    b1 = c_ref[0, 1]
+    b2 = c_ref[0, 2]
+    s = x_ref.shape[0]
+    taps = t_ref[:]
+    u0 = u_ref[:, 0:1]  # (m, 1): response of w[j] to entering z1
+    u1 = u_ref[:, 1:2]
+
+    def chunk(i, carry):
+        z1, z2 = carry  # (1, Tb) rows
+        xk = x_ref[pl.ds(i * m, m), :]
+        w = jnp.dot(taps, xk, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        w = w + u0 * z1 + u1 * z2
+        wm1 = jnp.concatenate([z1, w[:-1, :]], axis=0)
+        wm2 = jnp.concatenate([z2, wm1[:-1, :]], axis=0)
+        y_ref[pl.ds(i * m, m), :] = b0 * w + b1 * wm1 + b2 * wm2
+        return (w[m - 1:m, :], w[m - 2:m - 1, :])
+
+    z1, z2 = jax.lax.fori_loop(
+        0, s // m, chunk, (z_ref[0:1, :], z_ref[1:2, :]))
+    zout_ref[0:1, :] = z1
+    zout_ref[1:2, :] = z2
+
+
+def blockstate_effective_m(s: int, block_m: int) -> int:
+    """Largest divisor of s that is <= block_m (pow-2 S gives pow-2 m)."""
+    m = min(block_m, s)
+    while s % m != 0:
+        m -= 1
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("track_block",))
+def iir_biquad_blockstate_pallas(
+    x: jax.Array, coeffs: jax.Array, taps: jax.Array, u: jax.Array,
+    state: jax.Array, track_block: int = 512,
+):
+    """Pallas block-state path. Same signature/tables as the XLA form;
+    m is taps.shape[0] (128 saturates the MXU; see BENCHMARKS.md A/B).
+    S must be a multiple of m (the model sizes m via blockstate_effective_m).
+    """
+    tracks, s = x.shape
+    m = taps.shape[0]
+    if s % m != 0:
+        raise ValueError(f"blockstate pallas: m ({m}) must divide S ({s})")
+    tb = min(track_block, tracks)
+    if tracks % tb != 0:
+        pad = (-tracks) % tb
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        sp = jnp.pad(state, ((0, pad), (0, 0)))
+        y, z = iir_biquad_blockstate_pallas(
+            xp, coeffs, taps, u, sp, track_block=tb)
+        return y[:tracks], z[:tracks]
+
+    xt = x.T  # (S, T)
+    zt = state.T  # (2, T)
+    c = jnp.pad(coeffs, (0, 3)).reshape(1, 8)
+
+    kernel = functools.partial(_iir_blockstate_kernel, m=m)
+    grid = (tracks // tb,)
+    y, zout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, tracks), x.dtype),
+            jax.ShapeDtypeStruct((2, tracks), x.dtype),
+        ],
+    )(xt, taps, u, c, zt)
+    return y.T, zout.T

@@ -168,9 +168,10 @@ def benchmark_params(name: str) -> List[Dict[str, Any]]:
             ),
             select(
                 "iirBlockM", "Blockstate m", d.iir_block_m,
-                _opts([8, 16, 32, 64]),
+                [{"value": 0, "label": "auto (128 pallas / 16 xla)"}]
+                + _opts([16, 32, 64, 128]),
                 "Samples advanced per step (blockstate form only; "
-                "must divide bufferSize)",
+                "clamped to a bufferSize divisor)",
             ),
         ]
     if name == "Conv1D":

@@ -220,11 +220,18 @@ def test_iir_blockstate_config_bounds():
     import pytest
 
     from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.ops.iir import blockstate_effective_m
 
-    with pytest.raises(ValueError, match="divide"):
-        BenchConfig(iir_form="blockstate", buffer_size=100,
-                    iir_block_m=16).validate()
     with pytest.raises(ValueError, match="iir form"):
         BenchConfig(iir_form="fir").validate()
-    # scan form never constrains the buffer size
-    BenchConfig(iir_form="scan", buffer_size=100).validate()
+    with pytest.raises(ValueError, match="iir_block_m"):
+        BenchConfig(iir_block_m=1).validate()
+    with pytest.raises(ValueError, match="iir_block_m"):
+        BenchConfig(iir_block_m=129).validate()
+    BenchConfig(iir_form="blockstate", iir_block_m=0).validate()  # auto
+    # m always clamps to a divisor, so odd buffers never error
+    BenchConfig(iir_form="blockstate", buffer_size=100,
+                iir_block_m=16).validate()
+    assert blockstate_effective_m(100, 16) == 10
+    assert blockstate_effective_m(512, 128) == 128
+    assert blockstate_effective_m(64, 128) == 64

@@ -475,3 +475,32 @@ def test_rndmem_pallas_buffer_sizes(rng, s):
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(rndmem_gather_pallas(pool, ph, tmpl))
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("tracks,s,m", [(8, 128, 128), (8, 256, 64),
+                                        (640, 128, 128)])
+def test_iir_blockstate_pallas_matches_sequential(rng, tracks, s, m):
+    """The block-state Pallas kernel is the SAME filter as the
+    sequential scan (<= 1e-5 abs incl. carried state across blocks and
+    the padded-tracks fallback path at 640 tracks)."""
+    from gpuaudiobench_tpu.ops.iir import (
+        blockstate_tables,
+        iir_biquad_blockstate_pallas,
+        iir_biquad_xla,
+    )
+    from gpuaudiobench_tpu.utils.data import biquad_lowpass_coefficients
+    import jax.numpy as jnp
+
+    coeffs = biquad_lowpass_coefficients(0.25)
+    c = jnp.asarray(np.array(coeffs, np.float32))
+    x = (rng.random((tracks, s), dtype=np.float32) * 2 - 1)
+    z0 = (rng.random((tracks, 2), dtype=np.float32) - 0.5)
+    taps, u = blockstate_tables(coeffs, m)
+    zp, zr = jnp.asarray(z0), jnp.asarray(z0)
+    for _ in range(3):  # carried state across 3 blocks
+        with pltpu.force_tpu_interpret_mode():
+            yp, zp = iir_biquad_blockstate_pallas(
+                jnp.asarray(x), c, jnp.asarray(taps), jnp.asarray(u), zp)
+        yr, zr = iir_biquad_xla(jnp.asarray(x), c, zr)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yr), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zp), np.asarray(zr), atol=1e-4)
