@@ -224,6 +224,17 @@ class BenchConfig:
             raise ValueError(
                 f"iir_block_m ({self.iir_block_m}) must be 0 (auto) "
                 "or in [2, 128]")
+        if self.iir_form == "blockstate":
+            # Both blockstate forms advance m >= 2 samples per step, so
+            # the buffer needs a divisor in [2, cap] (a prime buffer
+            # size has none; fail here, not at trace time).
+            cap = min(self.iir_block_m or 128, self.buffer_size)
+            if not any(self.buffer_size % m == 0
+                       for m in range(2, cap + 1)):
+                raise ValueError(
+                    f"blockstate needs a buffer_size divisor in "
+                    f"[2, {cap}]; {self.buffer_size} has none -- "
+                    "use iir_form scan")
         if not 1 <= self.session_eq_stages <= 16:
             # Staggered cutoffs 0.25 - 0.0125*k stay positive through
             # 16 stages (models/session.py).

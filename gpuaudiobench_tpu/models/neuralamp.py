@@ -155,13 +155,20 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
         params_bytes = sum(int(v.nbytes) for v in self._params.values())
 
         if params_bytes <= self._STREAM_CONST_BYTES:
-            x, params = self._resident_input, self._params
+            # Params as closure constants (the measured fast form for
+            # the latency-bound LSTM scan) -- but the INPUT block still
+            # rides the carry: it scales with n_tracks x buffer and is
+            # not bounded by the params check, so capturing it would
+            # re-inflate the serialized module at large track counts
+            # (the HTTP 413 class this gate exists to prevent).
+            params = self._params
 
-            def step(state):
+            def step(carry):
+                x, state = carry
                 y, state2 = block(x, state, params)
-                return state2, probe(y)
+                return (x, state2), probe(y)
 
-            return step, self._timing_state
+            return step, (self._resident_input, self._timing_state)
 
         # Large nets: input + weights ride the carry (returned
         # unchanged, so XLA aliases them).

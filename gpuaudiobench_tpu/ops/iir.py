@@ -446,10 +446,20 @@ def _iir_blockstate_kernel(x_ref, t_ref, u_ref, c_ref, z_ref,
 
 
 def blockstate_effective_m(s: int, block_m: int) -> int:
-    """Largest divisor of s that is <= block_m (pow-2 S gives pow-2 m)."""
+    """Largest divisor of s in [2, block_m] (pow-2 S gives pow-2 m).
+
+    Raises if no such divisor exists (prime S, or S whose factors all
+    exceed block_m): both blockstate forms need m >= 2 -- the carried
+    state is w's last TWO rows, so the m = 1 "chunk" degenerates.
+    """
     m = min(block_m, s)
-    while s % m != 0:
+    while m > 1 and s % m != 0:
         m -= 1
+    if m < 2:
+        raise ValueError(
+            f"blockstate needs a buffer-size divisor in "
+            f"[2, {min(block_m, s)}]; buffer_size {s} has none -- "
+            "use --iirForm scan")
     return m
 
 

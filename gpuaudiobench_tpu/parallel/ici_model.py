@@ -220,14 +220,21 @@ def session_collectives(block: int, axis_n: int) -> List[Dict[str, Any]]:
     """Track-sharded DAWSessionMix (--dataParallel), one block: the
     per-track EQ cascades and the pan/send partial products are local
     to each rank's track shard; the only cross-device traffic is the
-    psum that materializes the (replicated) reverb-bus block and the
-    stereo dry mix -- 3 x B floats of partial sums (bus + 2 pan rows),
-    independent of track count. The stereo PartConv reverb then runs
+    psums that materialize the (replicated) reverb-bus block and the
+    stereo dry mix -- 3 x B floats of partial sums total (bus + 2 pan
+    rows), independent of track count. The core emits them as TWO
+    separate sharded-axis contractions (the 't,tb->b' send einsum and
+    the 'ct,tb->cb' pan einsum, models/session.py), so the upper bound
+    prices two all-reduces -- each paying its own hop latency, which
+    dominates at these sizes -- rather than assuming XLA's all-reduce
+    combiner merges them. The stereo PartConv reverb then runs
     replicated (2-track bus, compute-local). This is why the session
     scales embarrassingly in T: wire cost is O(B), work is O(T)."""
     if axis_n <= 1:
         return []
     return [
-        {"label": "bus + stereo-mix psum", "kind": "psum",
-         "bytes": 3 * block * 4, "axis_n": axis_n},
+        {"label": "reverb-bus psum", "kind": "psum",
+         "bytes": block * 4, "axis_n": axis_n},
+        {"label": "stereo-dry-mix psum", "kind": "psum",
+         "bytes": 2 * block * 4, "axis_n": axis_n},
     ]

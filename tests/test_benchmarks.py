@@ -229,9 +229,18 @@ def test_iir_blockstate_config_bounds():
     with pytest.raises(ValueError, match="iir_block_m"):
         BenchConfig(iir_block_m=129).validate()
     BenchConfig(iir_form="blockstate", iir_block_m=0).validate()  # auto
-    # m always clamps to a divisor, so odd buffers never error
+    # m clamps to a divisor >= 2 when one exists...
     BenchConfig(iir_form="blockstate", buffer_size=100,
                 iir_block_m=16).validate()
     assert blockstate_effective_m(100, 16) == 10
     assert blockstate_effective_m(512, 128) == 128
     assert blockstate_effective_m(64, 128) == 64
+    # ...but a prime buffer has none in [2, 128]: both blockstate
+    # forms degenerate at m = 1 (the carry is w's last TWO rows), so
+    # config rejects it upfront and the op raises the same class.
+    with pytest.raises(ValueError, match="divisor"):
+        BenchConfig(iir_form="blockstate", buffer_size=509).validate()
+    with pytest.raises(ValueError, match="divisor"):
+        blockstate_effective_m(509, 128)
+    # scan has no such constraint.
+    BenchConfig(iir_form="scan", buffer_size=509).validate()

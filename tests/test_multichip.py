@@ -480,8 +480,11 @@ def test_session_ici_model_is_track_independent():
     )
 
     cols = session_collectives(block=512, axis_n=4)
-    assert [c["kind"] for c in cols] == ["psum"]
-    assert cols[0]["bytes"] == 3 * 512 * 4  # no track term
+    # Two separate sharded-axis contractions in the core (bus send +
+    # stereo pan), each priced as its own all-reduce; 3B floats total,
+    # no track term.
+    assert [c["kind"] for c in cols] == ["psum", "psum"]
+    assert sum(c["bytes"] for c in cols) == 3 * 512 * 4
     pred = predict(cols)
     assert 0 < pred["predicted_total_ms"] < 0.1
     assert session_collectives(512, 1) == []

@@ -234,6 +234,11 @@ def test_stream_body_embeds_no_large_constants():
         # ~4.2 MB gate/out matrices if embedded
         ("NeuralAmpLSTM", dict(n_tracks=2, buffer_size=64,
                                neuralamp_channels=512)),
+        # Small-params regime (H=128 ~0.5 MB embeds as closure
+        # constants, the measured fast form) with a LARGE input block:
+        # x = 2048 x 512 x 4 = 4 MB must ride the carry, not the
+        # closure -- the params threshold does not bound it.
+        ("NeuralAmpLSTM", dict(n_tracks=2048)),
     ]
     for name, kw in cases:
         cfg = BenchConfig(n_runs=1, warmup=1, verification="none",
