@@ -50,11 +50,15 @@ MAX_S_EFF = 2048  # fetch*128 - s_eff <= POOL_PAD holds through here
 
 
 def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem,
-                   *, out_rows: int, fetch_rows: int):
-    """Double-buffered DMA pipeline: while this grid step's fetched
-    windows are cut out, the NEXT step's DMAs are already in flight
-    into the other scratch slot -- the gather runs at DMA throughput
-    instead of serialized DMA latency."""
+                   *, out_rows: int, fetch_rows: int, tps: int,
+                   n_slots: int):
+    """Multi-buffered DMA pipeline: while this grid step's fetched
+    windows are cut out, the next (n_slots - 1) steps' DMAs are already
+    in flight into the other scratch slots -- the gather runs at DMA
+    throughput instead of serialized DMA latency. tps DMAs start per
+    step, so up to tps * (n_slots - 1) are outstanding while a step
+    computes (default 32 x 1; the tuning sweep is
+    tools/rndmem_tune.py)."""
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -62,54 +66,68 @@ def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem,
         # POOL_PAD guarantees base_row + fetch_rows stays in bounds; a
         # tail clamp would reintroduce a row offset (q > 0) the batched
         # lane-only cut-out below cannot express.
-        base_row = ph_ref[g * TRACKS_PER_STEP + j] // 128
+        base_row = ph_ref[g * tps + j] // 128
         return pltpu.make_async_copy(
             pool_ref.at[pl.ds(base_row, fetch_rows), :],
             scratch.at[slot, j],
             sem.at[slot, j],
         )
 
-    @pl.when(step == 0)
-    def _():
-        for j in range(TRACKS_PER_STEP):
-            dma_for(0, 0, j).start()
+    # Prologue: fill slots 0..n_slots-2 with steps 0..n_slots-2 (the
+    # n_slots=2 case degenerates to "start step 0").
+    for k in range(n_slots - 1):
+        @pl.when((step == 0) & (k < n_steps))
+        def _(k=k):
+            for j in range(tps):
+                dma_for(k, k, j).start()
 
-    @pl.when(step + 1 < n_steps)
-    def _():
-        nxt = (step + 1) % 2
-        for j in range(TRACKS_PER_STEP):
-            dma_for(step + 1, nxt, j).start()
+    # Steady state: while waiting on this step, keep the pipe
+    # n_slots-1 steps ahead.
+    la = step + n_slots - 1
 
-    slot = step % 2
-    for j in range(TRACKS_PER_STEP):
+    @pl.when(la < n_steps)
+    def _():
+        for j in range(tps):
+            dma_for(la, la % n_slots, j).start()
+
+    slot = step % n_slots
+    for j in range(tps):
         dma_for(step, slot, j).wait()
 
     # Batched cut-out. moff is the per-track lane offset ph % 128,
-    # broadcast to (32, 128) host-side so it arrives lane-resident.
-    moff = moff_ref[...]  # (32, 128) int32, constant across lanes
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TRACKS_PER_STEP, 128), 1)
+    # broadcast to (tps, 128) host-side so it arrives lane-resident.
+    moff = moff_ref[...]  # (tps, 128) int32, constant across lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tps, 128), 1)
     idx = (moff + lane) & 127
     idx_rep = jnp.broadcast_to(
-        idx[:, None, :], (TRACKS_PER_STEP, fetch_rows, 128)
-    ).reshape(TRACKS_PER_STEP * fetch_rows, 128)
+        idx[:, None, :], (tps, fetch_rows, 128)
+    ).reshape(tps * fetch_rows, 128)
     g = jnp.take_along_axis(
-        scratch[slot].reshape(TRACKS_PER_STEP * fetch_rows, 128),
+        scratch[slot].reshape(tps * fetch_rows, 128),
         idx_rep, axis=1,
-    ).reshape(TRACKS_PER_STEP, fetch_rows, 128)
+    ).reshape(tps, fetch_rows, 128)
     a = g[:, :out_rows, :]  # lanes < 128 - m: this row
     b = g[:, 1:out_rows + 1, :]  # lanes >= 128 - m: successor row
     seam = (lane < 128 - moff)[:, None, :]
     sel = jnp.where(seam, a, b)
-    out_ref[...] = sel.reshape(TRACKS_PER_STEP * out_rows, 128)
+    out_ref[...] = sel.reshape(tps * out_rows, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("logical_len",))
+@functools.partial(jax.jit, static_argnames=("logical_len",
+                                              "tracks_per_step",
+                                              "n_slots"))
 def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
                          out_template: jax.Array, *,
-                         logical_len: int | None = None):
+                         logical_len: int | None = None,
+                         tracks_per_step: int = TRACKS_PER_STEP,
+                         n_slots: int = 2):
     """Same contract as rndmem_gather: returns (S, T) interleaved.
     See the module docstring for the supported-shape envelope and the
     POOL_PAD requirement.
+
+    ``tracks_per_step``/``n_slots`` shape the DMA pipeline (DMAs
+    started per grid step / scratch buffers cycled); defaults are the
+    shipped tuning, tools/rndmem_tune.py sweeps them on-chip.
 
     ``logical_len`` is the addressable pool length (samples) BEFORE the
     POOL_PAD tail slack was appended. A padded and an unpadded pool are
@@ -126,12 +144,16 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
             "(tail slack for unclamped per-track row DMAs); pad the pool "
             "with POOL_PAD zeros as models/rndmem.py does"
         )
+    tps = tracks_per_step
+    if n_slots < 2:
+        raise ValueError("n_slots must be >= 2 (the wait slot plus at "
+                         "least one in-flight slot)")
     s_eff = max(128, s)
     if (
         s_eff % 128 != 0
         or s_eff > MAX_S_EFF
         or pool.shape[0] % 1024 != 0
-        or t % TRACKS_PER_STEP != 0
+        or t % tps != 0
     ):
         from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
 
@@ -146,27 +168,28 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
     ).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t // TRACKS_PER_STEP,),
+        grid=(t // tps,),
         in_specs=[
             pl.BlockSpec(
-                (TRACKS_PER_STEP, 128), lambda i, *_: (i, 0),
+                (tps, 128), lambda i, *_: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # pool stays HBM
         ],
         out_specs=pl.BlockSpec(
-            (TRACKS_PER_STEP * out_rows, 128), lambda i, *_: (i, 0),
+            (tps * out_rows, 128), lambda i, *_: (i, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, TRACKS_PER_STEP, fetch_rows, 128), jnp.float32
+                (n_slots, tps, fetch_rows, 128), jnp.float32
             ),
-            pltpu.SemaphoreType.DMA((2, TRACKS_PER_STEP)),
+            pltpu.SemaphoreType.DMA((n_slots, tps)),
         ],
     )
     kernel = functools.partial(
-        _rndmem_kernel, out_rows=out_rows, fetch_rows=fetch_rows
+        _rndmem_kernel, out_rows=out_rows, fetch_rows=fetch_rows,
+        tps=tps, n_slots=n_slots,
     )
     rows = pl.pallas_call(
         kernel,

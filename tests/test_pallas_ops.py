@@ -80,6 +80,27 @@ def test_rndmem_pallas_matches_gather(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("tps,slots", [(16, 3), (32, 4), (64, 2)])
+def test_rndmem_pallas_pipeline_variants(rng, tps, slots):
+    """The DMA-pipeline knobs (DMAs per step / scratch slots,
+    tools/rndmem_tune.py's sweep axes) never change the gather's
+    value."""
+    from gpuaudiobench_tpu.ops.rndmem import rndmem_gather
+    from gpuaudiobench_tpu.ops.rndmem_pallas import (
+        POOL_PAD,
+        rndmem_gather_pallas,
+    )
+
+    pool = rng.random(16 * 1024 + POOL_PAD, dtype=np.float32)
+    ph = rng.integers(0, 16 * 1024 - 512, 64).astype(np.int32)
+    tmpl = np.zeros((64, 512), np.float32)
+    ref = np.asarray(rndmem_gather(pool, ph, tmpl))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(rndmem_gather_pallas(
+            pool, ph, tmpl, tracks_per_step=tps, n_slots=slots))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_rndmem_pallas_fallback_small_buffer(rng):
     from gpuaudiobench_tpu.ops.rndmem_pallas import rndmem_gather_pallas
 
