@@ -109,11 +109,15 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
                     zs.append(z)
                 return y, jnp.stack(zs)
 
-        def step(states):
-            y, zs = cascade(x, coeffs, states)
-            return zs, probe(y)
+        # Input in the carry, not the closure (module-embedding lesson,
+        # models/iir.py stream_body); the (K, 5) coeff table stays a
+        # closure constant.
+        def step(carry):
+            xc, states = carry
+            y, zs = cascade(xc, coeffs, states)
+            return (xc, zs), probe(y)
 
-        return step, dev.to_device(self._zero_state)
+        return step, (x, dev.to_device(self._zero_state))
 
     def validate(self) -> ValidationData:
         v = compare_abs(

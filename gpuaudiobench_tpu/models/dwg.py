@@ -235,27 +235,30 @@ class DWGBenchmark(Benchmark):
             )
             n_long, n_rounds = self._n_long, self._n_rounds
 
+            # Excitation block in the carry (aliased), not the closure
+            # (module-embedding lesson, models/iir.py stream_body);
+            # the per-voice const rows (~24 B/voice) stay closures.
             def step(carry):
-                sf, sb = carry
+                xc, sf, sb = carry
                 out, sf, sb = dwg_stream_step(
-                    x, sf, sb, c["lengths"], c["in_taps"], c["out_taps"],
+                    xc, sf, sb, c["lengths"], c["in_taps"], c["out_taps"],
                     c["gains"], c["refl"], c["damp"],
                     n_long=n_long, n_rounds=n_rounds,
                 )
-                return (sf, sb), probe(out)
+                return (xc, sf, sb), probe(out)
 
             return step, (
-                self.put_sharded(sf0), self.put_sharded(sb0)
+                x, self.put_sharded(sf0), self.put_sharded(sb0)
             )
 
         run = self._run
 
         def step(carry):
-            fwd, bwd = carry
-            out, f2, b2 = run(x, fwd, bwd)
-            return (f2, b2), probe(out)
+            xc, fwd, bwd = carry
+            out, f2, b2 = run(xc, fwd, bwd)
+            return (xc, f2, b2), probe(out)
 
-        return step, self._resident_rails
+        return step, (x,) + tuple(self._resident_rails)
 
     def validate(self) -> ValidationData:
         if self.cfg.verification == "none":

@@ -173,13 +173,17 @@ class FDTD3DBenchmark(Benchmark):
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 
-        x, block = self._resident_input, self._block
+        block = self._block
 
-        def step(fields):
+        # The source block rides the carry (aliased, returned
+        # unchanged), not the closure -- the module-embedding lesson
+        # (models/iir.py stream_body).
+        def step(carry):
+            x, fields = carry
             out, *new_fields = block(x, *fields)
-            return tuple(new_fields), probe(out)
+            return (x, tuple(new_fields)), probe(out)
 
-        return step, self._zero_fields
+        return step, (self._resident_input, self._zero_fields)
 
     def validate(self) -> ValidationData:
         return compare_abs(

@@ -126,13 +126,19 @@ class IIRBenchmark(StandardBufferBenchmark):
         from gpuaudiobench_tpu.harness.streaming import probe
 
         filt = self._filter
-        x, c = self._resident_input, self._coeffs_dev
+        c = self._coeffs_dev
 
-        def step(z):
+        # The input block rides the carry (returned unchanged, so XLA
+        # aliases it): a closure capture serializes T x S x 4 bytes
+        # into the compiled module and into remote compile requests --
+        # measured HTTP 413 at 131072 tracks (chip_queue9). The 5-float
+        # coeff row stays a closure constant.
+        def step(carry):
+            x, z = carry
             y, z2 = filt(x, c, z)
-            return z2, probe(y)
+            return (x, z2), probe(y)
 
-        return step, self._timing_state
+        return step, (self._resident_input, self._timing_state)
 
     def cost_model(self):
         n = self.total_elements()

@@ -205,17 +205,18 @@ class PartConvBenchmark(StandardBufferBenchmark):
 
         x, block = self._resident_input, self._block
 
-        # The IR spectra ride in the carry (returned unchanged, so XLA
-        # aliases them): a closure capture would serialize ~8 bytes per
-        # (track, partition, bin) into the compiled module -- and into
+        # The IR spectra and the (T, S) input block ride in the carry
+        # (returned unchanged, so XLA aliases them): a closure capture
+        # would serialize ~8 bytes per (track, partition, bin) -- plus
+        # T x S x 4 input bytes -- into the compiled module and into
         # remote compile requests, which 1024-track soaks / multi-k
         # track capacity probes overflow (HTTP 413).
         def step(carry):
-            state, h = carry
-            y, state2 = block(x, state, h)
-            return (state2, h), probe(y)
+            xc, state, h = carry
+            y, state2 = block(xc, state, h)
+            return (xc, state2, h), probe(y)
 
-        return step, (self._timing_state, self._h)
+        return step, (x, self._timing_state, self._h)
 
     def cost_model(self):
         t, b = self.track_count, self.buffer_size

@@ -106,17 +106,19 @@ class RndMemBenchmark(Benchmark):
         ends = self.put_sharded(self.playheads_end.astype(np.int32))
         s = self.buffer_size
 
-        # The 512 MiB pool rides in the carry: a closure capture would
-        # be serialized into the compiled module (and into remote
-        # compile requests) instead of staying a runtime argument.
+        # The 512 MiB pool AND the per-track loop bounds ride in the
+        # carry: a closure capture would be serialized into the
+        # compiled module (and into remote compile requests) instead of
+        # staying a runtime argument -- the bounds alone are 8 B/track.
         def step(carry):
-            pool, ph = carry
+            pool, st, en, ph = carry
             out = gather(pool, ph, tmpl)
             ph2 = ph + s
-            ph2 = jnp.where(ph2 >= ends, starts, ph2)  # _update_playheads
-            return (pool, ph2), probe(out)
+            ph2 = jnp.where(ph2 >= en, st, ph2)  # _update_playheads
+            return (pool, st, en, ph2), probe(out)
 
-        return step, (self._pool_dev, self.put_sharded(self.playheads))
+        return step, (self._pool_dev, starts, ends,
+                      self.put_sharded(self.playheads))
 
     def validate(self) -> ValidationData:
         t, s = self.track_count, self.buffer_size

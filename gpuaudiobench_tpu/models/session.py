@@ -248,17 +248,21 @@ class DAWSessionMixBenchmark(StandardBufferBenchmark):
         x, coeffs = self._resident_input, self._coeffs_dev
         send, pan2 = self._send, self._pan2
 
-        # The IR spectra ride in the carry (returned unchanged, so XLA
-        # aliases them) rather than closing over them -- the PartConv
-        # lesson: closure-captured arrays serialize into the module.
+        # The IR spectra AND every track-scaled operand (the (T, S)
+        # input block, send levels, pan matrix) ride in the carry
+        # (returned unchanged, so XLA aliases them) rather than closing
+        # over them -- the PartConv lesson: closure-captured arrays
+        # serialize into the module (and remote compile requests; the
+        # input alone is 128 MB at 65536 strips). Only the 5-float EQ
+        # coeff rows stay closure constants.
         def step(carry):
-            eq, prev, fre, fim, h = carry
+            x, send_c, pan_c, eq, prev, fre, fim, h = carry
             mix, eq2, xbus, fre2, fim2 = step_fn(
-                x, coeffs, eq, send, pan2, prev, fre, fim, *h)
-            return (eq2, xbus, fre2, fim2, h), probe(mix)
+                x, coeffs, eq, send_c, pan_c, prev, fre, fim, *h)
+            return (x, send_c, pan_c, eq2, xbus, fre2, fim2, h), probe(mix)
 
         eq, prev, fre, fim = self._timing
-        return step, (eq, prev, fre, fim, self._h)
+        return step, (x, send, pan2, eq, prev, fre, fim, self._h)
 
     def _replay_clamp(self) -> int:
         settle_blocks = -(-_EQ_SETTLE_SAMPLES // self.buffer_size)

@@ -161,16 +161,18 @@ def test_streaming_body_equals_iterate_stream():
     step, carry = b.stream_body()
     # Above _STREAM_CONST_BYTES the carry rides (input, params, state)
     # so the weights stay runtime operands (not embedded constants) and
-    # must come back unchanged so XLA can alias them; below it they are
-    # deliberate closure constants (the LSTM scan measured +70%
-    # saturated as runtime operands) and the carry is just the state.
+    # must come back unchanged so XLA can alias them; below it the
+    # weights are deliberate closure constants (the LSTM scan measured
+    # +70% saturated as runtime operands) but the INPUT still rides the
+    # carry (it scales with tracks x buffer): (input, state).
     params_bytes = sum(int(v.nbytes) for v in b._params.values())
     carried_form = params_bytes > b._STREAM_CONST_BYTES
+    assert carry[0] is b._resident_input
     if carried_form:
-        assert carry[0] is b._resident_input and carry[1] is b._params
+        assert carry[1] is b._params
     for _ in range(4):
         carry, _ = step(carry)
-    state = carry[2] if carried_form else carry
+    state = carry[2] if carried_form else carry[1]
     y, _ = na.tcn_block(
         b._resident_input, state, b._params,
         layers=b.layers, dtype=b.dtype)
@@ -469,9 +471,13 @@ def test_stream_params_form_thresholded():
         arch="lstm")
     small.setup()
     _, carry = small.stream_body()
-    # state-only carry: (h, c) pair of arrays, no params dict inside
+    # (input, state) carry: params dict embedded, but the input block
+    # still rides the carry (it scales with tracks x buffer).
     assert isinstance(carry, tuple) and len(carry) == 2
-    assert all(isinstance(c, jax.Array) for c in carry)
+    assert carry[0] is small._resident_input
+    assert not any(isinstance(c, dict) for c in carry)
+    assert all(isinstance(c, jax.Array)
+               for c in jax.tree_util.tree_leaves(carry))
 
     big = NeuralAmpBenchmark(
         BenchConfig(n_runs=1, warmup=1, verification="none", quiet=True,

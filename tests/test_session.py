@@ -129,7 +129,7 @@ def test_streaming_matches_iterate_evolution():
     b2 = _bench(n_tracks=8, buffer_size=64, ir_length=300)
     for _ in range(2):
         b2.iterate()
-    eq, prev, fre, fim, _h = carry
+    _x, _send, _pan, eq, prev, fre, fim, _h = carry
     np.testing.assert_allclose(np.asarray(eq), np.asarray(b2._eq),
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(fre), np.asarray(b2._fre),

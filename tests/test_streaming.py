@@ -239,6 +239,15 @@ def test_stream_body_embeds_no_large_constants():
         # x = 2048 x 512 x 4 = 4 MB must ride the carry, not the
         # closure -- the params threshold does not bound it.
         ("NeuralAmpLSTM", dict(n_tracks=2048)),
+        # Input-block captures (measured HTTP 413 at 131072 IIR tracks,
+        # chip_queue9: T x S x 4 input bytes serialized per module).
+        # Every stateful stream body must carry its x: 2048 tracks
+        # puts 4 MB against the 2 MB budget.
+        ("IIRFilter", dict(n_tracks=2048)),
+        ("BiquadChain", dict(n_tracks=2048)),
+        ("DAWSessionMix", dict(n_tracks=2048)),
+        ("DWG1DNaive", dict(n_tracks=2048)),
+        ("FDTD3D", dict(n_tracks=2048)),
     ]
     for name, kw in cases:
         cfg = BenchConfig(n_runs=1, warmup=1, verification="none",
