@@ -114,6 +114,49 @@ def test_probe_exception_counts_as_infeasible(tmp_path, monkeypatch):
     rec = json.loads(out.read_text())
     assert rec["capacity"] == 256
     assert any("error" in p for p in rec["probes"])
+    # The bounding probe raised RESOURCE_EXHAUSTED, so the record must
+    # disclose a memory wall, not imply a deadline-bound capacity.
+    assert rec["wall_class"] == "memory"
+    md = cap.render_md([rec])
+    assert "memory wall" in md
+
+
+def test_classify_wall():
+    from capacity import classify_wall
+
+    assert classify_wall(
+        "INTERNAL: http://x/remote_compile: HTTP 413: Failed to buffer "
+        "the request body: length limit exceeded") == "transport"
+    assert classify_wall("RESOURCE_EXHAUSTED: alloc") == "memory"
+    assert classify_wall("Out of memory allocating 8G") == "memory"
+    assert classify_wall("something else entirely") == "error"
+
+
+def test_deadline_wall_class(tmp_path, monkeypatch):
+    """A probe that RUNS and misses p99 bounds a genuine deadline
+    wall; the record says so (wall_class='deadline')."""
+    import capacity as cap
+
+    def fake_harness_probe(benchmark, field, args, device_timing=False):
+        def evaluate(value):
+            p99 = 0.1 if value <= 256 else 99.0
+            return p99 <= 10.667, {
+                "value": value, "saturated_p50_ms": p99,
+                "saturated_p99_ms": p99, "valid": True,
+                "device_p50_ms": p99 / 2}
+        return evaluate
+
+    monkeypatch.setattr(cap, "harness_probe", fake_harness_probe)
+    out = tmp_path / "cap.json"
+    rc = cap.main([
+        "--benchmark", "gain", "--lo", "128", "--hi", "1024",
+        "--quantum", "128", "--maxEvals", "8", "--json", str(out),
+    ])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["capacity"] == 256
+    assert rec["wall_class"] == "deadline"
+    assert "wall" not in cap.render_md([rec])
 
 
 def test_modal_skips_golden_when_verification_none():

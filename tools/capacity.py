@@ -60,6 +60,22 @@ def quantize(v: int, quantum: int, lo: int) -> int:
     return max(lo, (v // quantum) * quantum)
 
 
+def classify_wall(err: str) -> str:
+    """What actually stopped a failed probe. 'deadline' misses never
+    raise, so an exception means the wall is NOT the reference's
+    criterion -- say which infrastructure wall it was:
+      transport -- the relay's remote-compile request cap (HTTP 413;
+                   a capacity bounded here is a rig number, not a chip
+                   number -- see docs/OPERATIONS.md);
+      memory    -- device allocation (RESOURCE_EXHAUSTED / OOM);
+      error     -- anything else (investigate the probe record)."""
+    if "413" in err or "length limit" in err:
+        return "transport"
+    if "RESOURCE_EXHAUSTED" in err or "out of memory" in err.lower():
+        return "memory"
+    return "error"
+
+
 def search_capacity(evaluate, lo, hi, quantum, max_evals):
     """Largest v in [lo, hi] (quantum grid) with evaluate(v) True.
 
@@ -213,7 +229,9 @@ def run_one(benchmark: str, args) -> dict:
         try:
             ok, d = probe(v)
         except Exception as e:  # noqa: BLE001 - any probe failure = miss
-            details.append({"value": v, "error": f"{type(e).__name__}: {e}"})
+            details.append({"value": v,
+                            "error": f"{type(e).__name__}: {e}",
+                            "wall_class": classify_wall(str(e))})
             print(f"  probe {field}={v}: FAILED ({type(e).__name__}) "
                   "-> treated as infeasible", file=sys.stderr)
             return False
@@ -266,6 +284,18 @@ def run_one(benchmark: str, args) -> dict:
     pass_vals = [v for v, ok in probes if ok]
     boundary_gap = (min(fail_vals) - max(pass_vals)
                     if fail_vals and pass_vals else None)
+    # Which wall bounds the reported capacity: the deadline (a probe
+    # that RAN and missed), or an infrastructure wall (the bounding
+    # probe raised -- transport/memory/error via classify_wall).
+    wall_class = None
+    if fail_vals:
+        bounding = min(fail_vals)
+        for d in details:
+            if d.get("value") == bounding and "error" in d:
+                wall_class = d["wall_class"]
+                break
+        else:
+            wall_class = "deadline"
     budget_exhausted = (capacity is not None and not ceiling
                         and (not fail_vals
                              or (boundary_gap is not None
@@ -284,6 +314,7 @@ def run_one(benchmark: str, args) -> dict:
         "pipeline_depth": args.pipelineDepth,
         "saturated_reps": args.satReps,
         "config_overrides": parse_overrides(args.set),
+        "wall_class": wall_class,
         "probes": details,
         "confirmation": confirm,
     }
@@ -302,6 +333,9 @@ def run_one(benchmark: str, args) -> dict:
                      "raise --maxEvals)")
     else:
         qualifier = ""
+    if wall_class and wall_class != "deadline":
+        qualifier += (f" [bounded by a {wall_class} wall, not the "
+                      "deadline]")
     print(f"RESULT: {benchmark} sustains {field}={capacity}{qualifier} "
           f"at buffer {args.bufferSize} @ {args.fs} Hz "
           f"(sat p99 {confirm['saturated_p99_ms']} ms vs "
@@ -342,6 +376,10 @@ def render_md(records, path=None):
                     if gap is not None else ">= only (budget)")
         else:
             note = ""
+        wc = r.get("wall_class")
+        if wc and wc != "deadline":
+            wall = f"{wc} wall"
+            note = f"{note}; {wall}" if note else wall
         over = r.get("config_overrides") or {}
         if over:
             pairs = " ".join(f"{k}={v}" for k, v in sorted(over.items()))
