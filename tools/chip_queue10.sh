@@ -10,11 +10,10 @@
 #   2. NeuralAmpLSTM saturated spot-check: the x-to-carry fix must not
 #      re-trigger the params-in-carry regression class (archived
 #      0.576 ms/block; params stay closure constants, only x moved).
-#   3. Capacity re-searches with the fix: IIRFilter (scan) and
-#      DAWSessionMix past the old 413 wall (hi = 1M tracks; memory
-#      walls now mean HBM, not transport). RndMemRead only if
-#      chip_queue9's search was 413-bound (its module embeds no
-#      track-scaled input, so its queue9 result may already be real).
+#   3. Capacity re-search with the fix: IIRFilter (scan) past the old
+#      413 wall (hi = 2M tracks). RndMemRead (261120, deadline) and
+#      DAWSessionMix (search ran post-fix in chip_queue9) already
+#      found genuine walls and are not re-searched.
 #   4. Fresh-process confirms at the found capacities.
 #   5. Full suite regen gated by compare_runs (the satreps-wide
 #      regression detector for the stream-carry change).
@@ -63,7 +62,6 @@ cap() { # name json extra-args...
     --pipelineDepth 16 --json "$LOG/cap_$name.json" "$@"
 }
 cap iir_scan --benchmark IIRFilter --lo 131072 --hi 2097152 --quantum 2048
-cap session --benchmark DAWSessionMix --lo 131072 --hi 1048576 --quantum 2048
 
 # ---- 4. fresh-process confirmation at each found capacity -----------
 confirm() { # name benchmark extra-flags...
@@ -88,7 +86,6 @@ EOF
     --outputfile "$LOG/confirm_$name.csv"
 }
 confirm iir_scan IIRFilter
-confirm session DAWSessionMix
 grep -hE "===|Saturated|Device M|Validation" "$LOG"/confirm_*.log \
   2>/dev/null | tee -a "$LOG/summary.log" || true
 
