@@ -9,11 +9,13 @@ peak -- and random-access DRAM efficiency should rise with outstanding
 requests, so this sweeps the two knobs and reports device-equivalent
 ms/dispatch and useful GB/s per configuration.
 
-Timing: each config is one jitted lax.scan chain of DEPTH dispatches
-(carry-folds one output element so iterations serialize), timed with
-block_until_ready and NO readback of computed results (the relay's
-D2H-poisoning gotcha); per-dispatch = wall / DEPTH, amortizing the
-dispatch latency like the harness's saturated tier.
+Timing: each config is the harness's own saturated tier --
+``barrier_chain`` (optimization_barrier ties block k+1's inputs to
+block k's output, so the loop-invariant gather cannot be hoisted out
+of the scan; a carry-fold of one output element is NOT enough, XLA
+LICM'd exactly that in this tool's first version and reported an
+impossible 112 TB/s) + ``measure_saturated`` (real 1-element-probe
+D2H sync); per-dispatch = wall / DEPTH, amortizing dispatch latency.
 
 Usage: python tools/rndmem_tune.py [out.md] [--tracks N] [--poolMiB M]
 """
@@ -23,13 +25,10 @@ from __future__ import annotations
 import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
 import argparse
-import functools
-import time
 
 GRID = [(32, 2), (32, 3), (32, 4), (64, 2), (64, 3), (16, 4), (128, 2)]
 DEPTH = 64
 REPS = 5
-WARMUP = 2
 
 
 def main() -> int:
@@ -38,7 +37,13 @@ def main() -> int:
     ap.add_argument("--tracks", type=int, default=16384)
     ap.add_argument("--poolMiB", type=int, default=512)
     ap.add_argument("--bufferSize", type=int, default=512)
+    ap.add_argument("--depth", type=int, default=DEPTH)
+    ap.add_argument("--reps", type=int, default=REPS)
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpret mode (hardware-free smoke; "
+                         "timings are meaningless)")
     args = ap.parse_args()
+    depth, reps = args.depth, args.reps
 
     import jax
     import jax.numpy as jnp
@@ -58,33 +63,37 @@ def main() -> int:
         rng.integers(0, logical - s, t).astype(np.int32)))
     tmpl = jnp.zeros((t, s), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("tps", "slots"))
-    def chained(pool, ph, *, tps, slots):
-        def body(c, _):
-            y = rndmem_gather_pallas(
+    from gpuaudiobench_tpu.harness.streaming import (
+        barrier_chain,
+        measure_saturated,
+    )
+
+    def make_gather(tps, slots):
+        def fn(pool, ph):
+            return rndmem_gather_pallas(
                 pool, ph, tmpl, logical_len=logical,
                 tracks_per_step=tps, n_slots=slots)
-            # Fold one lane into the carry so iterations serialize.
-            return c + y[0, 0], None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=DEPTH)
-        return c
+        return fn
+
+    import contextlib
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def ctx():  # single-use CM: construct per config
+        return (pltpu.force_tpu_interpret_mode() if args.interpret
+                else contextlib.nullcontext())
 
     useful = t * s * 4
     rows = []
     for tps, slots in GRID:
         if t % tps:
             continue
-        f = functools.partial(chained, tps=tps, slots=slots)
-        for _ in range(WARMUP):
-            f(pool, ph0).block_until_ready()
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            f(pool, ph0).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        ms = 1e3 * best / DEPTH
-        gbs = useful / (best / DEPTH) / 1e9
+        step, carry = barrier_chain(make_gather(tps, slots), pool, ph0)
+        with ctx():
+            lats = measure_saturated(step, carry, depth, reps=reps)
+        ms = min(lats)
+        gbs = useful / (ms / 1e3) / 1e9
         rows.append((tps, slots, ms, gbs))
         print(f"tps={tps:4d} slots={slots} : {ms:.4f} ms/dispatch "
               f"{gbs:7.1f} GB/s useful", flush=True)
@@ -94,10 +103,10 @@ def main() -> int:
         "# RndMem DMA-pipeline tuning sweep",
         "",
         f"{t} tracks x {s} samples from a {args.poolMiB} MiB pool; "
-        f"chained scan depth {DEPTH}, min of {REPS} reps "
-        "(dispatch-amortized, no readback). Useful GB/s counts the "
-        "gathered window bytes only (the tile-rounded fetch moves "
-        "~2x that).",
+        f"chained scan depth {depth}, min of {reps} reps "
+        "(dispatch-amortized; sync is the harness's 1-element probe "
+        "read). Useful GB/s counts the gathered window bytes only "
+        "(the tile-rounded fetch moves ~2x that).",
         "",
         "| tps | slots | ms/dispatch | useful GB/s |",
         "|---:|---:|---:|---:|",
