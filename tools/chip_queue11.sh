@@ -41,4 +41,15 @@ run_step rndmem_tune 5400 python tools/rndmem_tune.py \
   docs/RESULTS_r3_rndmem_tune.md
 grep -hE "tps=" "$LOG/rndmem_tune.log" | tee -a "$LOG/summary.log" || true
 
+# Soak refreshes on the undiluted state-RMS metric: the archived
+# PartConv and DAWSessionMix soaks averaged their constant carried
+# spectra into state RMS (the metric now excludes un-evolved leaves),
+# so their carry-integrity rows said little. Timing rows were fine.
+run_step soak_partconv 1800 python tools/soak.py 120 \
+  docs/RESULTS_r3_soak_partconv.md PartConv 1024
+run_step soak_session 1800 python tools/soak.py 120 \
+  docs/RESULTS_r3_soak_session.md DAWSessionMix 1024
+grep -hE "state RMS|ms/block \(mean\)|deadline" \
+  "$LOG"/soak_*.log 2>/dev/null | tee -a "$LOG/summary.log" || true
+
 note "=== chip_queue11 done ==="
