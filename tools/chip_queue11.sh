@@ -41,6 +41,49 @@ run_step rndmem_tune 5400 python tools/rndmem_tune.py \
   docs/RESULTS_r3_rndmem_tune.md
 grep -hE "tps=" "$LOG/rndmem_tune.log" | tee -a "$LOG/summary.log" || true
 
+# Re-establish the chip_queue9 capacity results that died with /tmp:
+# the RndMemRead genuine deadline wall (261120 tracks) survives only
+# as a script comment, and the DAWSessionMix post-fix wall value was
+# lost entirely. Search session past the archived 65536 ceiling and
+# take fresh-process confirmation numbers at both walls so
+# RESULTS_r3_capacity.md can carry measured rows, not comments.
+run_step cap_session 14400 python tools/capacity.py \
+  --benchmark DAWSessionMix --verification none --maxEvals 14 \
+  --nRuns 3 --warmup 2 --pipelineDepth 16 \
+  --lo 65536 --hi 1048576 --quantum 2048 --json "$LOG/cap_session.json"
+run_step cap_rndmem 7200 python tools/capacity.py \
+  --benchmark RndMemRead --verification none --maxEvals 6 \
+  --nRuns 3 --warmup 2 --pipelineDepth 16 \
+  --lo 212992 --hi 311296 --quantum 2048 --json "$LOG/cap_rndmem.json"
+grep -hE "RESULT" "$LOG"/cap_*.log 2>/dev/null \
+  | tee -a "$LOG/summary.log" || true
+
+confirm() { # name benchmark
+  local name=$1 bench=$2; shift 2
+  local capv
+  capv=$(python - "$LOG/cap_$name.json" <<'EOF'
+import json, sys
+try:
+    print(json.load(open(sys.argv[1]))["capacity"] or "")
+except Exception:
+    print("")
+EOF
+)
+  if [ -z "$capv" ]; then
+    note "SKIP  confirm_$name (no capacity in cap_$name.json)"
+    return
+  fi
+  note "confirm_$name at $capv"
+  run_step "confirm_$name" 3600 python -m gpuaudiobench_tpu.cli \
+    --benchmark "$bench" --nTracks "$capv" --nRuns 3 --warmup 2 \
+    --pipelineDepth 16 --verification spot \
+    --outputfile "$LOG/confirm_$name.csv"
+}
+confirm session DAWSessionMix
+confirm rndmem RndMemRead
+grep -hE "===|Saturated|Device M|Validation" "$LOG"/confirm_*.log \
+  2>/dev/null | tee -a "$LOG/summary.log" || true
+
 # Soak refreshes on the undiluted state-RMS metric: the archived
 # PartConv and DAWSessionMix soaks averaged their constant carried
 # spectra into state RMS (the metric now excludes un-evolved leaves),
