@@ -406,3 +406,38 @@ def test_knob_override_requires_range_and_real_field():
     A.knob = "no_such_field"
     with pytest.raises(SystemExit, match="unknown BenchConfig field"):
         cap.run_one("PartConv", A)
+
+
+def test_partial_trace_flushed_and_superseded(tmp_path, monkeypatch):
+    """Every probe persists the trace-so-far to <json>.partial (a
+    batch-timeout SIGTERM mid-bisection must not lose hours of probe
+    evidence); successful completion removes it in favor of the real
+    record."""
+    import capacity as cap
+
+    partial = tmp_path / "cap.json.partial"
+    seen_probe_counts = []
+
+    def fake_harness_probe(benchmark, field, args, device_timing=False):
+        def evaluate(value):
+            # The partial written by the PREVIOUS probe is on disk
+            # before this one runs (n-1 entries at probe n).
+            if partial.exists():
+                seen_probe_counts.append(
+                    len(json.loads(partial.read_text())["probes"]))
+            return value <= 256, {"value": value, "saturated_p50_ms": 0.1,
+                                  "saturated_p99_ms": 0.1, "valid": True,
+                                  "device_p50_ms": 0.05}
+        return evaluate
+
+    monkeypatch.setattr(cap, "harness_probe", fake_harness_probe)
+    out = tmp_path / "cap.json"
+    rc = cap.main([
+        "--benchmark", "gain", "--lo", "128", "--hi", "1024",
+        "--quantum", "128", "--maxEvals", "8", "--json", str(out),
+    ])
+    assert rc == 0
+    # incremental: later probes saw earlier probes' flushed traces
+    assert seen_probe_counts and seen_probe_counts == sorted(seen_probe_counts)
+    # superseded: the real record exists, the partial is gone
+    assert out.exists() and not partial.exists()

@@ -32,6 +32,7 @@ import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
 import argparse
 import json
+import os
 import sys
 
 # benchmark -> (BenchConfig field, lo, hi, quantum). Everything not
@@ -223,6 +224,19 @@ def run_one(benchmark: str, args) -> dict:
     probe = harness_probe(benchmark, field, args)
     details = []
 
+    def flush_partial():
+        # Large-workload probes run tens of minutes each; a batch
+        # timeout (SIGTERM) mid-bisection must not lose hours of probe
+        # evidence. After every probe, persist the trace-so-far next
+        # to the final JSON; a re-run narrows lo/hi from it. Removed
+        # on successful completion (main writes the real record).
+        if not getattr(args, "json", None):
+            return
+        with open(args.json + ".partial", "w") as f:
+            json.dump({"benchmark": benchmark, "knob": field,
+                       "incomplete": True, "probes": details}, f,
+                      indent=2)
+
     def evaluate(v):
         # A probe that dies at a boundary size (e.g. RESOURCE_EXHAUSTED
         # on an over-HBM allocation) is infeasible, not a tool crash.
@@ -232,10 +246,12 @@ def run_one(benchmark: str, args) -> dict:
             details.append({"value": v,
                             "error": f"{type(e).__name__}: {e}",
                             "wall_class": classify_wall(str(e))})
+            flush_partial()
             print(f"  probe {field}={v}: FAILED ({type(e).__name__}) "
                   "-> treated as infeasible", file=sys.stderr)
             return False
         details.append(d)
+        flush_partial()
         print(f"  probe {field}={v}: sat p99 "
               f"{d['saturated_p99_ms']} ms -> "
               f"{'sustains' if ok else 'MISSES' if d['valid'] else 'INVALID'}")
@@ -462,6 +478,9 @@ def main(argv=None) -> int:
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=2)
         print(f"written: {args.json}")
+        partial = args.json + ".partial"
+        if os.path.exists(partial):  # superseded by the real record
+            os.remove(partial)
     if args.md:
         render_md(records, args.md)
     return 0 if all(r["capacity"] is not None for r in records) else 1
