@@ -195,3 +195,24 @@ def test_mock_plugin_rejects_wrong_program(runner, tmp_path):
     )
     assert r.returncode == 1
     assert "only the multiply" in r.stderr
+
+
+def test_exporter_serializes_session_composite(tmp_path):
+    """The flagship composite (DAWSessionMix block: Pallas EQ cascade +
+    send-summed stereo PartConv bus + mixdown) exports as ONE portable
+    StableHLO module with the Mosaic cascade embedded, so pjrt_runner
+    can drive the full mixing-session graph with no interpreter."""
+    env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export_stablehlo.py"),
+         "--out", str(tmp_path), "session"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    mod = (tmp_path / "session.stablehlo.mlir").read_text()
+    assert "tpu_custom_call" in mod  # the Pallas cascade kernel
+    assert "fft" in mod.lower()  # the reverb bus rfft/irfft pair
+    spec = (tmp_path / "session.spec").read_text()
+    assert "f32 128 512" in spec      # per-strip input block
+    assert "f32 2 94 513" in spec     # stereo bus FDL planes (1 s IR)
+    assert spec.count("f32") == 10    # the full all-f32 signature

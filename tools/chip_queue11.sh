@@ -99,6 +99,26 @@ confirm rndmem RndMemRead
 grep -hE "===|Saturated|Device M|Validation" "$LOG"/confirm_*.log \
   2>/dev/null | tee -a "$LOG/summary.log" || true
 
+# The flagship COMPOSITE through the no-Python PJRT path: one
+# DAWSessionMix block (Pallas EQ cascade embedded as tpu_custom_call,
+# send-summed stereo PartConv bus, mixdown) compiled and driven by
+# native/pjrt_runner with no interpreter in the process -- the same
+# flagship-parity pattern as modal/fdtd/partconv (PARITY.md).
+run_step pjrt_export 600 python tools/export_stablehlo.py \
+  --out "$LOG/shlo" session
+run_step pjrt_session 1200 env \
+  AXON_POOL_SVC_OVERRIDE=127.0.0.1 AXON_COMPAT_VERSION=49 \
+  TPU_WORKER_HOSTNAMES=localhost \
+  native/build/pjrt_runner --plugin /opt/axon/libaxon_pjrt.so \
+  --program "$LOG/shlo/session.stablehlo.mlir" \
+  --spec "$LOG/shlo/session.spec" \
+  --compile-options "$LOG/shlo/compile_options.pb" --runs 10 \
+  --opt topology=v5e:1x1x1 --opt n_slices=1 --opt remote_compile=1 \
+  --opt session_id="$(cat /proc/sys/kernel/random/uuid)" \
+  --opt rank=4294967295
+grep -hE "compile|p50|checksum" "$LOG/pjrt_session.log" 2>/dev/null \
+  | tee -a "$LOG/summary.log" || true
+
 # Soak refreshes on the undiluted state-RMS metric: the archived
 # PartConv and DAWSessionMix soaks averaged their constant carried
 # spectra into state RMS (the metric now excludes un-evolved leaves),

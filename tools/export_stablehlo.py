@@ -32,6 +32,7 @@ def _programs(cfg):
     from gpuaudiobench_tpu.ops.elementwise import gain_op
     from gpuaudiobench_tpu.ops.fdtd3d_pallas import fdtd3d_block_pallas_div
     from gpuaudiobench_tpu.ops.iir import iir_biquad_xla
+    from gpuaudiobench_tpu.models.session import make_session_core
     from gpuaudiobench_tpu.ops.modal import modal_bank_xla
     from gpuaudiobench_tpu.ops.partconv import partconv_block
 
@@ -92,6 +93,19 @@ def _programs(cfg):
             [shaped(t, s), shaped(t, s),
              shaped(t, 94, s + 1), shaped(t, 94, s + 1),
              shaped(t, 94, s + 1), shaped(t, 94, s + 1)],
+        ),
+        # The flagship COMPOSITE: one DAWSessionMix block (per-strip
+        # systolic EQ cascade -> send-summed stereo PartConv reverb
+        # bus -> constant-power mixdown) as a single program, with the
+        # Pallas cascade kernel embedded as tpu_custom_call. All-f32
+        # signature (models/session.py make_session_core; 4 EQ stages,
+        # 1 s IR = 94 partitions, stereo bus planes).
+        "session": (
+            make_session_core("pallas", 4),
+            [shaped(t, s), shaped(4, 5), shaped(4, t, 2),
+             shaped(t), shaped(2, t), shaped(2, s),
+             shaped(2, 94, s + 1), shaped(2, 94, s + 1),
+             shaped(2, 94, s + 1), shaped(2, 94, s + 1)],
         ),
         "_jnp": jnp,  # keep the import alive
     }
