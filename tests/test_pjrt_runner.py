@@ -215,4 +215,9 @@ def test_exporter_serializes_session_composite(tmp_path):
     spec = (tmp_path / "session.spec").read_text()
     assert "f32 128 512" in spec      # per-strip input block
     assert "f32 2 94 513" in spec     # stereo bus FDL planes (1 s IR)
-    assert spec.count("f32") == 10    # the full all-f32 signature
+    # 9 runtime inputs: the EQ coefficients are baked as compile-time
+    # constants (the runner LCG-seeds every spec input, and noise in
+    # recursive-coefficient slots goes nan within a block -- measured;
+    # see tools/export_stablehlo.py).
+    assert spec.count("f32") == 9
+    assert "f32 4 5" not in spec      # no coefficient input to seed

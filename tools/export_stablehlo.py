@@ -23,6 +23,25 @@ import sys
 import numpy as np
 
 
+def _session_pinned(core):
+    """Close the session core over the benchmark's real (stable) EQ
+    coefficients; every remaining input is safe to seed with noise
+    (audio, states, FIR spectra, gains)."""
+    import jax.numpy as jnp
+
+    from gpuaudiobench_tpu.utils.data import biquad_lowpass_coefficients
+
+    coeffs = jnp.asarray(np.array(
+        [biquad_lowpass_coefficients(0.25 - 0.0125 * k) for k in range(4)],
+        np.float32))
+
+    def pinned(x, eq_states, send, pan2, prev, fre, fim, h_re, h_im):
+        return core(x, coeffs, eq_states, send, pan2, prev, fre, fim,
+                    h_re, h_im)
+
+    return pinned
+
+
 def _programs(cfg):
     import jax.numpy as jnp
 
@@ -100,9 +119,19 @@ def _programs(cfg):
         # Pallas cascade kernel embedded as tpu_custom_call. All-f32
         # signature (models/session.py make_session_core; 4 EQ stages,
         # 1 s IR = 94 partitions, stereo bus planes).
+        #
+        # The EQ coefficients are baked as COMPILE-TIME constants (the
+        # benchmark's own staggered RBJ low-passes, stable by
+        # construction) rather than a runtime input: pjrt_runner seeds
+        # every spec input with uniform LCG noise, and noise in a
+        # recursive filter's coefficient slots blows up within one
+        # 512-sample block (measured on-chip: warmup checksum nan).
+        # Coefficients are config, not streaming data -- 80 bytes,
+        # nowhere near the 413 transport budget that forces
+        # track-scaled operands into runtime arguments.
         "session": (
-            make_session_core("pallas", 4),
-            [shaped(t, s), shaped(4, 5), shaped(4, t, 2),
+            _session_pinned(make_session_core("pallas", 4)),
+            [shaped(t, s), shaped(4, t, 2),
              shaped(t), shaped(2, t), shaped(2, s),
              shaped(2, 94, s + 1), shaped(2, 94, s + 1),
              shaped(2, 94, s + 1), shaped(2, 94, s + 1)],
