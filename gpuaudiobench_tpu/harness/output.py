@@ -333,10 +333,18 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
             f"{rl['achieved_gflops']:.1f} GFLOP/s"
             + (f" ({flops_pct:.1f}% of {rl['unit']} peak)" if flops_pct is not None else "")
         )
+        bound = rl["bound"]
+        if bound == "latency" and "nearest_wall" in rl:
+            bound = (
+                f"latency-bound (unsaturated; nearest wall "
+                f"{rl['nearest_wall']} at {rl['nearest_wall_pct']:.1f}%)"
+            )
+        else:
+            bound = f"{bound}-bound"
         print(
             f"Roofline [{rl['basis']}]: {flops_part}, "
             f"{rl['achieved_gbps']:.1f} GB/s HBM ({rl['hbm_pct_of_peak']:.1f}% "
-            f"of peak) -> {rl['bound']}-bound"
+            f"of peak) -> {bound}"
         )
 
     proj = result.metadata.get("projection") if result.metadata else None

@@ -58,6 +58,14 @@ MEASURED_PEAKS_PATH = os.path.join(
     os.path.dirname(__file__), "measured_peaks.json"
 )
 
+# Below this fraction of EVERY modeled wall, a workload is not
+# meaningfully "X-bound" -- the time is going to something the roofline
+# does not model (dispatch latency, recurrence-step serialization), and
+# the bound label says "latency" instead of picking the least-false
+# wall (VERDICT r3 weak #3: DWG1DNaive published as bandwidth-bound at
+# 3.8% of HBM peak / 0.2% of VPU peak).
+LATENCY_BOUND_THRESHOLD_PCT = 20.0
+
 
 @functools.lru_cache(maxsize=None)
 def _load_measured(path: str) -> Optional[Dict[str, Any]]:
@@ -154,8 +162,20 @@ def roofline_metrics(
     if peak_key and flops > 0:
         out["flops_pct_of_peak"] = 100.0 * (flops / sec) / peaks[peak_key]
         walls["compute"] = out["flops_pct_of_peak"]
-    # Which wall is closest: the workload is X-bound.
-    out["bound"] = max(walls, key=walls.get)
+    # Which wall is closest: the workload is X-bound -- but only when
+    # it actually APPROACHES a wall. A kernel at 3.8% of HBM peak and
+    # 0.2% of VPU peak is not "bandwidth-bound"; it is bound by
+    # something the roofline does not model (dispatch/recurrence-step
+    # latency, serialization). Below the threshold every wall-claim
+    # would be the least-false lie, so the label says so instead
+    # (VERDICT r3 weak #3); nearest_wall keeps the ranking available.
+    nearest = max(walls, key=walls.get)
+    out["nearest_wall"] = nearest
+    out["nearest_wall_pct"] = walls[nearest]
+    out["bound"] = (
+        nearest if walls[nearest] >= LATENCY_BOUND_THRESHOLD_PCT
+        else "latency"
+    )
     if "note" in cost:
         out["note"] = cost["note"]
     return out

@@ -34,6 +34,27 @@ def test_roofline_metrics_math():
     assert roofline_metrics(cost, 0.0) is None
 
 
+def test_unsaturated_rows_are_latency_bound():
+    """VERDICT r3 weak #3: a row where every wall is below the
+    threshold must not claim X-bound -- it reports 'latency' and keeps
+    the nearest wall as a labeled ranking, never the headline."""
+    # 3.8% of HBM peak, ~0.2% of VPU peak (the published DWG1DNaive
+    # shape of the problem).
+    cost = {"flops": 8e6, "hbm_bytes": 31e6, "unit": "vpu"}
+    rl = roofline_metrics(cost, device_ms=1.0)
+    assert rl["hbm_pct_of_peak"] < 20.0
+    assert rl["flops_pct_of_peak"] < 20.0
+    assert rl["bound"] == "latency"
+    assert rl["nearest_wall"] == "bandwidth"
+    assert rl["nearest_wall_pct"] == pytest.approx(rl["hbm_pct_of_peak"])
+
+    # At/above the threshold the wall label is legitimate.
+    cost = {"flops": 1e9, "hbm_bytes": 819e6, "unit": "vpu"}
+    rl = roofline_metrics(cost, device_ms=1.0)
+    assert rl["bound"] == "bandwidth"
+    assert rl["nearest_wall"] == "bandwidth"
+
+
 def test_runner_roofline_gated_on_tpu(small_cfg, monkeypatch):
     """%-of-peak is computed against hardcoded v5e peaks, so the runner
     attaches the section only on a real TPU; CPU runs (this suite,

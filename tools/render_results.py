@@ -107,10 +107,16 @@ def render_roofline(results: list) -> str:
         pct = rl.get("flops_pct_of_peak")
         pct_s = f"{pct:.1f}% ({rl['unit']})" if pct is not None else "—"
         gf = rl["achieved_gflops"]
+        bound = rl["bound"]
+        if bound == "latency" and "nearest_wall" in rl:
+            bound = (
+                f"latency (nearest wall {rl['nearest_wall']} "
+                f"{rl['nearest_wall_pct']:.1f}%)"
+            )
         lines.append(
             f"| {_label(r)} | {rl['basis']} | "
             f"{gf:.1f} | {pct_s} | {rl['achieved_gbps']:.1f} | "
-            f"{rl['hbm_pct_of_peak']:.1f}% | {rl['bound']} | "
+            f"{rl['hbm_pct_of_peak']:.1f}% | {bound} | "
             f"{rl.get('peak_source', 'spec-estimate')} |"
         )
     return "\n".join(lines)

@@ -192,7 +192,11 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
                 + (f" ({pct:.1f}% {html.escape(rl.get('unit',''))})"
                    if pct is not None else "")
                 + f", {rl['achieved_gbps']:.1f} GB/s HBM "
-                + f"({rl['hbm_pct_of_peak']:.1f}%) &rarr; {rl['bound']}-bound"
+                + f"({rl['hbm_pct_of_peak']:.1f}%) &rarr; "
+                + (f"latency-bound (nearest wall {rl['nearest_wall']} "
+                   f"{rl['nearest_wall_pct']:.1f}%)"
+                   if rl["bound"] == "latency" and "nearest_wall" in rl
+                   else f"{rl['bound']}-bound")
                 + f" [peaks: {html.escape(rl.get('peak_source', 'spec-estimate'))}]"
             )
         proj = meta.pop("projection", None)
