@@ -78,14 +78,15 @@ def main(n_tracks: int = 1024, n_runs: int = 30, warmup: int = 5,
     # Saturated throughput from the harness streaming pass: PIPELINE_DEPTH
     # consecutive blocks in ONE executable with phasor state carried across
     # blocks (harness/streaming.py), amortizing per-dispatch RPC overhead.
-    # value = MIN over the saturated reps (each rep is already a mean over
-    # PIPELINE_DEPTH blocks): on this relay rig the wall tier drifts 5-19%
-    # between runs while the device tier holds <1%, so min-of-means is the
-    # estimator of the CHIP's sustained rate least contaminated by relay
-    # state -- and it is what BENCH_r01/r02 recorded, keeping the series
-    # comparable. The rep-median ships alongside for full disclosure.
-    per_block = result.saturated_statistics.min_val
+    # value = MEDIAN over the saturated reps (each rep is already a mean
+    # over PIPELINE_DEPTH blocks): the reference's own discipline is
+    # percentile-based (cuda/globals.cu:101-122), and min-of-means is the
+    # one estimator that can only improve with more reps (VERDICT r3 weak
+    # #4) -- rounds 1-3 reported min; the min ships alongside as
+    # saturated_rep_min_ms so the r1-r3 series stays comparable.
     sat_p50 = result.saturated_statistics.median
+    per_block = sat_p50
+    sat_min = result.saturated_statistics.min_val
 
     print(
         json.dumps(
@@ -96,6 +97,7 @@ def main(n_tracks: int = 1024, n_runs: int = 30, warmup: int = 5,
                 "vs_baseline": round(BASELINE_PC_P50_MS / per_block, 3),
                 "blocks_per_sec_per_chip": round(1000.0 / per_block, 1),
                 "saturated_rep_p50_ms": round(sat_p50, 4),
+                "saturated_rep_min_ms": round(sat_min, 4),
                 "roundtrip_p50_ms": round(result.statistics.median, 3),
                 "roundtrip_p99_ms": round(result.statistics.p99, 3),
                 "validation": "passed",

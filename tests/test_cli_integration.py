@@ -108,8 +108,11 @@ def test_bench_py_json_schema():
     assert rec["unit"] == "ms"
     assert rec["validation"] == "passed"
     for key in ("value", "vs_baseline", "blocks_per_sec_per_chip",
-                "saturated_rep_p50_ms", "roundtrip_p50_ms",
-                "roundtrip_p99_ms"):
+                "saturated_rep_p50_ms", "saturated_rep_min_ms",
+                "roundtrip_p50_ms", "roundtrip_p99_ms"):
         assert isinstance(rec[key], (int, float)) and rec[key] > 0, key
-    # min-of-reps can never exceed the rep median
-    assert rec["value"] <= rec["saturated_rep_p50_ms"] * 1.0000001
+    # The headline IS the rep median (VERDICT r3 #6: the reference's
+    # percentile discipline, not the flattering min-of-means); the min
+    # ships alongside as disclosure and can never exceed it.
+    assert rec["value"] == rec["saturated_rep_p50_ms"]
+    assert rec["saturated_rep_min_ms"] <= rec["saturated_rep_p50_ms"] * 1.0000001
