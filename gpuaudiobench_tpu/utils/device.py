@@ -52,6 +52,31 @@ def platform() -> str:
     return default_device().platform
 
 
+def timing_environment() -> str:
+    """Label for result artifacts: what wall-clock timings ran through.
+
+    "relay" = network-attached chip (every host<->device round trip
+    carries the RPC floor; the round-trip CSV columns measure the rig,
+    not the chip). "tpu"/"cpu" = co-located runtime. The relay
+    self-identifies in the PJRT platform_version string (the device's
+    .platform is still "tpu"), so that is what is probed."""
+    try:
+        p = platform()
+    except Exception:  # noqa: BLE001 - no devices available
+        return "unknown"
+    if p in ("cpu", "gpu"):
+        return p
+    try:
+        from jax._src import xla_bridge
+
+        ver = getattr(xla_bridge.get_backend(), "platform_version", "") or ""
+        if "axon" in ver:
+            return "relay"
+    except Exception:  # noqa: BLE001 - marker probe is best-effort
+        pass
+    return p
+
+
 def is_tpu() -> bool:
     # The axon tunnel reports TPU devices under an experimental platform
     # name; treat anything that isn't cpu/gpu as the TPU path.

@@ -287,22 +287,14 @@ class PresetStore:
 
 
 def _results_csv(results: List[Dict[str, Any]]) -> str:
-    """Session export in the harness's CUDA CSV schema
-    (harness/output.py CSV_HEADER -- UI exports and CLI --outputfile
-    CSVs parse identically)."""
-    from gpuaudiobench_tpu.harness.output import CSV_HEADER
+    """Session export in the harness's CUDA CSV schema plus the
+    saturated/context extension columns -- delegates to the canonical
+    JSON->CSV derivation (harness/output.py csv_from_json_results) so
+    UI exports, CLI --outputfile CSVs, and tools/json_to_csv.py can
+    never drift from each other."""
+    from gpuaudiobench_tpu.harness.output import csv_from_json_results
 
-    lines = [CSV_HEADER]
-    for r in results:
-        s, c, d = r["statistics"], r["configuration"], r["deadline"]
-        lines.append(
-            f'{r["benchmark"]},{c["fs"]},{c["bufferSize"]},{c["nTracks"]},'
-            f'{c["nRuns"]},{s["min_ms"]:g},{s["max_ms"]:g},'
-            f'{s["avg_ms"]:g},{s["p50_ms"]:g},{s["p95_ms"]:g},'
-            f'{s["p99_ms"]:g},{d["threshold_ms"]:g},'
-            f'{"true" if d["meets_deadline"] else "false"}'
-        )
-    return "\n".join(lines) + "\n"
+    return csv_from_json_results(results)
 
 
 def make_handler(runner: JobRunner, presets: PresetStore):

