@@ -1,4 +1,13 @@
 #!/usr/bin/env bash
+# SUPERSEDED by tools/chip_queue13.sh (and chip_queue14.sh): this
+# queue's ordering is known to starve — cap_iir's 1500 s timeout is
+# below the measured 25-35 min per-probe cost of a 786k-track IIR
+# probe in a slow relay window, so the first step predictably times
+# out and eats the window's opening minutes (it did; see
+# docs/ROUND3.md continuation-11). Kept for the record; do NOT re-run.
+echo "chip_queue12 is SUPERSEDED by chip_queue13/14 (known-starving" \
+     "ordering; see header). Refusing to run." >&2
+exit 3
 # Twelfth on-chip batch (round 3): re-run of chip_queue11's lost
 # measurements -- the queue script landed (commit 981af61..d2e4b49)
 # but the session restart wiped /tmp before any step produced an
