@@ -88,6 +88,10 @@ def print_help() -> None:
     print("                           n blocks per executable, state carried")
     print("  --saturatedReps [n]      Saturated-tier repetitions (default: 21;")
     print("                           use >=101 for a true p99)")
+    print("  --overlapDepth [n]       Also measure overlapped infeed: upload")
+    print("                           block k+1 while block k computes, vs")
+    print("                           the serial twin (n blocks per rep)")
+    print("  --overlapReps [n]        Overlap-tier repetitions (default: 5)")
     print("  --captureDir [dir]       Profiler trace directory for --capture")
     print("  --csvSchema [s]          cuda (default) | metal CSV column set")
     print("  --mesh [dp,tp,sp]        Device mesh for MultiChipSuite /")
@@ -169,6 +173,8 @@ def parse_args(argv: List[str]):
         "--dwgMaxLen": ("dwg_max_length", int),
         "--pipelineDepth": ("pipeline_depth", int),
         "--saturatedReps": ("saturated_reps", int),
+        "--overlapDepth": ("overlap_depth", int),
+        "--overlapReps": ("overlap_reps", int),
         "--captureDir": ("capture_dir", str),
         "--compilationCacheDir": ("compilation_cache_dir", str),
         "--csvSchema": ("csv_schema", str),

@@ -184,6 +184,12 @@ class BenchConfig:
     # default nRuns=100 round-trip stats (int(100*0.99)=99 = last).
     pipeline_depth: int = 0
     saturated_reps: int = 21
+    # Overlapped-infeed pass (--overlapDepth): double-buffer host->HBM
+    # uploads against device compute over this many blocks and report
+    # serial vs overlapped steady-state ms/block (harness/overlap.py;
+    # SURVEY §2.4's PP-axis "double-buffered infeed"). 0/1 = off.
+    overlap_depth: int = 0
+    overlap_reps: int = 5
 
     def deadline_ms(self) -> float:
         """Real-time deadline: 1000*BUFSIZE/FS ms (cuda/globals.cu:55,89)."""

@@ -57,6 +57,15 @@ class BenchmarkResult:
     pipeline_depth: int = 0
     saturated_latencies: List[float] = dataclasses.field(default_factory=list)
     saturated_statistics: Optional[LatencyStats] = None
+    # Overlapped-infeed pass (--overlapDepth): per-block ms with the
+    # input upload double-buffered against compute, plus the serial
+    # twin measured in the same reps (harness/overlap.py).
+    overlap_depth: int = 0
+    overlap_serial_latencies: List[float] = dataclasses.field(
+        default_factory=list)
+    overlap_latencies: List[float] = dataclasses.field(default_factory=list)
+    overlap_serial_statistics: Optional[LatencyStats] = None
+    overlap_statistics: Optional[LatencyStats] = None
 
 
 class Benchmark:
@@ -180,6 +189,19 @@ class Benchmark:
         hoist the loop-invariant body. None = unsupported (e.g.
         datacopy*, whose entire point is the host<->device round trip).
         """
+        return None
+
+    def overlap_body(self):
+        """Optional overlapped-infeed hook (--overlapDepth): return
+        ``(step_fn, host_blocks, carry)`` where ``step_fn(x_dev, carry)
+        -> (y, carry')`` runs ONE block of device compute on an
+        uploaded input block (jitted), ``host_blocks`` is a list of
+        >= 2 distinct host payload arrays cycled across blocks, and
+        ``carry`` is the initial device-resident state pytree (() for
+        stateless blocks). The harness measures serial vs
+        double-buffered steady state (harness/overlap.py). None =
+        unsupported (e.g. modal synthesis, which uploads nothing per
+        block)."""
         return None
 
     def validate(self) -> ValidationData:

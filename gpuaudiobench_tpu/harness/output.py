@@ -274,6 +274,25 @@ def generate_json_results(result: BenchmarkResult, cfg: BenchConfig) -> dict:
             # one relay-stall outlier vs genuine spread.
             "raw_ms": [round(v, 6) for v in result.saturated_latencies],
         }
+    if result.overlap_statistics is not None:
+        os_, ov = result.overlap_serial_statistics, result.overlap_statistics
+        sp = os_.median / ov.median if ov.median > 0 else 0.0
+        out["overlapped"] = {
+            "depth": result.overlap_depth,
+            # Serial twin: upload -> compute -> sync per block. On a
+            # relay rig the per-block sync pays the RPC floor; see
+            # device.timing_environment.
+            "serial_p50_ms": os_.median,
+            "overlapped_p50_ms": ov.median,
+            "overlapped_p95_ms": ov.p95,
+            "speedup_vs_serial": sp,
+            "reps": ov.count,
+            "serial_raw_ms": [round(v, 6)
+                              for v in result.overlap_serial_latencies],
+            "overlapped_raw_ms": [round(v, 6)
+                                  for v in result.overlap_latencies],
+            "meets_deadline": bool(ov.p95 <= cfg.deadline_ms()),
+        }
     out["performance"] = {
         "throughput_gbps": result.throughput_gbps,
         "samples_per_sec": result.samples_per_sec,
@@ -399,6 +418,15 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
             f"({sat_rating}) ({verdict} deadline on p99)"
         )
 
+    if result.overlap_statistics is not None:
+        os_, ov = result.overlap_serial_statistics, result.overlap_statistics
+        sp = os_.median / ov.median if ov.median > 0 else 0.0
+        print(
+            f"Overlapped infeed (depth {result.overlap_depth}): "
+            f"p50 {ov.median:.3f} ms/block vs serial {os_.median:.3f} "
+            f"({sp:.2f}x; upload double-buffered against compute)"
+        )
+
     print("\nPerformance Metrics:")
     print(f"Throughput:        {result.throughput_gbps:.3f} GB/s")
     print(f"Samples/sec:       {result.samples_per_sec:.0f}")
@@ -431,11 +459,14 @@ def print_results(result: BenchmarkResult, cfg: BenchConfig) -> None:
             "meets" if proj["projected_colocated_ms"] <= threshold
             else "MISSES"
         )
+        ovl = proj.get("projected_overlapped_ms")
+        ovl_s = f"; overlapped-infeed bound {ovl:.3f} ms" if ovl else ""
         print(
-            f"Co-located projection: {proj['projected_colocated_ms']:.3f} ms "
+            f"Co-located projection (serial bound): "
+            f"{proj['projected_colocated_ms']:.3f} ms "
             f"(device {proj['device_ms']:.3f} + transfers "
             f"{proj['transfer_ms']:.3f} @ PCIe-class + launch "
-            f"{proj['launch_ms']:.2f}) ({verdict} deadline)"
+            f"{proj['launch_ms']:.2f}) ({verdict} deadline{ovl_s})"
         )
 
     if result.deadline_miss_rate is not None:

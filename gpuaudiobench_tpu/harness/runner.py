@@ -146,6 +146,32 @@ def run_benchmark(
                 result.saturated_latencies = sat
                 result.saturated_statistics = calculate_statistics(sat)
 
+        # Overlapped-infeed pass: double-buffer the input upload
+        # against compute (SURVEY §2.4 PP axis; harness/overlap.py)
+        # and measure the serial twin in the same reps.
+        if cfg.overlap_depth > 1:
+            ob = benchmark.overlap_body()
+            if ob is None:
+                if verbose:
+                    print(
+                        f"Note: {benchmark.name} has no per-block input "
+                        "upload; skipping overlapped-infeed pass."
+                    )
+            else:
+                phase("overlap")
+                from gpuaudiobench_tpu.harness.overlap import measure_overlap
+
+                step_fn, host_blocks, ocarry = ob
+                ser, ovl = measure_overlap(
+                    step_fn, host_blocks, ocarry,
+                    cfg.overlap_depth, cfg.overlap_reps,
+                )
+                result.overlap_depth = cfg.overlap_depth
+                result.overlap_serial_latencies = ser
+                result.overlap_latencies = ovl
+                result.overlap_serial_statistics = calculate_statistics(ser)
+                result.overlap_statistics = calculate_statistics(ovl)
+
         # Derived metrics (bench_base.cu:110-115).
         result.bytes_processed = benchmark.bytes_processed()
         result.mean_latency_ms = result.statistics.mean

@@ -45,6 +45,14 @@ class StandardBufferBenchmark(Benchmark):
         self.track_alloc("deviceInput", nbytes)
         self.track_alloc("deviceOutput", nbytes)
 
+    def overlap_blocks(self):
+        """Two distinct host payloads for the overlapped-infeed tier
+        (harness/overlap.py): same shape/dtype, different content, so
+        every per-block upload is a real transfer rather than a
+        runtime-dedupable repeat."""
+        a = self.host_input
+        return [a, np.negative(a)]
+
     def validate(self) -> ValidationData:
         return compare_abs(
             self.host_output,

@@ -68,6 +68,11 @@ class Conv1DBenchmark(StandardBufferBenchmark):
         dev.block(conv1d_direct(self._resident_input, self._ir_dev,
                                 self.edge_mode, impl=self._impl))
 
+    def overlap_body(self):
+        ir, em, impl = self._ir_dev, self.edge_mode, self._impl
+        return (lambda x, c: (conv1d_direct(x, ir, em, impl=impl), c),
+                self.overlap_blocks(), ())
+
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import barrier_chain
 

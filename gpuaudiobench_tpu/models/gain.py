@@ -35,6 +35,10 @@ class GainBenchmark(StandardBufferBenchmark):
             lambda x: gain_op(x, GAIN_VALUE), self._resident_input
         )
 
+    def overlap_body(self):
+        return (lambda x, c: (gain_op(x, GAIN_VALUE), c),
+                self.overlap_blocks(), ())
+
     def cost_model(self):
         n = self.total_elements()
         return {"flops": n, "hbm_bytes": 2 * n * 4, "unit": "vpu"}

@@ -117,6 +117,17 @@ class IIRBenchmark(StandardBufferBenchmark):
         self.host_state = buf[n:].reshape(self.track_count, 2)
         self._invocations += 1
 
+    def overlap_body(self):
+        """Input upload double-buffered against the biquad scan; filter
+        state carries block-to-block (the true streaming dependency)."""
+        step, coeffs = self._step, self._coeffs_dev
+
+        def f(x, state):
+            state2, buf = step(x, coeffs, state)
+            return buf, state2
+
+        return f, self.overlap_blocks(), self._state_dev
+
     def device_iterate(self) -> None:
         y, _ = self._filter(
             self._resident_input, self._coeffs_dev, self._timing_state)

@@ -134,6 +134,15 @@ class NeuralAmpBenchmark(StandardBufferBenchmark):
             self._resident_input, self._timing_state, self._params)
         dev.block(y)
 
+    def overlap_body(self):
+        block, params = self._block, self._params
+
+        def f(x, state):
+            y, s2 = block(x, state, params)
+            return y, s2
+
+        return f, self.overlap_blocks(), self._state
+
     # Weights above this ride the streaming carry instead of the
     # closure: closure-captured arrays serialize into the compiled
     # module and into remote compile requests (the PartConv HTTP 413

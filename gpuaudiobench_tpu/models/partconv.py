@@ -200,6 +200,15 @@ class PartConvBenchmark(StandardBufferBenchmark):
             self._resident_input, self._timing_state, self._h)
         dev.block(y)
 
+    def overlap_body(self):
+        block, h = self._block, self._h
+
+        def f(x, state):
+            y, s2 = block(x, state, h)
+            return y, s2
+
+        return f, self.overlap_blocks(), self._state
+
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 

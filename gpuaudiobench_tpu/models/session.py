@@ -234,6 +234,20 @@ class DAWSessionMixBenchmark(StandardBufferBenchmark):
         self.host_output = dev.from_device(mix)
         self._invocations += 1
 
+    def overlap_body(self):
+        step = self._step
+        coeffs, send, pan2, h = (self._coeffs_dev, self._send,
+                                 self._pan2, self._h)
+
+        def f(x, carry):
+            eq, prev, fre, fim = carry
+            mix, eq, prev, fre, fim = step(
+                x, coeffs, eq, send, pan2, prev, fre, fim, *h)
+            return mix, (eq, prev, fre, fim)
+
+        return (f, self.overlap_blocks(),
+                (self._eq, self._prev, self._fre, self._fim))
+
     def device_iterate(self) -> None:
         eq, prev, fre, fim = self._timing
         mix, *_ = self._step(

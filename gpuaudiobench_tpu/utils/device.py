@@ -105,10 +105,45 @@ def pinned_host_sharding() -> Optional[Any]:
         return None
 
 
-def to_device(host_array: np.ndarray, device=None):
+def stage_pinned(host_array: np.ndarray):
+    """Place a host array in page-locked (pinned_host) memory -- the
+    cudaMallocHost analog (cuda/bench_utils.cu:101-155): the returned
+    buffer is the DMA source for subsequent host->HBM transfers, so
+    the per-block upload pays only the DMA leg, not a page-copy.
+    Returns None where the runtime does not support the memory kind
+    (callers fall back to pageable device_put and record which path
+    ran)."""
+    s = pinned_host_sharding()
+    if s is None:
+        return None
+    try:
+        staged = jax.device_put(host_array, s)
+        jax.block_until_ready(staged)
+        return staged
+    except Exception:  # noqa: BLE001 - capability probe
+        return None
+
+
+@functools.lru_cache(maxsize=None)
+def device_memory_sharding():
+    """SingleDeviceSharding targeting the device's own memory ('device'
+    kind, i.e. HBM) -- the explicit destination a pinned_host-resident
+    source needs (a bare Device target raises a memory-kind mismatch)."""
+    return jax.sharding.SingleDeviceSharding(
+        default_device(), memory_kind="device"
+    )
+
+
+def to_device(host_array, device=None):
     """Host -> HBM transfer (cudaMemcpy H2D analog). `device` may also
-    be a Sharding for multi-device placement."""
-    return jax.device_put(host_array, device or default_device())
+    be a Sharding for multi-device placement. Pinned-host-staged
+    sources (stage_pinned) route to the device-memory sharding."""
+    if device is None:
+        src_sharding = getattr(host_array, "sharding", None)
+        if getattr(src_sharding, "memory_kind", None) == "pinned_host":
+            return jax.device_put(host_array, device_memory_sharding())
+        return jax.device_put(host_array, default_device())
+    return jax.device_put(host_array, device)
 
 
 @functools.lru_cache(maxsize=None)

@@ -54,6 +54,17 @@ def projected_colocated(
         "d2h_bytes": int(d2h_bytes),
         "transfer_ms": h2d_ms + d2h_ms,
         "launch_ms": launch_ms,
+        # SERIAL bound: upload, compute, and download in strict
+        # sequence -- the worst case a naive deployment pays, and an
+        # upper bound a pipelined one beats (VERDICT r3 missing #2).
         "projected_colocated_ms": launch_ms + h2d_ms + device_ms + d2h_ms,
+        "transfer_model": "serial (upper bound)",
+        # OVERLAPPED steady state: transfers double-buffered against
+        # compute (harness/overlap.py measures the real thing on this
+        # rig); per-block cost -> the slower of the link and the chip.
+        # Assumes a half-duplex link (h2d and d2h share it) -- the
+        # conservative reading of the reference's single-PCIe numbers.
+        "projected_overlapped_ms": launch_ms + max(h2d_ms + d2h_ms,
+                                                   device_ms),
         "transfer_rate_source": "tab5 PC 100MiB p50 mean (10.94 GB/s)",
     }

@@ -34,7 +34,7 @@ const char* kValueFlags[] = {
     "--latenciesFile",
     "--benchmarkFilter", "--category",      "--transferMiB",
     "--dataParallel", "--modalModes",       "--pipelineDepth",
-    "--saturatedReps",
+    "--saturatedReps", "--overlapDepth",    "--overlapReps",
     "--dwgMinLen",    "--dwgMaxLen",
     "--captureDir",   "--csvSchema",       "--mesh",
     "--solFmaK",      "--solFmaMiB",       "--solStreamMiB",

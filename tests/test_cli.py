@@ -105,7 +105,9 @@ def test_csv_schema(tmp_path):
     write_csv_results(_result([1.0, 2.0, 3.0]), cfg, path)
     write_csv_results(_result([4.0, 5.0, 6.0]), cfg, path)  # append, one header
     lines = open(path).read().strip().split("\n")
-    assert lines[0] == CSV_HEADER
+    from gpuaudiobench_tpu.harness.output import CSV_CONTEXT_COLS
+
+    assert lines[0] == CSV_HEADER + CSV_CONTEXT_COLS
     assert len(lines) == 3
     fields = lines[1].split(",")
     assert fields[0] == "gain"
@@ -119,8 +121,9 @@ def test_csv_deadline_logic(tmp_path):
     write_csv_results(_result([1.0] * 100), cfg, path)
     write_csv_results(_result([100.0] * 100), cfg, path)
     lines = open(path).read().strip().split("\n")
-    assert lines[1].endswith("true")
-    assert lines[2].endswith("false")
+    # meets_deadline is column 12; context columns follow it.
+    assert lines[1].split(",")[12] == "true"
+    assert lines[2].split(",")[12] == "false"
 
 
 def test_json_schema():

@@ -131,8 +131,8 @@ def render_roofline(results: list) -> str:
 
 def render_projection(results: list) -> str:
     lines = [
-        "| Benchmark | device ms | transfers ms (PCIe-class) | projected co-located ms | relay round-trip p50 | deadline (projected) |",
-        "|---|---:|---:|---:|---:|---|",
+        "| Benchmark | device ms | transfers ms (PCIe-class) | projected serial ms | projected overlapped ms | relay round-trip p50 | deadline (projected) |",
+        "|---|---:|---:|---:|---:|---:|---|",
     ]
     for r in results:
         p = (r.get("metadata") or {}).get("projection")
@@ -141,9 +141,13 @@ def render_projection(results: list) -> str:
         rt = r["statistics"]["p50_ms"]
         deadline = r["deadline"]["threshold_ms"]
         verdict = "meets" if p["projected_colocated_ms"] <= deadline else "MISSES"
+        # Overlapped-infeed bound absent in pre-r4 JSONs.
+        ovl = p.get("projected_overlapped_ms")
+        ovl_s = f"{ovl:.3f}" if ovl is not None else "—"
         lines.append(
             f"| {_label(r)} | {p['device_ms']:.4f} | {p['transfer_ms']:.3f} | "
-            f"**{p['projected_colocated_ms']:.3f}** | {rt:.1f} | {verdict} |"
+            f"**{p['projected_colocated_ms']:.3f}** | {ovl_s} | "
+            f"{rt:.1f} | {verdict} |"
         )
     return "\n".join(lines)
 
