@@ -488,3 +488,35 @@ def test_session_ici_model_is_track_independent():
     pred = predict(cols)
     assert 0 < pred["predicted_total_ms"] < 0.1
     assert session_collectives(512, 1) == []
+
+
+def test_mesh_predictions_doc(tmp_path):
+    """tools/mesh_predict.py (VERDICT r3 next #8): every workload gets
+    a falsifiable predicted-capacity row per mesh size, capacities are
+    monotone in N, and wire budgets never exceed the deadline."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import mesh_predict as mp
+    finally:
+        sys.path.pop(0)
+
+    preds = [mp.predict_modal(), mp.predict_session(), mp.predict_iir(),
+             mp.predict_partconv()]
+    for p in preds:
+        caps = [r["capacity"] for r in p["rows"]]
+        assert caps == sorted(caps) and caps[0] > 0, p["workload"]
+        for r in p["rows"]:
+            assert 0 <= r["wire_ms"] < mp.DEADLINE_MS, p["workload"]
+        # ~linear scaling: 8-chip capacity within 2% of 8x the 1-chip
+        # row for the dp/sp workloads, and at most 8x for all.
+        assert caps[-1] <= 8 * caps[0] * 1.0001, p["workload"]
+
+    out = tmp_path / "mesh.md"
+    assert mp.main([str(out)]) == 0
+    text = out.read_text()
+    assert "predicted capacity @ N chips" in text
+    assert "UPPER bound" in text
