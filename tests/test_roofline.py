@@ -91,3 +91,29 @@ def test_gainstats_cost_within_gain(small_cfg):
     gs.setup()
     ratio = gs.cost_model()["hbm_bytes"] / g.cost_model()["hbm_bytes"]
     assert 1.0 <= ratio < 1.5
+
+
+def test_latency_attrib_tool_fit_and_measure(tmp_path, monkeypatch):
+    """tools/latency_attrib.py: the fit is exact on linear data and the
+    sweep harness produces finite points at toy sizes (CPU)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import latency_attrib as la
+    finally:
+        sys.path.pop(0)
+
+    a, b = la.fit_line([1, 2, 4], [10.5, 11.0, 12.0])
+    assert a == pytest.approx(10.0)
+    assert b == pytest.approx(0.5)
+
+    monkeypatch.setattr(la, "SWEEPS",
+                        [("gain", "n_tracks", [8, 16], 8)])
+    out = tmp_path / "attrib.md"
+    assert la.main([str(out), "--depth", "4", "--reps", "2"]) == 0
+    text = out.read_text()
+    assert "fixed share @ default" in text
+    assert "gain" in text
