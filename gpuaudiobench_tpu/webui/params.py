@@ -118,6 +118,11 @@ def global_params() -> List[Dict[str, Any]]:
             "reps",
             "Saturated-tier repetitions (>=101 gives a true p99)",
         ),
+        slider(
+            "overlapDepth", "Overlap Depth", 0, 512, 0, 1, "blocks",
+            "Overlapped-infeed pass: upload block k+1 while block k "
+            "computes, vs the serial twin (0 = off)",
+        ),
         select(
             "impl",
             "Kernel Implementation",
@@ -393,6 +398,7 @@ _FIELD_MAP = {
     "verification": ("verification", str),
     "pipelineDepth": ("pipeline_depth", int),
     "saturatedReps": ("saturated_reps", int),
+    "overlapDepth": ("overlap_depth", int),
     "impl": ("impl", str),
     "dawsim": ("dawsim", bool),
     "deviceTiming": ("device_timing", bool),
