@@ -185,6 +185,13 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
                 f"({sat['blocks_per_sec']:.0f} blocks/s, depth "
                 f"{sat['pipeline_depth']})"
             )
+        ov = r.get("overlapped")
+        if ov:
+            bits.append(
+                f"overlapped infeed {ov['overlapped_p50_ms']:.3f} "
+                f"ms/block vs serial {ov['serial_p50_ms']:.3f} "
+                f"({ov['speedup_vs_serial']:.2f}x, depth {ov['depth']})"
+            )
         if rl:
             pct = rl.get("flops_pct_of_peak")
             bits.append(
