@@ -65,6 +65,15 @@ run_step quietcheck 600 python -m gpuaudiobench_tpu.cli \
 grep -E "Run-to-run CV|p50" "$LOG/quietcheck.log" \
   | tee -a "$LOG/summary.log" || true
 
+# 0. PartConv soak re-run: queue14's soak_partconv window collided
+# with an interactive overlap-campaign smoke run on the serialized
+# relay (~11:56), which shows up as its single 52.99 ms outlier
+# second. Re-measure without a competing session.
+run_step soak_partconv 1200 python tools/soak.py 120 \
+  docs/RESULTS_r4_soak_partconv.md PartConv 1024
+commit_art "Soak re-run: PartConv 120 s without the competing relay session" \
+  docs/RESULTS_r4_soak_partconv.md
+
 # 1. Full-suite regen with the round-4 surface.
 run_step regen_r4 7200 bash tools/regen_artifacts.sh r4
 commit_art "RESULTS_r4: full-suite regen (context columns, honest roofline, overlapped projection bound)" \
