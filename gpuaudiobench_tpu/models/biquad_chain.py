@@ -81,6 +81,12 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
         self.host_output = buf[:n].reshape(self.track_count, self.buffer_size)
         self.host_states = buf[n:].reshape(NUM_STAGES, self.track_count, 2)
 
+    def overlap_body(self):
+        step, coeffs = self._step, self._coeffs_dev
+        states = self.put_spec(self._zero_state, None, "dp")
+        return (lambda x, c: (step(x, coeffs, states), c),
+                self.overlap_blocks(), ())
+
     def device_iterate(self) -> None:
         dev.block(
             self._step(

@@ -76,6 +76,11 @@ class Conv1DAccelBenchmark(StandardBufferBenchmark):
             )
         )
 
+    def overlap_body(self):
+        spec, n, s = self._ir_spec_dev, self.fft_size, self.buffer_size
+        return (lambda x, c: (conv1d_fft(x, spec, n, s), c),
+                self.overlap_blocks(), ())
+
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import barrier_chain
 

@@ -216,6 +216,26 @@ class DWGBenchmark(Benchmark):
         out, _, _ = self._run(self._resident_input, *self._resident_rails)
         dev.block(out)
 
+    def overlap_body(self):
+        """Input upload double-buffered against the rail update; the
+        rails themselves carry on-device (the streaming dependency)."""
+        step = self._step
+        s = self.buffer_size
+        rails = self.track_count * self._max_len
+        t, m = self.track_count, self._max_len
+
+        def f(x, carry):
+            fwd, bwd = carry
+            buf = step(x, fwd, bwd)
+            return buf[:s], (buf[s:s + rails].reshape(t, m),
+                             buf[s + rails:].reshape(t, m))
+
+        import numpy as _np
+
+        return (f, [self.host_input, _np.negative(self.host_input)],
+                (self.put_sharded(self.host_fwd),
+                 self.put_sharded(self.host_bwd)))
+
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import probe
 

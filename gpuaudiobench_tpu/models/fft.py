@@ -66,6 +66,13 @@ class FFTBenchmark(Benchmark):
         re, im = rfft_batched(self._resident_input, self.fft_size)
         dev.block((re, im))
 
+    def overlap_body(self):
+        step = self._step
+        import numpy as _np
+
+        return (lambda x, c: (step(x), c),
+                [self.host_input, _np.negative(self.host_input)], ())
+
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import barrier_chain
 

@@ -52,6 +52,10 @@ class GainStatsBenchmark(StandardBufferBenchmark):
     def device_iterate(self) -> None:
         dev.block(gain_stats_op(self._resident_input, GAINSTATS_GAIN))
 
+    def overlap_body(self):
+        step = self._step
+        return (lambda x, c: (step(x), c), self.overlap_blocks(), ())
+
     def stream_body(self):
         from gpuaudiobench_tpu.harness.streaming import barrier_chain
 

@@ -86,6 +86,19 @@ class RndMemBenchmark(Benchmark):
         self.last_playheads = self.playheads.copy()
         self._update_playheads()
 
+    def overlap_body(self):
+        """Per-block host traffic here is the PLAYHEAD array (the
+        reference advances playheads host-side every iteration,
+        bench_rndmem.cu:176-186); overlap uploads block k+1's
+        playheads while block k's gather runs."""
+        gather, pool, tmpl = self._gather, self._pool_dev, self._out_template
+        ph1 = self.playheads.copy()
+        ph2 = self.playheads.astype(np.int64) + self.buffer_size
+        ph2 = np.where(ph2 >= self.playheads_end, self.playheads_start,
+                       ph2).astype(self.playheads.dtype)
+        return (lambda ph, c: (gather(pool, ph, tmpl), c),
+                [ph1, ph2], ())
+
     def _update_playheads(self) -> None:
         """Host-side playhead advance with loop wrap (bench_rndmem.cu:176-186)."""
         ph = self.playheads.astype(np.int64) + self.buffer_size

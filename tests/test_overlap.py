@@ -10,8 +10,9 @@ from gpuaudiobench_tpu.registry import create_benchmark
 
 
 @pytest.mark.parametrize("name", [
-    "gain", "datacopy5050", "IIRFilter", "Conv1D", "NeuralAmp",
-    "DAWSessionMix", "PartConv",
+    "gain", "GainStats", "datacopy5050", "IIRFilter", "Conv1D",
+    "Conv1D_accel", "FFT1D", "BiquadChain", "NeuralAmp",
+    "DAWSessionMix", "PartConv", "RndMemRead", "DWG1DNaive",
 ])
 def test_overlap_pass_runs_and_validates(small_cfg, name):
     cfg = small_cfg.replace(overlap_depth=4, overlap_reps=2,
