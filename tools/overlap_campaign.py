@@ -19,7 +19,8 @@ import os
 
 BENCHES = [
     "datacopy0199", "datacopy5050", "datacopy9901",
-    "gain", "Conv1D", "IIRFilter", "NeuralAmp", "PartConv",
+    "gain", "GainStats", "FFT1D", "Conv1D", "IIRFilter",
+    "DWG1DNaive", "RndMemRead", "NeuralAmp", "PartConv",
     "DAWSessionMix",
 ]
 
