@@ -44,7 +44,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TRACKS_PER_STEP = 32  # DMAs in flight per grid step
+# DMAs started per grid step. 128 measured fastest in the on-chip
+# sweep (tools/rndmem_tune.py, docs/RESULTS_r4_rndmem_tune.md: 16384
+# tracks, 128x2 = 0.856 ms/dispatch vs the old 32x2 default's 0.898 --
+# +4.7% useful bandwidth; slot count beyond 2 bought nothing at
+# tps>=64). Clamped to the track count at call time.
+TRACKS_PER_STEP = 128
 POOL_PAD = 1024  # tail slack so base_row = ph//128 never clamps
 MAX_S_EFF = 2048  # fetch*128 - s_eff <= POOL_PAD holds through here
 
@@ -144,7 +149,9 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
             "(tail slack for unclamped per-track row DMAs); pad the pool "
             "with POOL_PAD zeros as models/rndmem.py does"
         )
-    tps = tracks_per_step
+    # Clamp to the track count: at t < TRACKS_PER_STEP a one-step grid
+    # with tps = t is strictly better than the XLA fallback.
+    tps = min(tracks_per_step, t)
     if n_slots < 2:
         raise ValueError("n_slots must be >= 2 (the wait slot plus at "
                          "least one in-flight slot)")
