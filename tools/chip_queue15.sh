@@ -92,6 +92,13 @@ run_step attrib 3600 python tools/latency_attrib.py \
 commit_art "Latency attribution: fixed-vs-marginal fits behind the latency-bound labels" \
   docs/RESULTS_r4_latency_attrib.md
 
+# 3b. RndMem track sweep (tab6 analog) refresh on the new tps=128
+# default (docs/RESULTS_r4_rndmem_tune.md adoption).
+run_step rndmem_sweep 3600 python tools/rndmem_sweep.py \
+  docs/RESULTS_r4_rndmem.md
+commit_art "RndMem tab6-analog sweep on the tps=128 pipeline default" \
+  docs/RESULTS_r4_rndmem.md || true
+
 # 4. Fresh-process confirmations at queue14's walls.
 confirm() { # name benchmark extra_flags...
   local name=$1 bench=$2; shift 2
