@@ -149,7 +149,12 @@ def run_benchmark(
         # Overlapped-infeed pass: double-buffer the input upload
         # against compute (SURVEY §2.4 PP axis; harness/overlap.py)
         # and measure the serial twin in the same reps.
-        if cfg.overlap_depth > 1:
+        if cfg.overlap_depth > 1 and cfg.data_parallel > 1:
+            if verbose:
+                print("Note: overlapped-infeed pass is single-device "
+                      "(uploads target one chip's HBM); skipping under "
+                      "--dataParallel.")
+        elif cfg.overlap_depth > 1:
             ob = benchmark.overlap_body()
             if ob is None:
                 if verbose:

@@ -94,3 +94,14 @@ def test_projection_carries_overlapped_bound():
     p = projected_colocated(5.0, 1_094_000, 1_094_000)
     assert p["projected_overlapped_ms"] == pytest.approx(
         p["launch_ms"] + 5.0, rel=1e-3)
+
+
+def test_overlap_skipped_under_data_parallel(small_cfg):
+    """The overlap tier uploads to one chip's HBM; under --dataParallel
+    it skips rather than measuring a half-sharded pipeline."""
+    cfg = small_cfg.replace(overlap_depth=4, overlap_reps=2,
+                            data_parallel=2)
+    b = create_benchmark("gain", cfg)
+    b.setup()
+    r = run_benchmark(b, cfg, verbose=False)
+    assert r.overlap_statistics is None
