@@ -140,7 +140,7 @@ if [ -n "$capm" ]; then
   note "confirm_modal64 at $capm modes"
   run_step confirm_modal64 3600 python -m gpuaudiobench_tpu.cli \
     --benchmark ModalFilterBank --bufferSize 64 --modalModes "$capm" \
-    --nRuns 3 --warmup 2 --pipelineDepth 64 --verification spot \
+    --nRuns 3 --warmup 2 --pipelineDepth 256 --verification spot \
     --json --outputfile docs/confirm_r4_modal64.json
   commit_art "Capacity confirm (modal buf-64 @ $capm modes, fresh process)" \
     docs/confirm_r4_modal64.json
