@@ -140,9 +140,13 @@ def predict_iir():
         cap1, p99, src = got
         if p99 is None:
             p99, src = 10.624, src + " + q10 bracket p99"
+        note = ("; this size is the measured deadline EDGE — the "
+                "fresh-process confirm's p50 sits on the deadline, "
+                "see RESULTS_r4_capacity.md")
     else:
         cap1, p99, src = 786432, 10.624, \
             "chip_queue10 bracket (RESULTS_r3_capacity.md)"
+        note = ""
     rows = [{"n": n, "capacity": cap1 * n, "wire_ms": 0.0}
             for n in MESHES]
     return {
@@ -150,7 +154,7 @@ def predict_iir():
         "axis": "dp (track-sharded; zero collectives)",
         "rows": rows,
         "anchor": f"single-chip wall {cap1} tracks at sat p99 {p99} ms "
-                  f"({src})",
+                  f"({src}){note}",
     }
 
 
