@@ -44,12 +44,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# DMAs started per grid step. 128 measured fastest in the on-chip
-# sweep (tools/rndmem_tune.py, docs/RESULTS_r4_rndmem_tune.md: 16384
-# tracks, 128x2 = 0.856 ms/dispatch vs the old 32x2 default's 0.898 --
-# +4.7% useful bandwidth; slot count beyond 2 bought nothing at
-# tps>=64). Clamped to the track count at call time.
+# DMAs started per grid step. The on-chip sweep (tools/rndmem_tune.py,
+# docs/RESULTS_r4_rndmem_tune.md) measured 128x2 fastest at 16384
+# tracks (0.856 ms/dispatch vs the old 32x2 default's 0.898, +4.7%),
+# but adopting 128 flat regressed the 128-track suite row's device
+# tier +22% (r3->r4 compare_runs): at t = tps the grid collapses to
+# ONE step and the cross-step DMA lookahead -- the pipeline itself --
+# disappears. The default is therefore adaptive: 128 where at least 8
+# grid steps remain to pipeline across, else the r3-measured 32.
 TRACKS_PER_STEP = 128
+_SMALL_T_TPS = 32
+_MIN_PIPELINE_STEPS = 8
 POOL_PAD = 1024  # tail slack so base_row = ph//128 never clamps
 MAX_S_EFF = 2048  # fetch*128 - s_eff <= POOL_PAD holds through here
 
@@ -149,9 +154,14 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
             "(tail slack for unclamped per-track row DMAs); pad the pool "
             "with POOL_PAD zeros as models/rndmem.py does"
         )
-    # Clamp to the track count: at t < TRACKS_PER_STEP a one-step grid
-    # with tps = t is strictly better than the XLA fallback.
-    tps = min(tracks_per_step, t)
+    # Adaptive default (see TRACKS_PER_STEP comment); explicit values
+    # from callers/tuning sweeps are honored as-is. Clamped to the
+    # track count so small-t runs stay on the Pallas path rather than
+    # falling back to XLA.
+    tps = tracks_per_step
+    if tps == TRACKS_PER_STEP and t < _MIN_PIPELINE_STEPS * tps:
+        tps = _SMALL_T_TPS
+    tps = min(tps, t)
     if n_slots < 2:
         raise ValueError("n_slots must be >= 2 (the wait slot plus at "
                          "least one in-flight slot)")
