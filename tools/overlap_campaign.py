@@ -32,6 +32,7 @@ def main(argv=None) -> int:
                                          "docs", "RESULTS_r4_overlap.md"))
     ap.add_argument("--depth", type=int, default=64)
     ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--bufferSize", type=int, default=512)
     ap.add_argument("--benches", default=",".join(BENCHES))
     args = ap.parse_args(argv)
 
@@ -46,6 +47,7 @@ def main(argv=None) -> int:
         cfg = BenchConfig(
             n_runs=3, warmup=2, overlap_depth=args.depth,
             overlap_reps=args.reps, verification="spot",
+            buffer_size=args.bufferSize,
             device_timing=True, write_latencies=False, quiet=True,
         )
         b = create_benchmark(name, cfg)
@@ -83,6 +85,8 @@ def main(argv=None) -> int:
         "# Overlapped-infeed campaign (serial vs double-buffered "
         "upload, measured)",
         "",
+        f"Buffer {args.bufferSize} @ 48 kHz (deadline "
+        f"{1000.0 * args.bufferSize / 48000:.3f} ms). "
         f"`--overlapDepth {args.depth} --overlapReps {args.reps}` "
         "(harness/overlap.py). Serial = upload→compute→sync per block "
         "(on this relay rig the per-block sync pays the RPC floor — "
