@@ -88,22 +88,35 @@ def main(n_tracks: int = 1024, n_runs: int = 30, warmup: int = 5,
     per_block = sat_p50
     sat_min = result.saturated_statistics.min_val
 
-    print(
-        json.dumps(
-            {
-                "metric": "modal_1M_block_ms",
-                "value": round(per_block, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_PC_P50_MS / per_block, 3),
-                "blocks_per_sec_per_chip": round(1000.0 / per_block, 1),
-                "saturated_rep_p50_ms": round(sat_p50, 4),
-                "saturated_rep_min_ms": round(sat_min, 4),
-                "roundtrip_p50_ms": round(result.statistics.median, 3),
-                "roundtrip_p99_ms": round(result.statistics.p99, 3),
-                "validation": "passed",
-            }
-        )
-    )
+    rec = {
+        "metric": "modal_1M_block_ms",
+        "value": round(per_block, 4),
+        "unit": "ms",
+        # Estimator of "value", machine-readable (ADVICE r4: rounds 1-3
+        # published min-of-reps; r4+ publish the rep-median -- consumers
+        # trending "value" across rounds can now detect the change).
+        "value_stat": "rep_p50",
+        "vs_baseline": round(BASELINE_PC_P50_MS / per_block, 3),
+        "blocks_per_sec_per_chip": round(1000.0 / per_block, 1),
+        "saturated_rep_p50_ms": round(sat_p50, 4),
+        "saturated_rep_min_ms": round(sat_min, 4),
+        "roundtrip_p50_ms": round(result.statistics.median, 3),
+        "roundtrip_p99_ms": round(result.statistics.p99, 3),
+        "validation": "passed",
+    }
+    # Marginal saturated tier (r5): depth-differenced per-block cost
+    # with the rig's fixed sync floor cancelled (harness/streaming.
+    # measure_saturated_marginal). For this 1M-mode workload the floor
+    # share is small (~6% at depth 512) but nonzero; the marginal is
+    # the chip's true rate. "value" stays the amortized rep-median for
+    # cross-round continuity (value_stat documents the definition).
+    if result.saturated_marginal_statistics is not None:
+        marg_p50 = result.saturated_marginal_statistics.median
+        rec["saturated_marginal_p50_ms"] = round(marg_p50, 4)
+        rec["marginal_lo_depth"] = result.saturated_lo_depth
+        if marg_p50 > 0:
+            rec["blocks_per_sec_marginal"] = round(1000.0 / marg_p50, 1)
+    print(json.dumps(rec))
     return 0
 
 

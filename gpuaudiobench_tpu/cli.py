@@ -88,6 +88,10 @@ def print_help() -> None:
     print("                           n blocks per executable, state carried")
     print("  --saturatedReps [n]      Saturated-tier repetitions (default: 21;")
     print("                           use >=101 for a true p99)")
+    print("  --noSaturatedMarginal    Skip the marginal saturated tier (the")
+    print("                           depth-differenced per-block cost that")
+    print("                           cancels the rig's sync floor; on by")
+    print("                           default when --pipelineDepth >= 4)")
     print("  --overlapDepth [n]       Also measure overlapped infeed: upload")
     print("                           block k+1 while block k computes, vs")
     print("                           the serial twin (n blocks per rep)")
@@ -206,6 +210,8 @@ def parse_args(argv: List[str]):
             updates["capture"] = True
         elif arg == "--no-device-timing":
             updates["device_timing"] = False
+        elif arg == "--noSaturatedMarginal":
+            updates["saturated_marginal"] = False
         elif arg == "--fdtdPerTrackReceivers":
             updates["fdtd_per_track_receivers"] = True
         elif arg == "--modalRenorm":

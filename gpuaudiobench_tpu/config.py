@@ -184,6 +184,15 @@ class BenchConfig:
     # default nRuns=100 round-trip stats (int(100*0.99)=99 = last).
     pipeline_depth: int = 0
     saturated_reps: int = 21
+    # Saturated marginal tier: also time a second, shorter chain
+    # (depth//4) interleaved with the full-depth one and publish the
+    # depth-differenced marginal ms/block -- the chip's per-block cost
+    # with the rig's fixed sync floor cancelled (streaming.
+    # measure_saturated_marginal; VERDICT r4 weak #1). blocks_per_sec
+    # derives from the marginal when this is on. Costs one extra
+    # compile + ~25% extra saturated wall; --noSaturatedMarginal
+    # restores the single-chain amortized-only pass.
+    saturated_marginal: bool = True
     # Overlapped-infeed pass (--overlapDepth): double-buffer host->HBM
     # uploads against device compute over this many blocks and report
     # serial vs overlapped steady-state ms/block (harness/overlap.py;

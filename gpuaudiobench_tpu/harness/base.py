@@ -57,6 +57,14 @@ class BenchmarkResult:
     pipeline_depth: int = 0
     saturated_latencies: List[float] = dataclasses.field(default_factory=list)
     saturated_statistics: Optional[LatencyStats] = None
+    # Saturated MARGINAL tier (streaming.measure_saturated_marginal):
+    # depth-differenced per-block cost with the rig's fixed sync floor
+    # cancelled -- the chip's rate. saturated_latencies above is the
+    # amortized wall/depth (includes rig floor / depth on relay rigs).
+    saturated_lo_depth: int = 0
+    saturated_marginal_latencies: List[float] = dataclasses.field(
+        default_factory=list)
+    saturated_marginal_statistics: Optional[LatencyStats] = None
     # Overlapped-infeed pass (--overlapDepth): per-block ms with the
     # input upload double-buffered against compute, plus the serial
     # twin measured in the same reps (harness/overlap.py).

@@ -59,10 +59,12 @@ def measure_overlap(
 
     ``step_fn(x_dev, carry) -> (y, carry')`` runs ONE block of device
     compute on an uploaded input block (jitted by the caller);
-    ``host_blocks`` is a sequence of >= 1 host payload arrays cycled
-    across blocks (>= 2 distinct buffers keeps the upload from being a
-    page-cache no-op); ``carry`` is the initial device-resident state
-    pytree (an empty tuple for stateless blocks).
+    ``host_blocks`` is a sequence of >= 2 DISTINCT host payload arrays
+    cycled across blocks (with a single repeated buffer the per-block
+    upload can be runtime-dedupable, silently inflating the overlapped
+    speedup -- enforced here rather than trusted to each overlap_body,
+    ADVICE r4); ``carry`` is the initial device-resident state pytree
+    (an empty tuple for stateless blocks).
     """
     import numpy as np
 
@@ -70,6 +72,12 @@ def measure_overlap(
 
     host_blocks = list(host_blocks)
     nh = len(host_blocks)
+    if nh < 2:
+        raise ValueError(
+            "measure_overlap needs >= 2 distinct host blocks (a single "
+            "repeated buffer makes the upload dedupable; see "
+            "base.Benchmark.overlap_body)"
+        )
 
     # Warm/compile outside any timing.
     c = carry

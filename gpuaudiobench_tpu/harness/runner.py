@@ -136,13 +136,31 @@ def run_benchmark(
                     )
             else:
                 phase("saturated")
-                from gpuaudiobench_tpu.harness.streaming import measure_saturated
-
                 step_fn, carry = body
-                sat = measure_saturated(
-                    step_fn, carry, cfg.pipeline_depth, cfg.saturated_reps
-                )
                 result.pipeline_depth = cfg.pipeline_depth
+                if cfg.saturated_marginal and cfg.pipeline_depth >= 4:
+                    from gpuaudiobench_tpu.harness.streaming import (
+                        measure_saturated_marginal,
+                    )
+
+                    sat, marg, lo = measure_saturated_marginal(
+                        step_fn, carry, cfg.pipeline_depth,
+                        cfg.saturated_reps,
+                    )
+                    result.saturated_lo_depth = lo
+                    result.saturated_marginal_latencies = marg
+                    result.saturated_marginal_statistics = (
+                        calculate_statistics(marg)
+                    )
+                else:
+                    from gpuaudiobench_tpu.harness.streaming import (
+                        measure_saturated,
+                    )
+
+                    sat = measure_saturated(
+                        step_fn, carry, cfg.pipeline_depth,
+                        cfg.saturated_reps,
+                    )
                 result.saturated_latencies = sat
                 result.saturated_statistics = calculate_statistics(sat)
 
@@ -209,6 +227,14 @@ def run_benchmark(
                 candidates.append((
                     result.device_statistics.median,
                     f"device:{result.device_timing_method}",
+                ))
+            if result.saturated_marginal_statistics is not None:
+                # Rig floor cancelled -- the chip's per-block cost.
+                # Sub-noise bodies can difference to <= 0 and fall
+                # through to the amortized tier via the > 0 guard.
+                candidates.append((
+                    result.saturated_marginal_statistics.median,
+                    "saturated-marginal",
                 ))
             if result.saturated_statistics is not None:
                 candidates.append(

@@ -44,22 +44,28 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
         impl = self.resolve_impl()
         self._impl = impl
 
-        def _chain(x, coeffs, states):
+        def _chain_pair(x, coeffs, states):
             if impl == "pallas":
                 from gpuaudiobench_tpu.ops.iir import iir_cascade_pallas
 
-                y, zs = iir_cascade_pallas(x, coeffs, states)
-                return jnp.concatenate([y.ravel(), zs.ravel()])
+                return iir_cascade_pallas(x, coeffs, states)
             y = x
             outs_states = []
             for k in range(NUM_STAGES):
                 y, z = iir_biquad_xla(y, coeffs[k], states[k])
                 outs_states.append(z)
-            return jnp.concatenate(
-                [y.ravel(), jnp.stack(outs_states).ravel()]
-            )
+            return y, jnp.stack(outs_states)
+
+        def _chain(x, coeffs, states):
+            y, zs = _chain_pair(x, coeffs, states)
+            return jnp.concatenate([y.ravel(), zs.ravel()])
 
         self._step = jax.jit(_chain)
+        # Tuple-returning twin for the overlap tier, which must THREAD
+        # the cascade state block-to-block (ADVICE r4 medium: passing
+        # the same zero state to every block measured a stateless
+        # variant while the docs claimed state was carried).
+        self._step_pair = jax.jit(_chain_pair)
 
         # Golden: the same cascade through the float32 NumPy reference.
         y = self.host_input
@@ -82,10 +88,17 @@ class BiquadChainBenchmark(StandardBufferBenchmark):
         self.host_states = buf[n:].reshape(NUM_STAGES, self.track_count, 2)
 
     def overlap_body(self):
-        step, coeffs = self._step, self._coeffs_dev
-        states = self.put_spec(self._zero_state, None, "dp")
-        return (lambda x, c: (step(x, coeffs, states), c),
-                self.overlap_blocks(), ())
+        """Input upload double-buffered against the cascade; the
+        10-stage filter state carries block-to-block (mirrors
+        models/iir.py overlap_body -- the true streaming dependency)."""
+        step, coeffs = self._step_pair, self._coeffs_dev
+
+        def f(x, states):
+            y, states2 = step(x, coeffs, states)
+            return y, states2
+
+        return f, self.overlap_blocks(), self.put_spec(
+            self._zero_state, None, "dp")
 
     def device_iterate(self) -> None:
         dev.block(

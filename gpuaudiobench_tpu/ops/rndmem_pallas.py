@@ -129,7 +129,7 @@ def _rndmem_kernel(ph_ref, moff_ref, pool_ref, out_ref, scratch, sem,
 def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
                          out_template: jax.Array, *,
                          logical_len: int | None = None,
-                         tracks_per_step: int = TRACKS_PER_STEP,
+                         tracks_per_step: int | None = None,
                          n_slots: int = 2):
     """Same contract as rndmem_gather: returns (S, T) interleaved.
     See the module docstring for the supported-shape envelope and the
@@ -154,13 +154,19 @@ def rndmem_gather_pallas(pool: jax.Array, playheads: jax.Array,
             "(tail slack for unclamped per-track row DMAs); pad the pool "
             "with POOL_PAD zeros as models/rndmem.py does"
         )
-    # Adaptive default (see TRACKS_PER_STEP comment); explicit values
-    # from callers/tuning sweeps are honored as-is. Clamped to the
-    # track count so small-t runs stay on the Pallas path rather than
-    # falling back to XLA.
-    tps = tracks_per_step
-    if tps == TRACKS_PER_STEP and t < _MIN_PIPELINE_STEPS * tps:
-        tps = _SMALL_T_TPS
+    # Adaptive default: None = pick TRACKS_PER_STEP, dropping to the
+    # small-t setting when the grid would be too short to pipeline.
+    # Explicit values from callers/tuning sweeps are honored as-is
+    # (ADVICE r4: an explicit 128 used to be indistinguishable from the
+    # default and was silently remapped at small t, mislabeling sweep
+    # points). Either way, clamped to the track count so small-t runs
+    # stay on the Pallas path rather than falling back to XLA.
+    if tracks_per_step is None:
+        tps = TRACKS_PER_STEP
+        if t < _MIN_PIPELINE_STEPS * tps:
+            tps = _SMALL_T_TPS
+    else:
+        tps = tracks_per_step
     tps = min(tps, t)
     if n_slots < 2:
         raise ValueError("n_slots must be >= 2 (the wait slot plus at "

@@ -45,7 +45,7 @@ const char* kValueFlags[] = {
 const char* kBoolFlags[] = {
     "--help", "--list", "--json", "--dawsim", "--capture", "--no-device-timing",
     "--fdtdPerTrackReceivers", "--quiet", "--no-compilationCache",
-    "--modalRenorm",
+    "--modalRenorm", "--noSaturatedMarginal",
 };
 
 bool IsValueFlag(const char* arg) {

@@ -50,6 +50,18 @@ def test_results_md_matches_json(md):
     assert drift == [], drift
 
 
+def test_readme_headline_matches_artifacts():
+    """VERDICT r4 weak #6: the README headline block is generated from
+    BENCH_r0N.json / the suite JSON / the capacity ledger / the overlap
+    artifact; drift from any of them fails here."""
+    tool = _load_tool("readme_headline")
+    drifted = tool.process(os.path.join(ROOT, "README.md"), check=True)
+    assert not drifted, (
+        "README headline drifted from committed artifacts -- run "
+        "tools/readme_headline.py"
+    )
+
+
 def test_json_to_csv_roundtrip(tmp_path):
     """The CSV derivation is faithful: derived columns match the JSON's
     statistics for the shipped r2 artifact."""

@@ -134,9 +134,10 @@ def test_native_flag_tables_match_cli():
     py_src = inspect.getsource(cli.parse_args)
     py_value = set(re.findall(r'"(--[\w-]+)": \(', py_src))
     py_value |= {"--benchmarkFilter", "--category"}
-    py_bool = {"--help", "--list", "--json", "--dawsim", "--capture",
-               "--no-device-timing", "--fdtdPerTrackReceivers", "--quiet",
-               "--no-compilationCache", "--modalRenorm"}
+    # Bool flags are the `arg == "--x"` comparisons in parse_args that
+    # are not value flags (derived from the source, not hand-listed, so
+    # a new CLI bool can never drift past this test silently).
+    py_bool = set(re.findall(r'arg == "(--[\w-]+)"', py_src)) - py_value
 
     assert native_value == py_value, (
         f"native kValueFlags out of sync: missing={py_value - native_value} "

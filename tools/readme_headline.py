@@ -1,0 +1,258 @@
+"""One-source the README headline from committed artifacts.
+
+VERDICT r4 weak #6: the README's hand-maintained headline paragraph
+drifted from the artifacts within one bench run (957 vs 968 blocks/sec;
+"92% of VPU peak" quoting an uncited config). This tool generates the
+headline block between ``<!-- headline:begin -->`` and
+``<!-- headline:end -->`` in README.md from the SAME artifacts the
+tables are generated from, and ``--check`` mode (pinned by
+tests/test_artifacts.py) makes drift test-impossible:
+
+* ``BENCH_r0N.json`` (latest round) -- modal ms/block, blocks/sec,
+  vs-baseline multiple.
+* ``docs/RESULTS_rN_tpu_v5e.json`` (latest suite regen) -- the modal
+  suite row's roofline %-of-peak, with its mode count cited.
+* ``docs/cap_rN_{session,rndmem,iir}.json`` (latest per family) --
+  capacity walls, including the bracket fields when present
+  (certified vs edge, VERDICT r4 next #4).
+* ``docs/RESULTS_rN_overlap.json`` -- overlapped-infeed range, stated
+  WITH the co-located qualifier (ADVICE r4: the relay-rig multiple is
+  RPC amortization and upper-bounds any co-located gain).
+
+Usage:
+    python tools/readme_headline.py            # rewrite README block
+    python tools/readme_headline.py --check    # exit 1 on drift
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+DOCS = os.path.join(ROOT, "docs")
+BEGIN, END = "<!-- headline:begin -->", "<!-- headline:end -->"
+BASELINE_PC_P50_MS = 3.168  # BASELINE.md tab4: Modal 1M, RTX 4070 p50
+
+
+def _latest(pattern: str) -> str | None:
+    """Highest-round artifact matching ``pattern`` (rN sorts by N)."""
+    def round_of(p):
+        m = re.search(r"_r0?(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    files = sorted(glob.glob(pattern), key=round_of)
+    return files[-1] if files else None
+
+
+def _load(path: str | None):
+    if path is None:
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _rel(path: str) -> str:
+    return os.path.relpath(path, ROOT)
+
+
+def _fmt_tracks(n: int) -> str:
+    return f"{n:,}"
+
+
+def generate() -> str:
+    parts = []
+
+    # -- modal headline: BENCH json ------------------------------------
+    bench_path = _latest(os.path.join(ROOT, "BENCH_r0*.json"))
+    bench = _load(bench_path)
+    if bench and "value" not in bench:
+        # Driver wrapper format: the bench.py JSON line is embedded in
+        # the "tail" field.
+        for line in reversed((bench.get("tail") or "").splitlines()):
+            try:
+                cand = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(cand, dict) and "value" in cand:
+                bench = cand
+                break
+        else:
+            bench = None
+    suite_path = _latest(os.path.join(DOCS, "RESULTS_r*_tpu_v5e.json"))
+    suite = _load(suite_path) or []
+    modal_row = next(
+        (r for r in suite if r.get("benchmark") == "ModalFilterBank"), None
+    )
+    if bench:
+        v = bench["value"]
+        bps = bench.get("blocks_per_sec_per_chip", 1000.0 / v)
+        ratio = bench.get("vs_baseline", BASELINE_PC_P50_MS / v)
+        s = (
+            f"**Headline (v5e, 1 chip):** 1M-mode modal synthesis of a "
+            f"512-sample block in **{v:.2f} ms** (saturated rep-median, "
+            f"{bps:.0f} blocks/sec) vs the reference's "
+            f"{BASELINE_PC_P50_MS} ms on an RTX 4070 — "
+            f"**{ratio:.1f}× faster** (`{_rel(bench_path)}`)."
+        )
+        marg = bench.get("saturated_marginal_p50_ms")
+        if marg:
+            s += (
+                f" The depth-differenced marginal per-block cost — the "
+                f"chip's rate with the rig's sync floor cancelled — is "
+                f"**{marg:.2f} ms** ({1000.0 / marg:.0f} blocks/sec)."
+            )
+        parts.append(s)
+    if modal_row:
+        rl = (modal_row.get("metadata") or {}).get("roofline")
+        modes = (modal_row.get("metadata") or {}).get("numModes")
+        if rl and rl.get("flops_pct_of_peak") is not None:
+            modes_s = f"{modes:,}-mode" if modes else "suite"
+            parts.append(
+                f"The {modes_s} suite configuration runs at "
+                f"**{rl['achieved_gflops'] / 1000.0:.1f} TFLOP/s = "
+                f"{rl['flops_pct_of_peak']:.0f}% of the chip's "
+                f"*measured* {rl['unit'].upper()} peak** — the suite "
+                f"calibrates its own roofline denominators on-chip "
+                f"(`{_rel(suite_path)}`)."
+            )
+
+    # -- capacity walls ------------------------------------------------
+    wall_bits = []
+    for fam, noun in (
+        ("session", "mixing-session strips (4-stage EQ → reverb send → "
+                    "stereo mixdown)"),
+        ("iir", "biquad IIR tracks"),
+        ("rndmem", "granular random-memory tracks (512 MiB pool)"),
+    ):
+        cap_path = _latest(os.path.join(DOCS, f"cap_r*_{fam}.json"))
+        cap = _load(cap_path)
+        if not cap:
+            continue
+        n = cap["capacity"]
+        bracket = cap.get("bracket")
+        if bracket:
+            wall_bits.append(
+                f"**{_fmt_tracks(bracket['certified'])}** {noun} "
+                f"certified (edge {_fmt_tracks(bracket['edge'])}"
+                + (f", {bracket.get('note')}" if bracket.get("note") else "")
+                + f"; `{_rel(cap_path)}`)"
+            )
+        else:
+            wall_class = cap.get("wall_class", "deadline")
+            wall_bits.append(
+                f"**{_fmt_tracks(n)}** {noun} "
+                f"({wall_class} wall; `{_rel(cap_path)}`)"
+            )
+    if wall_bits:
+        parts.append(
+            "Measured real-time capacity walls at 48 kHz / 512 samples "
+            "(saturated p99 vs the 10.667 ms deadline, fresh-process "
+            "confirmed): " + "; ".join(wall_bits) + "."
+        )
+
+    # -- overlapped infeed, with the co-located qualifier --------------
+    ov_path = _latest(os.path.join(DOCS, "RESULTS_r*_overlap.json"))
+    ov = _load(ov_path)
+    if ov:
+        ratios = sorted(
+            o["overlapped"]["speedup_vs_serial"]
+            for o in ov.values()
+            if isinstance(o, dict) and o.get("overlapped")
+        )
+        if ratios:
+            parts.append(
+                f"Double-buffered infeed (`--overlapDepth`) measures "
+                f"**{ratios[0]:.1f}–{ratios[-1]:.1f}×** over serial "
+                f"round trips on the relay rig — a ratio dominated by "
+                f"RPC-sync amortization (the serial twin pays the "
+                f"relay's per-block sync floor), so it UPPER-BOUNDS any "
+                f"co-located gain; the co-located projection puts the "
+                f"true overlap benefit near 1× for compute-bound "
+                f"workloads and ~1.5× where transfers rival compute "
+                f"(`{_rel(ov_path)}`, "
+                f"projected_overlapped_ms vs projected_colocated_ms)."
+            )
+
+    # -- transfer tier (tab5) and rndmem sweep (tab6), r5+ -------------
+    tab5 = _load(_latest(os.path.join(DOCS, "RESULTS_r*_tab5.json")))
+    if tab5 and tab5.get("rows"):
+        best = min(
+            (r for r in tab5["rows"] if r.get("tpu_overlapped_ms")),
+            key=lambda r: r["tpu_overlapped_ms"],
+            default=None,
+        )
+        if best:
+            parts.append(
+                f"At the poster's 100 MiB transfer tier (tab5), the "
+                f"pinned + overlapped path moves a "
+                f"{best['mib']} MiB round trip in "
+                f"**{best['tpu_overlapped_ms']:.2f} ms/block** vs the "
+                f"published PC 10.06 ms / Apple-unified 0.15 ms "
+                f"(`docs/{os.path.basename(_latest(os.path.join(DOCS, 'RESULTS_r*_tab5.json')))}`)."
+            )
+    tab6 = _load(_latest(os.path.join(DOCS, "RESULTS_r*_rndmem.json")))
+    if tab6 and tab6.get("rows"):
+        beats = all(
+            r["tpu_ms"] < min(
+                v for v in (r.get("rtx4070_ms"), r.get("m2pro_ms"))
+                if v is not None
+            )
+            for r in tab6["rows"]
+            if r.get("rtx4070_ms") or r.get("m2pro_ms")
+        )
+        n_rows = len(tab6["rows"])
+        verdict = (
+            "beats every published baseline at every published track "
+            "count" if beats else
+            "is measured against every published track count"
+        )
+        parts.append(
+            f"The granular random-memory gather {verdict} "
+            f"({n_rows} sizes, tab6 complete; "
+            f"`docs/{os.path.basename(_latest(os.path.join(DOCS, 'RESULTS_r*_rndmem.json')))}`)."
+        )
+
+    return "\n".join([BEGIN] + [p for p in parts] + [END])
+
+
+def process(readme_path: str, check: bool = False) -> bool:
+    """Regenerate the headline block; returns True when it changed."""
+    text = open(readme_path).read()
+    if BEGIN not in text or END not in text:
+        raise ValueError(f"{readme_path} has no headline markers")
+    pattern = re.compile(
+        re.escape(BEGIN) + r".*?" + re.escape(END), re.S
+    )
+    new_block = generate()
+    new_text = pattern.sub(lambda _: new_block, text)
+    changed = new_text != text
+    if changed and not check:
+        with open(readme_path, "w") as f:
+            f.write(new_text)
+    return changed
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="exit 1 if README drifted from the artifacts")
+    ap.add_argument("--readme", default=os.path.join(ROOT, "README.md"))
+    args = ap.parse_args(argv)
+    changed = process(args.readme, check=args.check)
+    if args.check:
+        if changed:
+            print("README headline DRIFTED from artifacts "
+                  "(run tools/readme_headline.py to regenerate)")
+            return 1
+        print("README headline matches artifacts")
+        return 0
+    print("README headline " + ("regenerated" if changed else "unchanged"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

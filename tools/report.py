@@ -180,11 +180,24 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
                 + (f" [{html.escape(method)}]" if method else "")
             )
         if sat:
-            bits.append(
-                f"saturated {sat['p50_ms']:.3f} ms/block "
-                f"({sat['blocks_per_sec']:.0f} blocks/s, depth "
-                f"{sat['pipeline_depth']})"
-            )
+            marg = sat.get("marginal")
+            if marg is not None:
+                # r5: amortized wall/depth AND the rig-floor-cancelled
+                # marginal, with the blocks/s basis labeled.
+                basis = sat.get("blocks_per_sec_basis", "")
+                bits.append(
+                    f"saturated amortized {sat['p50_ms']:.3f} ms/block, "
+                    f"marginal {marg['p50_ms']:.4f} ms/block "
+                    f"({sat['blocks_per_sec']:.0f} blocks/s"
+                    + (f" [{html.escape(basis)}]" if basis else "")
+                    + f", depth {sat['pipeline_depth']})"
+                )
+            else:
+                bits.append(
+                    f"saturated {sat['p50_ms']:.3f} ms/block "
+                    f"({sat['blocks_per_sec']:.0f} blocks/s, depth "
+                    f"{sat['pipeline_depth']})"
+                )
         ov = r.get("overlapped")
         if ov:
             bits.append(
