@@ -72,8 +72,10 @@ class BenchConfig:
     # NeuralAmp (streaming TCN inference, the MXU workload): channel
     # width (128 = one MXU tile of contraction), dilated-layer count
     # (receptive field (K-1)(2^L-1)+1 = 2047 samples ~ 43 ms at 48 kHz
-    # with the defaults), and GEMM dtype. "f32" contracts in
-    # Precision.HIGHEST (validated to 1e-4 rel-to-peak); "bf16" is the
+    # with the defaults), and GEMM dtype. "f32" contracts at
+    # Precision.HIGH (measured error-identical to HIGHEST at ~1.4x the
+    # rate, ops/neuralamp.py F32_GEMM_PRECISION; validated to 1e-4
+    # rel-to-peak); "bf16" is the
     # MXU-native inference mode with its own documented 2e-2 contract
     # (models/neuralamp.py docstring carries the measured margins).
     neuralamp_channels: int = 128

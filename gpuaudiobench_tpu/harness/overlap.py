@@ -109,3 +109,82 @@ def measure_overlap(
         np.asarray(_probe_slice(last))
         overlapped.append((time.perf_counter() - t0) / depth * 1000.0)
     return serial, overlapped
+
+
+def measure_overlap_batched(
+    step_fn: Callable,
+    host_blocks,
+    carry,
+    depth: int,
+    batch: int,
+    reps: int = 5,
+) -> List[float]:
+    """Overlapped steady state with ``batch`` blocks per upload RPC.
+
+    On a relay rig the overlapped tier's residual per-block cost is
+    dominated by the per-``device_put`` dispatch (an RPC each), not by
+    the bytes (VERDICT r4 next #5 -- the buffer-64 campaign's
+    1.6-2.2 ms floor). This variant stacks ``batch`` host blocks into
+    one (batch, ...) array, uploads it ONCE, and slices block k on
+    device -- cutting upload dispatches per block by ``batch`` while
+    compute still runs one block at a time (the real-time structure:
+    block k's output is still produced before block k+batch arrives).
+    Latency note: batching uploads adds ``batch`` blocks of input
+    buffering at the producer -- it trades deadline-floor throughput
+    for added input latency, which the report must say.
+
+    Returns per-block wall latencies (ms), one per rep; same
+    depth-amortized semantics as ``measure_overlap``'s overlapped list.
+    """
+    import numpy as np
+
+    from gpuaudiobench_tpu.utils import device as dev
+
+    host_blocks = list(host_blocks)
+    if len(host_blocks) < 2:
+        raise ValueError("measure_overlap_batched needs >= 2 distinct "
+                         "host blocks")
+    if depth % batch != 0:
+        raise ValueError(f"depth ({depth}) must be a multiple of "
+                         f"batch ({batch})")
+    # Two distinct stacked groups cycled across uploads (the >=2
+    # distinct buffers rule, applied at the group level).
+    nh = len(host_blocks)
+    groups = []
+    for g in range(2):
+        stack = np.stack([
+            np.asarray(host_blocks[(g * batch + i) % nh])
+            for i in range(batch)
+        ])
+        groups.append(stack)
+
+    import jax
+
+    slice_fn = jax.jit(lambda b, i: b[i])
+
+    # Warm/compile outside timing.
+    c = carry
+    bd = dev.to_device(groups[0])
+    y, c = step_fn(slice_fn(bd, 0), c)
+    _ = np.asarray(_probe_slice(y))
+
+    out: List[float] = []
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        bd_cur = dev.to_device(groups[0])
+        bd_next = None
+        last = None
+        for k in range(depth):
+            i = k % batch
+            if i == 0 and k + batch < depth:
+                # Enqueue the NEXT group's upload at the START of this
+                # group: batch-1 blocks of compute overlap it (enqueued
+                # at the end, only one block would).
+                bd_next = dev.to_device(groups[((k // batch) + 1) % 2])
+            y, c = step_fn(slice_fn(bd_cur, i), c)
+            if i == batch - 1 and bd_next is not None:
+                bd_cur = bd_next
+            last = y
+        np.asarray(_probe_slice(last))
+        out.append((time.perf_counter() - t0) / depth * 1000.0)
+    return out

@@ -23,11 +23,13 @@ TPU-first design:
   samples (the layer's receptive context), concatenated ahead of the
   block and re-sliced off the end -- carried across blocks on device
   exactly like the IIR biquad state (cuda/bench_iir.cu:19-43 semantics).
-* f32 mode contracts in Precision.HIGHEST (the validation-grade 6-pass
-  path, measured 30.9 TFLOP/s); bf16 mode pre-casts the tap matrices at
-  setup (casting inside the hot loop measurably halves MXU throughput:
-  utils/measured_peaks.json provenance) and casts activations at the
-  dot, accumulating in f32 via preferred_element_type.
+* f32 mode contracts at F32_GEMM_PRECISION (Precision.HIGH, the
+  3-pass bf16 product -- measured error-identical to the 6-pass
+  HIGHEST at ~1.45x the rate, see the constant's A/B table); bf16
+  mode pre-casts the tap matrices at setup (casting inside the hot
+  loop measurably halves MXU throughput: utils/measured_peaks.json
+  provenance) and casts activations at the dot, accumulating in f32
+  via preferred_element_type.
 
 Numerics: residual blocks ``h <- h + tanh(conv(h))`` with
 variance-1/(K*C) uniform taps keep activations O(sqrt(L)) without
@@ -45,6 +47,26 @@ import jax.numpy as jnp
 import numpy as np
 
 KERNEL = 3  # tap count per dilated layer (micro-TCN's standard k)
+
+# Precision of the f32-mode GEMMs (both architectures). XLA lowers f32
+# matmuls onto the bf16 MXU as multi-pass products; the r5 on-chip A/B
+# at the suite configs measured (device tier, xplane):
+#   LSTM T=128/H=128/S=512: HIGHEST 0.455 ms, HIGH 0.314 ms (1.45x),
+#     DEFAULT 0.211 ms -- peak-relative error vs the f64 golden is
+#     IDENTICAL for HIGH and HIGHEST (1.34e-7; bf16x3 already covers
+#     the f32 mantissa for O(1) operands) and 3.8e-6 for DEFAULT,
+#     flat over 24 streamed blocks (no accumulation; the gate
+#     contraction is the mechanism, see LSTM_STEADY_SAMPLES).
+#   TCN T=128/C=128/S=512/L=10 (registered benchmark, validation on):
+#     HIGHEST 2.599 ms / max_err 4.80e-5 -> HIGH 2.039 ms (1.27x) /
+#     max_err 5.41e-5 -- same error class, against the 1e-4 contract.
+# HIGH is therefore the f32 contract's operating point: same measured
+# error, 1.45x the rate. DEFAULT's 3.8e-6 (26x inside the 1e-4
+# contract) is documented headroom, not the default: its pass count is
+# an XLA-version-dependent choice, while HIGH pins 3-pass semantics.
+# SOL_MXU_f32 measures the same precision so %-of-peak stays
+# apples-to-apples (ops/speedoflight.py matmul_f32).
+F32_GEMM_PRECISION = "high"
 
 
 def dilations(layers: int) -> List[int]:
@@ -190,7 +212,7 @@ def tcn_block(x, tails, params, *, layers: int, dtype: str = "f32"):
     else:
         act = f32
         dot = functools.partial(
-            jnp.einsum, precision=jax.lax.Precision.HIGHEST,
+            jnp.einsum, precision=F32_GEMM_PRECISION,
             preferred_element_type=f32)
 
     b = x.shape[1]
@@ -361,7 +383,7 @@ def lstm_block(x, h, c, params, *, dtype: str = "f32"):
             return a.astype(jnp.bfloat16)
     else:
         dot = functools.partial(
-            jnp.einsum, precision=jax.lax.Precision.HIGHEST,
+            jnp.einsum, precision=F32_GEMM_PRECISION,
             preferred_element_type=f32)
 
         def cast(a):
@@ -369,11 +391,22 @@ def lstm_block(x, h, c, params, *, dtype: str = "f32"):
 
     w, b = params["w"], params["b"]
     w_out, b_out = params["w_out"], params["b_out"]
+    # Split the packed (H+1, 4H) weight into the input row and the
+    # recurrent block. The reference formulation contracts the
+    # concatenated [x_t, h] against w, making the GEMM K = H+1 = 129:
+    # the MXU tiles K in 128s, so every step paid TWO K-tiles (256
+    # lanes of systolic work) for 129 lanes of useful contraction.
+    # Contracting h against w_h alone keeps K = 128 exactly and adds
+    # x's rank-1 contribution on the VPU (x_t is a scalar per track --
+    # an outer product, not a GEMM). Identical math, measured A/B:
+    # device 0.898 -> 0.607 ms/block at T=128/H=128/S=512 (f32, r5),
+    # 31% -> 46% of measured MXU f32 peak.
+    w_x, w_h = w[0], w[1:]
 
     def step(carry, x_t):
         h, c = carry
-        inp = jnp.concatenate([x_t[:, None], h], axis=1)  # (T, H+1)
-        z = dot("th,hg->tg", cast(inp), w) + b
+        z = dot("th,hg->tg", cast(h), w_h) \
+            + x_t[:, None] * w_x + b
         i = jax.nn.sigmoid(z[:, :hidden])
         f = jax.nn.sigmoid(z[:, hidden:2 * hidden])
         g = jnp.tanh(z[:, 2 * hidden:3 * hidden])

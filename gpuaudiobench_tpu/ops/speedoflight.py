@@ -168,11 +168,18 @@ def matmul_bf16(a: jax.Array, b: jax.Array) -> jax.Array:
 
 @jax.jit
 def matmul_f32(a: jax.Array, b: jax.Array) -> jax.Array:
-    """f32 matmul at HIGHEST precision: the delivered f32 rate (XLA
-    decomposes to multiple bf16 MXU passes on TPU)."""
+    """f32 matmul at the framework's f32 operating precision
+    (Precision.HIGH, the 3-pass bf16 product): the delivered f32-class
+    rate the roofline judges f32 MXU workloads against. r5 A/B: HIGH
+    is error-IDENTICAL to the 6-pass HIGHEST on the suite's f32 GEMMs
+    (ops/neuralamp.py F32_GEMM_PRECISION table) at ~1.45x the rate, so
+    HIGHEST's rate (30.9 TFLOP/s measured) understates what an f32
+    workload can actually get. The denominator must match the
+    numerator's precision class or %-of-peak lies in either direction.
+    """
     return jnp.dot(
         a, b,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     )
 

@@ -32,7 +32,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gpuaudiobench_tpu.ops.neuralamp import KERNEL
+from gpuaudiobench_tpu.ops.neuralamp import (
+    F32_GEMM_PRECISION,
+    KERNEL,
+)
 
 
 def make_neuralamp_tp_block(mesh: Mesh, layers: int, axis: str = "tp"):
@@ -47,7 +50,7 @@ def make_neuralamp_tp_block(mesh: Mesh, layers: int, axis: str = "tp"):
 
     def local_block(x, tails, params):
         b = x.shape[1]
-        hi = jax.lax.Precision.HIGHEST
+        hi = F32_GEMM_PRECISION  # match the single-chip f32 contract
         # Input 1x1 conv: w_in is channel-sharded, so h is born local.
         h = jnp.tanh(x[..., None] * params["w_in"] + params["b_in"])
         new_tails = []
@@ -117,7 +120,7 @@ def make_neuralamp_lstm_tp_block(mesh: Mesh, axis: str = "tp"):
     """
 
     def local_block(x, h, c, params):
-        hi = jax.lax.Precision.HIGHEST
+        hi = F32_GEMM_PRECISION  # match the single-chip f32 contract
         f32 = jnp.float32
         # Local shapes: h, c (T, H/n); w4 (H+1, 4, H/n); b4 (4, H/n);
         # w_out (H/n,).

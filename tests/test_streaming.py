@@ -136,8 +136,9 @@ def test_csv_saturated_columns(small_cfg, tmp_path):
     # Marginal tier: p50 present, basis names blocks_per_sec's source.
     assert gain_row[-4] in ("marginal", "amortized")
     if gain_row[-4] == "marginal":
+        # %g prints 6 significant digits; compare loosely.
         assert float(gain_row[-7]) == pytest.approx(
-            1000.0 / float(gain_row[-5]))
+            1000.0 / float(gain_row[-5]), rel=1e-4)
     # Context columns (VERDICT r3 weak #5): CPU test runs carry the
     # honest environment label; projection/device-method are TPU-only.
     assert gain_row[-1] == "cpu"

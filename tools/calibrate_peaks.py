@@ -115,6 +115,9 @@ def main(argv=None) -> int:
         n_runs=args.nRuns, warmup=args.warmup,
         pipeline_depth=args.pipelineDepth,
         verification="spot", write_latencies=False,
+        # Peaks use the xplane basis; the marginal tier's second chain
+        # would only slow calibration down.
+        saturated_marginal=False,
     )
 
     from gpuaudiobench_tpu.utils import device as dev

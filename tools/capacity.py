@@ -205,8 +205,59 @@ def parse_overrides(pairs):
     return out
 
 
+def run_confirm_only(benchmark: str, args) -> dict:
+    """No search: archive-grade confirmation probe(s) at explicit knob
+    value(s) (--confirmOnly v1[,v2,...]) with device timing on.
+
+    The r4->r5 confirm discipline (VERDICT r4 next #4/#6): every
+    capacity row gets a FRESH-PROCESS, validation-on confirm at its
+    certified size -- run each invocation of this mode in its own
+    process (arena fragmentation from a prior search in the same
+    process measured 14x paging slowdowns / RESOURCE_EXHAUSTED).
+    Use --satReps >= 101 for boundary sizes so the p99 is a real
+    percentile, not max-of-21.
+    """
+    field = args.knob or knob_for(benchmark)[0]
+    if args.knob:
+        parse_overrides([f"{field}=0"])  # existence check (typed)
+    deadline = 1000.0 * args.bufferSize / args.fs
+    values = [int(v) for v in str(args.confirmOnly).split(",")]
+    probe = harness_probe(benchmark, field, args, device_timing=True)
+    confirms = []
+    for v in values:
+        print(f"confirm: {benchmark} {field}={v} "
+              f"(satReps {args.satReps}, verification "
+              f"{args.verification})", flush=True)
+        try:
+            ok, d = probe(v)
+            d["sustains"] = ok
+        except Exception as e:  # noqa: BLE001 - record, don't crash
+            d = {"value": v, "saturated_p99_ms": None, "sustains": False,
+                 "error": f"{type(e).__name__}: {e}",
+                 "wall_class": classify_wall(str(e))}
+        confirms.append(d)
+        print(f"  {field}={v}: sat p50 {d.get('saturated_p50_ms')} "
+              f"p99 {d.get('saturated_p99_ms')} ms vs {deadline:.3f} -> "
+              f"{'sustains' if d['sustains'] else 'MISSES'}", flush=True)
+    record = {
+        "benchmark": benchmark,
+        "knob": field,
+        "kind": "confirm",
+        "deadline_ms": deadline,
+        "buffer_size": args.bufferSize,
+        "fs": args.fs,
+        "pipeline_depth": args.pipelineDepth,
+        "saturated_reps": args.satReps,
+        "config_overrides": parse_overrides(args.set),
+        "confirms": confirms,
+    }
+    return record
+
+
 def run_one(benchmark: str, args) -> dict:
     """Search one benchmark's capacity; returns the JSON-able record."""
+    if getattr(args, "confirmOnly", ""):
+        return run_confirm_only(benchmark, args)
     if args.knob:
         # Explicit knob (e.g. ir_length for the real-time IR-length
         # capacity of PartConv): caller supplies the range.
@@ -409,9 +460,20 @@ def render_md(records, path=None):
         meth = c.get("device_method")
         dev_s = ("—" if dev is None
                  else f"{dev} [{meth}]" if meth else f"{dev}")
+        # Bracketed boundary rows (VERDICT r4 next #4): the Capacity
+        # cell carries the CERTIFIED point and names the edge, so the
+        # machine-readable table can never flatter the endpoint.
+        br = r.get("bracket")
+        cap_s = (f"{r['capacity']} (edge {br['edge']})" if br
+                 else f"{r['capacity'] if r['capacity'] is not None else '—'}")
+        if br:
+            note = f"{note}; {br['note']}" if note else br["note"]
+        if r.get("confirm_reps"):
+            conf_note = f"confirm n={r['confirm_reps']}"
+            note = f"{note}; {conf_note}" if note else conf_note
         lines.append(
             f"| {r['benchmark']} | {r['knob']} | "
-            f"{r['capacity'] if r['capacity'] is not None else '—'} | "
+            f"{cap_s} | "
             f"{c.get('saturated_p50_ms', '—')} | "
             f"{c.get('saturated_p99_ms', '—')} | "
             f"{dev_s} | {note} |")
@@ -472,6 +534,13 @@ def main(argv=None) -> int:
                     help="search this BenchConfig field instead of the "
                          "benchmark's default knob (requires "
                          "--lo/--hi/--quantum)")
+    ap.add_argument("--confirmOnly", default="",
+                    metavar="V1[,V2,...]",
+                    help="no search: run archive-grade confirmation "
+                         "probe(s) at these explicit knob values "
+                         "(device timing on; one fresh process per "
+                         "invocation; --satReps >= 101 for boundary "
+                         "certification)")
     args = ap.parse_args(argv)
 
     if len(args.benchmark) > 1 and (args.lo is not None or
@@ -492,7 +561,12 @@ def main(argv=None) -> int:
             os.remove(partial)
     if args.md:
         render_md(records, args.md)
-    return 0 if all(r["capacity"] is not None for r in records) else 1
+    def ok(r):
+        if r.get("kind") == "confirm":
+            return all(c.get("sustains") for c in r["confirms"])
+        return r["capacity"] is not None
+
+    return 0 if all(ok(r) for r in records) else 1
 
 
 if __name__ == "__main__":

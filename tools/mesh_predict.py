@@ -53,9 +53,24 @@ DEADLINE_MS = 1000.0 * 512 / 48000  # 10.667 ms
 MESHES = (1, 2, 4, 8)
 
 
+def _latest(pattern):
+    import glob
+    import re
+
+    def round_of(p):
+        m = re.search(r"_r0?(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    files = sorted(glob.glob(pattern), key=round_of)
+    return files[-1] if files else None
+
+
 def _cap_from_json(name):
-    """(capacity, sat_p99) from a cap_r4_<name>.json artifact, or None."""
-    path = os.path.join(DOCS, f"cap_r4_{name}.json")
+    """(capacity, sat_p99) from the LATEST cap_rN_<name>.json artifact
+    (r5 ledgers supersede r4 automatically), or None."""
+    path = _latest(os.path.join(DOCS, f"cap_r*_{name}.json"))
+    if path is None:
+        return None
     try:
         with open(path) as f:
             rec = json.load(f)
@@ -69,20 +84,47 @@ def _cap_from_json(name):
     return None
 
 
+def _bench_anchor():
+    """(value_ms, label) from the latest BENCH_r0N.json (the modal 1M
+    saturated rep-p50); falls back to the r3 constant when no bench
+    artifact is readable (VERDICT r4 weak #9: the fit cited BENCH_r03
+    while r4 existed)."""
+    path = _latest(os.path.join(DOCS, "..", "BENCH_r0*.json"))
+    if path is not None:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            for line in reversed((rec.get("tail") or "").splitlines()):
+                try:
+                    cand = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(cand, dict) and "value" in cand:
+                    return float(cand["value"]), os.path.basename(path)
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+    return 1.0312, "BENCH_r03 (fallback constant)"
+
+
 def modal_wall_fit():
-    """Linear sat-wall fit a + b*modes from two on-chip anchors:
-    BENCH_r03 (1M modes, saturated rep p50) and the r3 capacity wall
-    (11,010,048 modes at sat p99 10.5759; docs/RESULTS_r3_capacity.md).
-    """
-    x1, y1 = 1_000_000, 1.0312   # BENCH_r03 saturated_rep_p50_ms
-    x2, y2 = 11_010_048, 10.5759  # RESULTS_r3_capacity.md modal row
+    """Linear sat-wall fit a + b*modes from two on-chip anchors: the
+    LATEST BENCH artifact (1M modes, saturated rep p50) and the modal
+    capacity wall (latest cap_r*_modal*.json when present, else the r3
+    11,010,048-mode row at sat p99 10.5759,
+    docs/RESULTS_r3_capacity.md)."""
+    y1, src1 = _bench_anchor()
+    x1 = 1_000_000
+    x2, y2, src2 = 11_010_048, 10.5759, "RESULTS_r3_capacity.md"
+    got = _cap_from_json("modal")
+    if got and got[1]:
+        x2, y2, src2 = got[0], got[1], got[2]
     b = (y2 - y1) / (x2 - x1)
     a = y1 - b * x1
-    return a, b
+    return a, b, (x1, y1, src1), (x2, y2, src2)
 
 
 def predict_modal():
-    a, b = modal_wall_fit()
+    a, b, (x1, y1, src1), (x2, y2, src2) = modal_wall_fit()
     rows = []
     for n in MESHES:
         wire = collective_ms("psum", 32 * 512 * 4, n)
@@ -93,9 +135,9 @@ def predict_modal():
         "workload": "ModalFilterBank", "knob": "modes",
         "axis": "tp (mode-sharded, psum of the (32,S) mix)",
         "rows": rows, "n1_label": "fit basis",
-        "anchor": "fit a+b*modes on BENCH_r03 1M = 1.0312 ms and the "
-                  "11.01M-mode wall at 10.5759 ms "
-                  f"(a={a:.4f} ms, b={b * 1e6:.4f} ms/Mmode)",
+        "anchor": f"fit a+b*modes on {src1} {x1 / 1e6:g}M = {y1:g} ms "
+                  f"and the {x2 / 1e6:.2f}M-mode wall at {y2:g} ms "
+                  f"({src2}) (a={a:.4f} ms, b={b * 1e6:.4f} ms/Mmode)",
     }
 
 

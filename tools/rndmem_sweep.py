@@ -1,74 +1,157 @@
-"""RndMemRead track-count sweep: the DAFx-24 poster's tab6 analog.
+"""RndMemRead track-count sweep: the DAFx-24 poster's COMPLETE tab6.
 
-Records saturated ms/block and on-device ms at 128/4096/16384/65536
-tracks next to the published RTX 4070 / M2 Pro p50s, so the repo's tab6
-comparison table regenerates from one shipped tool instead of ad-hoc
-runs. Pipeline depth shrinks with track count to keep executable size
-(and compile time) bounded; the depth used is recorded per row.
+Covers every published track count -- 32, 128, 1024, 4096, 16384,
+65536 (VERDICT r4 missing #2: the r4 sweep skipped 32 and 1024, and
+the r2/r3 runs of those sizes predate the adaptive tracks-per-step
+default the headline claim rides on). All rows run the shipped
+adaptive-tps Pallas gather (ops/rndmem_pallas.py) on the CUDA-default
+512 MiB pool (bench_rndmem.cuh; the poster's tab6 caption says
+128 MiB -- the larger pool is strictly harder on the cache/TLB path,
+so the comparison is conservative).
 
-Usage: python tools/rndmem_sweep.py [output.md]
+Three TPU tiers per row, labeled:
+* marginal ms/block -- depth-differenced chip rate (rig floor
+  cancelled; harness/streaming.measure_saturated_marginal),
+* amortized ms/block -- wall/depth of the chained executable
+  (includes rig floor / depth),
+* projected co-located round trip -- device time + host transfers at
+  PCIe-class rate (utils/projection.py): the apples-to-apples column
+  against the published round-trip p50s, and the basis of any
+  "beats the baseline" claim.
+
+Outputs: docs/RESULTS_r5_rndmem.json (feeds the README generator) +
+docs/RESULTS_r5_rndmem.md.
+
+Usage: python tools/rndmem_sweep.py [out_base] [--nRuns 3] [--satReps 11]
 """
 
 from __future__ import annotations
 
 import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
 
-import sys
+import argparse
+import json
+import os
 
 # (tracks, pipeline depth, RTX 4070 p50 ms, M2 Pro p50 ms) --
-# published numbers from BASELINE.md tab6.
+# published round-trip p50s from BASELINE.md tab6. Depth shrinks with
+# track count to bound executable size / compile time (recorded per
+# row).
 POINTS = [
+    (32, 256, 0.138, 0.229),
     (128, 256, 0.163, 0.657),
+    (1024, 256, 0.364, 0.723),
     (4096, 256, 1.030, 0.719),
     (16384, 64, 3.810, 0.924),
     (65536, 32, 19.297, 4.801),
 ]
 
 
-def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "docs/RESULTS_r3_rndmem.md"
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?",
+                    default=os.path.join(os.path.dirname(__file__), "..",
+                                         "docs", "RESULTS_r5_rndmem"))
+    ap.add_argument("--nRuns", type=int, default=3)
+    ap.add_argument("--satReps", type=int, default=11)
+    args = ap.parse_args(argv)
+    out_base = args.out[:-3] if args.out.endswith(".md") else args.out
+
     from gpuaudiobench_tpu.config import BenchConfig
     from gpuaudiobench_tpu.harness.runner import run_benchmark
     from gpuaudiobench_tpu.registry import create_benchmark
 
-    lines = [
-        "# RndMem track sweep (TPU v5e; tab6 analog, 512 MiB pool)",
-        "",
-        "Saturated ms/block from the --pipelineDepth streaming pass",
-        "(playheads carried on-device); device ms is the xplane module",
-        "time. Published p50s from BASELINE.md tab6.",
-        "",
-        "| Tracks | RTX 4070 p50 | M2 Pro p50 | TPU saturated (depth) | TPU device ms |",
-        "|---:|---:|---:|---:|---:|",
-    ]
+    rows = []
     for tracks, depth, pc, as_ in POINTS:
         cfg = BenchConfig(
-            n_tracks=tracks, n_runs=3, warmup=2, pipeline_depth=depth,
-            saturated_reps=3, write_latencies=False,
-            verification="spot",
+            n_tracks=tracks, n_runs=args.nRuns, warmup=2,
+            pipeline_depth=depth, saturated_reps=args.satReps,
+            write_latencies=False, verification="spot", quiet=True,
         )
+        print(f"tab6: {tracks} tracks (depth {depth}) ...", flush=True)
         b = create_benchmark("RndMemRead", cfg)
         b.setup()
         r = run_benchmark(b, cfg, verbose=False)
-        if r.validation is not None and not r.validation.passed:
-            lines.append(f"| {tracks} | {pc:.3f} | {as_:.3f} | "
-                         "VALIDATION FAIL | |")
-            continue
         ss = r.saturated_statistics
-        ms = ss.median if ss else float("nan")
+        ms = ss.median if ss else None
+        marg = (r.saturated_marginal_statistics.median
+                if r.saturated_marginal_statistics else None)
         dev = (r.device_statistics.median
-               if r.device_statistics else float("nan"))
-        verdict = "✓" if ms <= cfg.deadline_ms() else "✗ MISS"
+               if r.device_statistics else None)
+        proj = ((r.metadata or {}).get("projection") or {}).get(
+            "projected_colocated_ms")
+        row = {
+            "tracks": tracks,
+            "depth": depth,
+            "rtx4070_ms": pc,
+            "m2pro_ms": as_,
+            "tpu_amortized_ms": ms,
+            "tpu_marginal_ms": marg,
+            "tpu_device_ms": dev,
+            "tpu_device_method": r.device_timing_method,
+            "tpu_projected_colocated_ms": proj,
+            # The column any cross-platform verdict rides on: a full
+            # round trip at co-located transfer rates.
+            "tpu_ms": proj if proj is not None else ms,
+            "validation": ("passed" if r.validation is None
+                           or r.validation.passed else "FAILED"),
+        }
+        rows.append(row)
+        print(f"  -> {json.dumps(row)[:220]}", flush=True)
+
+    payload = {"pool_mib": 512, "n_runs": args.nRuns,
+               "sat_reps": args.satReps, "rows": rows}
+    with open(out_base + ".json", "w") as f:
+        json.dump(payload, f, indent=2)
+
+    lines = [
+        "# RndMem track sweep (TPU v5e; COMPLETE tab6, 512 MiB pool, "
+        "adaptive-tps gather)",
+        "",
+        "All six published track counts (BASELINE.md tab6; poster "
+        "caption says a 128 MiB pool -- this sweep keeps the CUDA-"
+        "default 512 MiB, strictly harder on the cache path). TPU "
+        "columns labeled by tier: marginal = chip rate with the rig "
+        "sync floor cancelled; amortized = wall/depth (includes "
+        "floor/depth); projected = co-located round trip (device + "
+        "transfers @ PCIe-class), the apples-to-apples column vs the "
+        "published round-trip p50s.",
+        "",
+        "| Tracks | RTX 4070 p50 | M2 Pro p50 | TPU projected "
+        "co-located | TPU marginal ms/blk | TPU amortized (depth) | "
+        "TPU device ms [method] | valid |",
+        "|---:|---:|---:|---:|---:|---:|---:|---|",
+    ]
+    for row in rows:
+        fmt = lambda v, n=3: (f"{v:.{n}f}" if isinstance(v, (int, float))  # noqa: E731
+                              else "—")
+        dev_s = (f"{fmt(row['tpu_device_ms'], 4)} "
+                 f"[{row['tpu_device_method']}]"
+                 if row["tpu_device_ms"] is not None else "—")
         lines.append(
-            f"| {tracks} | {pc:.3f} ms | {as_:.3f} ms | "
-            f"**{ms:.3f} ms** {verdict} (d{depth}) | {dev:.4f} |"
-        )
-        print(f"tracks {tracks}: sat {ms:.3f} ms, device {dev:.4f} ms")
-    with open(out_path, "w") as f:
+            f"| {row['tracks']} | {row['rtx4070_ms']:.3f} | "
+            f"{row['m2pro_ms']:.3f} | "
+            f"{fmt(row['tpu_projected_colocated_ms'])} | "
+            f"{fmt(row['tpu_marginal_ms'], 4)} | "
+            f"{fmt(row['tpu_amortized_ms'])} ({row['depth']}) | "
+            f"{dev_s} | {row['validation']} |")
+    beats = [row for row in rows
+             if row["tpu_ms"] is not None
+             and row["tpu_ms"] < min(row["rtx4070_ms"], row["m2pro_ms"])]
+    lines += [
+        "",
+        f"Verdict: the projected co-located round trip beats BOTH "
+        f"published baselines at {len(beats)}/{len(rows)} track "
+        "counts.",
+        "",
+        f"Campaign: tools/rndmem_sweep.py, nRuns {args.nRuns}, "
+        f"satReps {args.satReps}.",
+    ]
+    with open(out_base + ".md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"written: {out_path}")
+    print(f"written: {out_base}.json / .md")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())

@@ -1,0 +1,192 @@
+"""tab5 campaign: the poster's 100 MiB transfer tier, measured.
+
+VERDICT r4 missing #1: every published transfer baseline in BASELINE.md
+is a 100 MiB row (`/root/reference/media/dafx24/figs/tab5.png` via
+index.html:440-446) -- PC ~10 ms pinned / Apple-silicon ~8-9 ms /
+AS-unified ~0.15 ms -- while the r1-r4 artifacts only ever ran the
+CUDA code default of 10 MiB (bench_datatransfer.cuh:21). This campaign
+runs the datacopy family at --transferMiB 100 (pinned staging active,
+overlap tier on) and writes the side-by-side, plus an optional 1 GiB
+tier (the poster's tab8 scale; absolute baselines unpublished there, so
+the TPU column stands alone).
+
+Outputs: docs/RESULTS_r5_tab5.json (machine-readable; feeds the README
+generator) + docs/RESULTS_r5_tab5.md.
+
+Usage:
+    python tools/transfer_tab5.py [--mib 100] [--nRuns 11]
+        [--overlapDepth 16] [--out docs/RESULTS_r5_tab5]
+        [--skip1gib]
+"""
+
+from __future__ import annotations
+
+import _pathfix  # noqa: F401,E402 - repo-root sys.path (tools/_pathfix.py)
+
+import argparse
+import json
+import os
+
+# Published tab5 rows at 100 MiB (BASELINE.md:14-18): p50 ms per
+# platform. PC = i7-12700 + RTX 4070 (cudaMallocHost pinned), AS =
+# M2 Pro discrete-style copy, AS_unified = unified-memory no-copy.
+TAB5_BASELINES = {
+    "datacopy0199": {"pc_ms": 10.06, "as_ms": 9.14, "as_unified_ms": 0.15},
+    "datacopy2080": {"pc_ms": 9.84, "as_ms": 8.77, "as_unified_ms": 0.134},
+    "datacopy5050": {"pc_ms": 9.57, "as_ms": 8.49, "as_unified_ms": 0.157},
+    "datacopy8020": {"pc_ms": 9.37, "as_ms": 7.93, "as_unified_ms": 0.130},
+    "datacopy9901": {"pc_ms": 9.09, "as_ms": 7.66, "as_unified_ms": 0.133},
+}
+
+
+def run_family(mib: int, n_runs: int, overlap_depth: int,
+               overlap_reps: int, names=None) -> list:
+    from gpuaudiobench_tpu.config import BenchConfig
+    from gpuaudiobench_tpu.harness.output import generate_json_results
+    from gpuaudiobench_tpu.harness.runner import run_benchmark
+    from gpuaudiobench_tpu.registry import create_benchmark
+
+    rows = []
+    for name in (names or sorted(TAB5_BASELINES)):
+        cfg = BenchConfig(
+            transfer_mib=mib, n_runs=n_runs, warmup=2,
+            overlap_depth=overlap_depth, overlap_reps=overlap_reps,
+            verification="spot", write_latencies=False, quiet=True,
+        )
+        print(f"tab5: {name} @ {mib} MiB ...", flush=True)
+        try:
+            b = create_benchmark(name, cfg)
+            b.setup()
+            r = run_benchmark(b, cfg, verbose=False)
+            j = generate_json_results(r, cfg)
+            ov = j.get("overlapped") or {}
+            md = j.get("metadata") or {}
+            tc = md.get("transferMemoryClass") or {}
+            row = {
+                "benchmark": name,
+                "mib": mib,
+                "roundtrip_p50_ms": j["statistics"]["p50_ms"],
+                "roundtrip_p95_ms": j["statistics"]["p95_ms"],
+                "tpu_serial_ms": ov.get("serial_p50_ms"),
+                "tpu_overlapped_ms": ov.get("overlapped_p50_ms"),
+                "h2d_path": tc.get("h2d_path_used"),
+                "h2d_pinned_ms": tc.get("h2d_pinned_ms"),
+                "h2d_pageable_ms": tc.get("h2d_pageable_ms"),
+                "d2h_pinned_ms": tc.get("d2h_pinned_ms"),
+                "d2h_pageable_ms": tc.get("d2h_pageable_ms"),
+                "projected_colocated_ms": (md.get("projection") or {}).get(
+                    "projected_colocated_ms"),
+                "validation": (j.get("validation") or {}).get("status"),
+                "timing_environment": (j.get("device") or {}).get(
+                    "timing_environment"),
+                **TAB5_BASELINES[name],
+            }
+        except Exception as e:  # noqa: BLE001 - record transport walls
+            row = {"benchmark": name, "mib": mib,
+                   "error": f"{type(e).__name__}: {e}"}
+        rows.append(row)
+        print(f"  -> {json.dumps({k: v for k, v in row.items() if k not in TAB5_BASELINES[name].keys()})[:200]}",
+              flush=True)
+    return rows
+
+
+def render_md(payload: dict) -> str:
+    lines = [
+        "# tab5: the poster's 100 MiB transfer tier, measured on TPU "
+        "v5e (relay rig)",
+        "",
+        "Published baselines: `/root/reference/media/dafx24/figs/"
+        "tab5.png` (BASELINE.md). PC = cudaMallocHost pinned over "
+        "PCIe; AS = M2 Pro copy path; AS-unified = unified memory "
+        "(no copy). TPU columns: the serial round trip through the "
+        "relay (pays the RPC floor -- labeled, not hidden), the "
+        "overlapped-infeed steady state (upload k+1 during compute "
+        "k), and the co-located projection (device + transfers at "
+        "PCIe-class rate) -- the number a co-located deployment is "
+        "judged by.",
+        "",
+        "| config | PC p50 | AS p50 | AS-unif p50 | TPU serial "
+        "(relay) | TPU overlapped | TPU co-located proj | h2d path |",
+        "|---|---:|---:|---:|---:|---:|---:|---|",
+    ]
+    for r in payload["rows"]:
+        if "error" in r:
+            lines.append(f"| {r['benchmark']} | — | — | — | ERROR: "
+                         f"{r['error'][:80]} | | | |")
+            continue
+        fmt = lambda v: f"{v:.3f}" if isinstance(v, (int, float)) else "—"  # noqa: E731
+        lines.append(
+            f"| {r['benchmark']} | {fmt(r.get('pc_ms'))} | "
+            f"{fmt(r.get('as_ms'))} | {fmt(r.get('as_unified_ms'))} | "
+            f"{fmt(r.get('tpu_serial_ms'))} | "
+            f"{fmt(r.get('tpu_overlapped_ms'))} | "
+            f"{fmt(r.get('projected_colocated_ms'))} | "
+            f"{r.get('h2d_path', '—')} |"
+        )
+    extra = payload.get("gib_rows")
+    if extra:
+        lines += [
+            "",
+            "## 1 GiB tier (tab8 scale; no published absolute "
+            "baselines)",
+            "",
+            "| config | TPU round trip p50 (relay) | TPU overlapped | "
+            "h2d pinned ms | d2h pinned ms | note |",
+            "|---|---:|---:|---:|---:|---|",
+        ]
+        for r in extra:
+            if "error" in r:
+                lines.append(f"| {r['benchmark']} | ERROR: "
+                             f"{r['error'][:100]} | | | | |")
+                continue
+            fmt = lambda v: f"{v:.2f}" if isinstance(v, (int, float)) else "—"  # noqa: E731
+            lines.append(
+                f"| {r['benchmark']} | {fmt(r.get('roundtrip_p50_ms'))} |"
+                f" {fmt(r.get('tpu_overlapped_ms'))} | "
+                f"{fmt(r.get('h2d_pinned_ms'))} | "
+                f"{fmt(r.get('d2h_pinned_ms'))} | |"
+            )
+    lines += [
+        "",
+        f"Campaign: tools/transfer_tab5.py, nRuns "
+        f"{payload['n_runs']}, overlapDepth {payload['overlap_depth']}"
+        f", pinned staging active where supported.",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mib", type=int, default=100)
+    ap.add_argument("--nRuns", type=int, default=11)
+    ap.add_argument("--overlapDepth", type=int, default=16)
+    ap.add_argument("--overlapReps", type=int, default=5)
+    ap.add_argument("--skip1gib", action="store_true")
+    ap.add_argument("--out",
+                    default=os.path.join(os.path.dirname(__file__), "..",
+                                         "docs", "RESULTS_r5_tab5"))
+    args = ap.parse_args(argv)
+
+    payload = {
+        "n_runs": args.nRuns,
+        "overlap_depth": args.overlapDepth,
+        "rows": run_family(args.mib, args.nRuns, args.overlapDepth,
+                           args.overlapReps),
+    }
+    if not args.skip1gib:
+        # One config at the 1 GiB tier (the transfer mix doesn't change
+        # the link behavior; 50/50 exercises both directions): guarded
+        # run, any transport wall is recorded as the row's result.
+        payload["gib_rows"] = run_family(
+            1024, max(3, args.nRuns // 3), 4, 3,
+            names=["datacopy5050"])
+    with open(args.out + ".json", "w") as f:
+        json.dump(payload, f, indent=2)
+    with open(args.out + ".md", "w") as f:
+        f.write(render_md(payload))
+    print(f"written: {args.out}.json / .md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
