@@ -258,8 +258,10 @@ def generate_report(results: List[dict], title: str = "tpuaudiobench results") -
         f"<h1>{html.escape(title)}</h1>" + hw +
         "<p>Round-trip latencies in ms per full "
         "host&rarr;HBM&rarr;kernel&rarr;host iteration; device ms = "
-        "on-device module time (xplane); saturated = marginal ms/block "
-        "with the pipeline kept full; deadline = 1000&middot;bufferSize/fs.</p>"
+        "on-device module time (xplane); saturated = amortized wall/depth "
+        "ms/block with the pipeline kept full (see each card for the "
+        "depth-differenced marginal where measured); deadline = "
+        "1000&middot;bufferSize/fs.</p>"
         + table + _baseline_section(results)
         + "<hr>" + "".join(cards) + "</body></html>"
     )
