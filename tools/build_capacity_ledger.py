@@ -20,6 +20,7 @@ a merged record per family where
 
 Usage:
   python tools/build_capacity_ledger.py out.json search.json confirm.json
+  python tools/build_capacity_ledger.py out.json - confirm.json  # no search record
 Then merge families with tools/merge_capacity.py as before.
 """
 
@@ -31,9 +32,30 @@ import json
 import sys
 
 
-def build(search: dict, confirm: dict) -> dict:
+def build(search: dict | None, confirm: dict) -> dict:
     if confirm.get("kind") != "confirm":
         raise SystemExit("second input must be a --confirmOnly record")
+    if search is None:
+        # Standing rows whose original search JSON predates the
+        # committed-artifact discipline (the r3 table rows): the
+        # confirm record IS the evidence; synthesize the envelope.
+        search = {
+            "benchmark": confirm["benchmark"],
+            "knob": confirm["knob"],
+            "capacity": None,
+            "ceiling_hit": False,
+            "budget_exhausted": False,
+            "boundary_gap": None,
+            "deadline_ms": confirm["deadline_ms"],
+            "margin": 0.0,
+            "buffer_size": confirm["buffer_size"],
+            "fs": confirm["fs"],
+            "pipeline_depth": confirm["pipeline_depth"],
+            "saturated_reps": confirm["saturated_reps"],
+            "config_overrides": confirm.get("config_overrides", {}),
+            "wall_class": None,
+            "probes": [],
+        }
     if confirm["benchmark"] != search["benchmark"]:
         raise SystemExit(
             f"benchmark mismatch: {search['benchmark']} vs "
@@ -72,11 +94,11 @@ def build(search: dict, confirm: dict) -> dict:
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) != 3:
-        print("usage: build_capacity_ledger.py out.json search.json "
-              "confirm.json")
+        print("usage: build_capacity_ledger.py out.json "
+              "{search.json|-} confirm.json")
         return 2
     out, search_p, confirm_p = argv
-    search = json.load(open(search_p))
+    search = None if search_p == "-" else json.load(open(search_p))
     confirm = json.load(open(confirm_p))
     rec = build(search, confirm)
     with open(out, "w") as f:

@@ -106,26 +106,26 @@ if [ "$START" -le 7 ]; then
     --verification spot --json docs/confirm_r5_partconv.json
   commit "r5: PartConv 1536 fresh confirm (n=101)" docs/confirm_r5_partconv.json
   timeout 2400 python tools/capacity.py --benchmark FDTD3D \
-    --confirmOnly 82 --satReps 101 --pipelineDepth 16 \
+    --confirmOnly 80,82 --satReps 101 --pipelineDepth 16 \
     --verification spot --json docs/confirm_r5_fdtd.json
-  commit "r5: FDTD3D room-82 fresh confirm (n=101)" docs/confirm_r5_fdtd.json
+  commit "r5: FDTD3D room 80+82 fresh confirms (n=101)" docs/confirm_r5_fdtd.json
   timeout 3600 python tools/capacity.py --benchmark Conv1D \
-    --confirmOnly 19456 --satReps 101 --pipelineDepth 16 \
+    --confirmOnly 18432,19456 --satReps 101 --pipelineDepth 16 \
     --verification spot --json docs/confirm_r5_conv1d.json
-  commit "r5: Conv1D 19456 fresh confirm (n=101)" docs/confirm_r5_conv1d.json
+  commit "r5: Conv1D 18432+19456 fresh confirms (n=101)" docs/confirm_r5_conv1d.json
   timeout 5400 python tools/capacity.py --benchmark ModalFilterBank \
-    --confirmOnly 11010048 --satReps 101 --pipelineDepth 16 \
+    --confirmOnly 10485760,11010048 --satReps 101 --pipelineDepth 16 \
     --verification spot --json docs/confirm_r5_modal.json
-  commit "r5: modal 11.01M fresh confirm (n=101)" docs/confirm_r5_modal.json
+  commit "r5: modal 10.49M+11.01M fresh confirms (n=101)" docs/confirm_r5_modal.json
 fi
 
 # ---- Phase 8: boundary certifications at n=101 (directive 4) -------
 if [ "$START" -le 8 ]; then
   probe_gate
   timeout 5400 python tools/capacity.py --benchmark RndMemRead \
-    --confirmOnly 245760 --satReps 101 --pipelineDepth 16 \
+    --confirmOnly 229376,245760 --satReps 101 --pipelineDepth 16 \
     --verification spot --json docs/confirm_r5_rndmem.json
-  commit "r5: RndMemRead 245760 boundary confirm (n=101)" docs/confirm_r5_rndmem.json
+  commit "r5: RndMemRead 229376+245760 boundary confirms (n=101)" docs/confirm_r5_rndmem.json
   # The big one last: IIR at 786432 (certified candidate) AND 917504
   # (edge). Setup at these sizes is window-dependent (20+ min seen).
   timeout 10800 python tools/capacity.py --benchmark IIRFilter \
@@ -140,14 +140,22 @@ if [ "$START" -le 9 ]; then
     docs/cap_r4_iir.json docs/confirm_r5_iir.json || true
   python tools/build_capacity_ledger.py docs/cap_r5_rndmem.json \
     docs/cap_r4_rndmem.json docs/confirm_r5_rndmem.json || true
+  for fam in conv1d modal neuralamp dwg partconv fdtd; do
+    python tools/build_capacity_ledger.py docs/cap_r5_${fam}.json \
+      - docs/confirm_r5_${fam}.json || true
+  done
   python tools/merge_capacity.py docs/RESULTS_r5_capacity_tables.md \
-    docs/cap_r5_iir.json docs/cap_r5_rndmem.json docs/cap_r4_session.json \
-    docs/cap_r4_modal64.json || true
+    docs/cap_r5_iir.json docs/cap_r5_rndmem.json docs/cap_r5_conv1d.json \
+    docs/cap_r5_modal.json docs/cap_r5_neuralamp.json docs/cap_r5_dwg.json \
+    docs/cap_r5_partconv.json docs/cap_r5_fdtd.json \
+    docs/cap_r4_session.json docs/cap_r4_modal64.json || true
   timeout 600 python tools/mesh_predict.py docs/RESULTS_r5_mesh.md || true
   python tools/readme_headline.py
   commit "r5: capacity ledger with brackets, mesh anchors refreshed, README regenerated" \
     docs/cap_r5_iir.json docs/cap_r5_rndmem.json \
-    docs/RESULTS_r5_capacity_tables.md docs/RESULTS_r5_mesh.md README.md
+    docs/RESULTS_r5_capacity_tables.md docs/RESULTS_r5_mesh.md README.md \
+    docs/cap_r5_conv1d.json docs/cap_r5_modal.json docs/cap_r5_neuralamp.json \
+    docs/cap_r5_dwg.json docs/cap_r5_partconv.json docs/cap_r5_fdtd.json
 fi
 
 echo "=== chip_queue21 complete ==="
