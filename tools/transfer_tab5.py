@@ -173,6 +173,13 @@ def main(argv=None) -> int:
         "rows": run_family(args.mib, args.nRuns, args.overlapDepth,
                            args.overlapReps),
     }
+    # Persist the 100 MiB tier BEFORE the riskier 1 GiB attempt: a
+    # transport hang there must not lose the measured rows (queue
+    # discipline, docs/OPERATIONS.md).
+    with open(args.out + ".json", "w") as f:
+        json.dump(payload, f, indent=2)
+    with open(args.out + ".md", "w") as f:
+        f.write(render_md(payload))
     if not args.skip1gib:
         # One config at the 1 GiB tier (the transfer mix doesn't change
         # the link behavior; 50/50 exercises both directions): guarded
