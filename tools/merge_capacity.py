@@ -21,8 +21,14 @@ from capacity import render_md
 def load_records(paths):
     records = []
     for path in paths:
-        with open(path) as f:
-            data = json.load(f)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except OSError as e:
+            # A family whose confirm step timed out must not sink the
+            # whole ledger; say so and merge the rest.
+            print(f"WARNING: skipping {path}: {e}")
+            continue
         records.extend(data if isinstance(data, list) else [data])
     return records
 
