@@ -177,6 +177,26 @@ def generate() -> str:
                 f"projected_overlapped_ms vs projected_colocated_ms)."
             )
 
+    # -- buffer-64 low-latency floor (r5) ------------------------------
+    o64_path = _latest(os.path.join(DOCS, "RESULTS_r*_overlap64.json"))
+    o64 = _load(o64_path)
+    if o64 and o64.get("rows"):
+        meets = [r for r in o64["rows"]
+                 if r.get("meets_deadline_64") and r.get("best_ms")]
+        if meets:
+            vals = sorted(r["best_ms"] for r in meets)
+            names = ", ".join(r["benchmark"] for r in meets)
+            parts.append(
+                f"At the 64-sample low-latency operating point "
+                f"(1.333 ms deadline), batching blocks per upload RPC "
+                f"runs {names} at "
+                f"**{vals[0]:.2f}–{vals[-1]:.2f} ms/block UNDER the "
+                f"deadline through the relay** (the r4 floor was "
+                f"1.6–2.2 ms; batching trades added input latency for "
+                f"deadline-floor throughput — "
+                f"`docs/{os.path.basename(o64_path)}`)."
+            )
+
     # -- transfer tier (tab5) and rndmem sweep (tab6), r5+ -------------
     tab5_path = _latest(os.path.join(DOCS, "RESULTS_r*_tab5.json"))
     tab5 = _load(tab5_path)
